@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for session config so Verify / Bench / tests / any real
+  * deployment agree on semantics.
+  *
+  *  - shuffle.partitions = cores (local mode; a cluster deployment
+  *    would size this to 2-3× total cores or rely on AQE coalescing)
+  *  - AQE on (runtime re-plan: skew joins, partition coalescing)
+  *  - UTC session timezone (oracle parity)
+  *  - nanosAsLong: the driver's `events.parquet` stores TIMESTAMP(NANOS),
+  *    which Spark's vectorized reader otherwise rejects; with this
+  *    flag `ts` surfaces as LongType nanoseconds-since-epoch.
+  */
+object GraftSession {
+  def builder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
+    val s = builder(cpus).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

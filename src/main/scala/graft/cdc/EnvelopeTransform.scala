@@ -1,0 +1,81 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The heart of the reference's business logic as pure, codegen-friendly
+  * column expressions over a change-event DataFrame (batch or
+  * streaming — the transform is identical).
+  *
+  * Replaces, Spark-first:
+  *  - F1 op-type filter            `change_stream_reading/change_handler.py:43-48`
+  *  - P1 CDC envelope projection   `producing/change_event_handler.py:100-113`
+  *  - P2 message key               `producing/change_event_handler.py:93-98`
+  *  - P3 topic routing             `producing/change_event_handler.py:84-91`
+  *  - P4 hash distribution         `change_stream_reading/change_handler.py:77-81`
+  *
+  * The reference runs these in three separate OS processes connected by
+  * hand-framed byte queues; here they are one narrow projection that
+  * whole-stage-codegens into the scan, and the process fan-out becomes
+  * Kafka's keyed partitioner (or an explicit keyed repartition).
+  */
+object EnvelopeTransform {
+
+  /** op map, `producing/change_event_handler.py:14-19`:
+    * insert→c, update/replace→u, delete→d.
+    */
+  val opCode: Column =
+    when(col("operationType") === "insert", "c")
+      .when(col("operationType").isin("update", "replace"), "u")
+      .when(col("operationType") === "delete", "d")
+
+  /** F1: keep only data-mutation events. Catalyst pushes this to the
+    * source scan; drop/dropDatabase/invalidate still advance offsets
+    * (the checkpoint records every source offset regardless of rows
+    * filtered — reference fork P5 for free).
+    */
+  def filterDataOps(df: DataFrame): DataFrame =
+    df.filter(col("operationType").isin(ChangeEvents.DataOps: _*))
+
+  /** P1: Debezium-style value envelope `{before?, updateDescription?,
+    * after?, op}` as a JSON string; absent source fields are omitted
+    * (to_json drops nulls), matching the reference envelope builder.
+    */
+  val valueEnvelope: Column =
+    to_json(struct(
+      col("fullDocumentBeforeChange").alias("before"),
+      col("updateDescription"),
+      col("fullDocument").alias("after"),
+      opCode.alias("op")))
+
+  /** P3: topic = `{prefix}.{db}.{coll}`; prefix optional (empty ⇒
+    * `{db}.{coll}`). concat_ws skips nulls, so an empty prefix maps to
+    * null and disappears — same branch structure as the reference.
+    */
+  def topic(prefix: String): Column = {
+    val p = if (prefix == null || prefix.isEmpty) lit(null) else lit(prefix)
+    concat_ws(".", p, col("ns.db"), col("ns.coll"))
+  }
+
+  /** Full transform: filter + project to the Kafka-sink contract
+    * (`topic`, `key`, `value` columns — the Spark Kafka sink routes
+    * per-row by these exact column names).
+    */
+  def apply(df: DataFrame, topicPrefix: String = ""): DataFrame =
+    filterDataOps(df).select(
+      topic(topicPrefix).alias("topic"),
+      col("documentKey").alias("key"),
+      valueEnvelope.alias("value"))
+
+  /** P4 parity: the reference routes each event to producer
+    * `sum(bytes(key)) mod n`. In Spark the same guarantee (per-key
+    * ordering under n-way parallelism) comes from hashing the key; we
+    * expose the reference's exact byte-sum function for tests and for
+    * keyed repartition before a sink that needs it.
+    */
+  def byteSumPartition(keyCol: Column, n: Int): Column =
+    graft.functions.ByteSumMod(keyCol, n)
+
+  def repartitionByKey(df: DataFrame, n: Int): DataFrame =
+    df.repartition(n, col("key"))
+}

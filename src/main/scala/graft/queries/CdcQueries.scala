@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+import graft.functions.ByteSumMod
+
+/** The reference's dataflow operators (SURVEY §2 S/F/P/C rows)
+  * re-expressed as verifiable batch queries over the driver's `events`
+  * table, which stands in for the change stream (event_type plays
+  * operationType, user_id plays documentKey, props plays fullDocument).
+  *
+  * Each query has a DuckDB oracle with byte-identical semantics:
+  * integer outputs wherever aggregation is involved (cents instead of
+  * float sums), explicit total ordering, explicit window frames.
+  */
+object CdcQueries {
+
+  /** op-type filter F1 (`change_handler.py:43-48`): data ops pass,
+    * the rest ride along for offsets only. Here `error` plays the
+    * non-data role.
+    */
+  private val dataTypes = Seq("click", "purchase", "signup", "view")
+
+  private def events(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f1_optype_filter" -> ((s, d) =>
+      events(s, d)
+        .filter(col("event_type").isin(dataTypes: _*))
+        .select(col("event_id"), col("event_type"), col("user_id"))
+        .orderBy("event_id")),
+
+    // P1/P2: CDC envelope projection (`change_event_handler.py:84-113`)
+    // op map analog: purchase→c, click/view→u, signup→d.
+    "p1_cdc_envelope" -> ((s, d) =>
+      events(s, d)
+        .filter(col("event_type").isin(dataTypes: _*))
+        .select(
+          col("event_id"),
+          col("user_id").cast("string").alias("key"),
+          when(col("event_type") === "purchase", "c")
+            .when(col("event_type").isin("click", "view"), "u")
+            .otherwise("d").alias("op"),
+          col("props").alias("after"),
+          round(col("value") * 100, 0).cast(LongType).alias("value_cents"))
+        .orderBy("event_id")),
+
+    // P3: topic routing (`change_event_handler.py:84-91`)
+    "p3_topic_route" -> ((s, d) =>
+      events(s, d)
+        .groupBy(concat(lit("cdc.events."), col("event_type")).alias("topic"))
+        .agg(count(lit(1)).alias("n"))
+        .orderBy("topic")),
+
+    // P4: byte-sum-mod-N producer routing (`change_handler.py:77-81`)
+    // via the codegen ByteSumMod expression.
+    "p4_hash_route" -> ((s, d) =>
+      events(s, d)
+        .select(ByteSumMod(col("user_id").cast("string"), 8).alias("part_id"))
+        .groupBy("part_id")
+        .agg(count(lit(1)).alias("n"))
+        .orderBy("part_id")),
+
+    // S6: monotonic sequence numbering (`watch.py:113-141`) — here the
+    // per-key variant that matters for ordering guarantees.
+    "s6_sequence" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_id"), col("user_id"))
+        .withColumn("seq",
+          row_number().over(
+            Window.partitionBy("user_id").orderBy("event_id")).cast(LongType))
+        .orderBy("event_id")),
+
+    // C1: contiguous-prefix commit watermark
+    // (`committing/commit_processing.py:96-118`): the highest event id
+    // such that every id before it is confirmed. Inherently a prefix
+    // scan — at scale this runs on the (small) commit stream, never on
+    // the data path, exactly like the reference's committer process.
+    "c1_commit_watermark" -> ((s, d) => {
+      val w = Window.orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .withColumn("bad",
+          sum(when(col("event_type") === "error", 1).otherwise(0)).over(w))
+        .filter(col("bad") === 0)
+        .agg(max(col("event_id")).alias("watermark"))
+    }),
+
+    // C2: commit batching by interval/size thresholds
+    // (`commit_processing.py:120-129`): fixed-size batches, per-batch
+    // confirmed counts and the resume token (= max id) each would
+    // persist.
+    "c2_commit_batches" -> ((s, d) =>
+      events(s, d)
+        .groupBy(floor(col("event_id") / 1000).cast(LongType).alias("batch"))
+        .agg(
+          count(lit(1)).alias("n"),
+          sum(when(col("event_type") =!= "error", 1L).otherwise(0L))
+            .alias("confirmed"),
+          max(col("event_id")).alias("token"))
+        .orderBy("batch")))
+
+  val oracles: Map[String, String] = Map(
+    "f1_optype_filter" ->
+      """SELECT event_id, event_type, user_id FROM events
+        |WHERE event_type IN ('click','purchase','signup','view')
+        |ORDER BY event_id""".stripMargin,
+
+    "p1_cdc_envelope" ->
+      """SELECT event_id,
+        |  CAST(user_id AS VARCHAR) AS key,
+        |  CASE WHEN event_type = 'purchase' THEN 'c'
+        |       WHEN event_type IN ('click','view') THEN 'u'
+        |       ELSE 'd' END AS op,
+        |  props AS after,
+        |  CAST(round(value * 100, 0) AS BIGINT) AS value_cents
+        |FROM events
+        |WHERE event_type IN ('click','purchase','signup','view')
+        |ORDER BY event_id""".stripMargin,
+
+    "p3_topic_route" ->
+      """SELECT concat('cdc.events.', event_type) AS topic,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY topic""".stripMargin,
+
+    "p4_hash_route" ->
+      """SELECT CAST(list_aggregate(list_transform(
+        |    string_split(CAST(user_id AS VARCHAR), ''),
+        |    x -> CAST(ascii(x) AS BIGINT)), 'sum') % 8 AS INTEGER) AS part_id,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1 ORDER BY part_id""".stripMargin,
+
+    "s6_sequence" ->
+      """SELECT event_id, user_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+        |       AS BIGINT) AS seq
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "c1_commit_watermark" ->
+      """SELECT max(event_id) AS watermark FROM (
+        |  SELECT event_id,
+        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bad
+        |  FROM events) t
+        |WHERE bad = 0""".stripMargin,
+
+    "c2_commit_batches" ->
+      """SELECT CAST(event_id // 1000 AS BIGINT) AS batch,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS confirmed,
+        |  max(event_id) AS token
+        |FROM events GROUP BY 1 ORDER BY batch""".stripMargin)
+}

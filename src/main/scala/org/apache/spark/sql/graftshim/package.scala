@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the `private[sql]` Column↔Expression converters that
+  * Spark 4 moved behind `org.apache.spark.sql.classic`. Lives in the
+  * spark.sql package solely to satisfy the access modifier; contains
+  * no Spark internals beyond the two calls.
+  */
+package object graftshim {
+  def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
