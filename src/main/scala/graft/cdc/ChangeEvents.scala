@@ -98,29 +98,37 @@ object ChangeEvents {
     "D09FF3547FFF2463C6F7065726174696F6E54797065003C64726F7000" +
     "0004"
 
-  private val nsDoc = Row("test-database", "TestCollection")
+  private val nsDoc = Ns("test-database", "TestCollection")
 
   /** The 7 golden events in stream order (insert, update, replace,
     * delete, drop, dropDatabase, invalidate).
     */
-  def goldenRows: Seq[Row] = Seq(
-    Row(Row(tokenInsert), "insert", ts(1720890531L),
-      wall(1720890531823L), nsDoc, docKeyJson, docJson(1), null, null),
-    Row(Row(tokenUpdate), "update", ts(1720890718L),
-      wall(1720890718473L), nsDoc, docKeyJson, docJson(2), docJson(1),
-      Row("""{"a": 2}""", Seq.empty[String], Seq.empty[String])),
-    Row(Row(tokenReplace), "replace", ts(1720890792L),
-      wall(1720890792626L), nsDoc, docKeyJson, docJson(3), docJson(2), null),
-    Row(Row(tokenDelete), "delete", ts(1720890990L),
-      wall(1720890990724L), nsDoc, docKeyJson, null, docJson(3), null),
-    Row(Row(tokenDrop), "drop", ts(1720891097L),
-      wall(1720891097561L), nsDoc, null, null, null, null),
-    Row(Row(tokenDropDatabase), "dropDatabase", ts(1720891097L),
-      wall(1720891097561L), Row("test-database", null), null, null, null, null),
-    Row(Row(tokenInvalidate), "invalidate", ts(1720891399L),
-      wall(1720891399561L), null, null, null, null, null))
+  def goldenEvents: Seq[ChangeEventRow] = Seq(
+    ChangeEventRow(ResumeToken(tokenInsert), "insert", ts(1720890531L),
+      wall(1720890531823L), nsDoc, Some(docKeyJson), Some(docJson(1)),
+      None, None),
+    ChangeEventRow(ResumeToken(tokenUpdate), "update", ts(1720890718L),
+      wall(1720890718473L), nsDoc, Some(docKeyJson), Some(docJson(2)),
+      Some(docJson(1)),
+      Some(UpdateDescription("""{"a": 2}""", Seq.empty, Seq.empty))),
+    ChangeEventRow(ResumeToken(tokenReplace), "replace", ts(1720890792L),
+      wall(1720890792626L), nsDoc, Some(docKeyJson), Some(docJson(3)),
+      Some(docJson(2)), None),
+    ChangeEventRow(ResumeToken(tokenDelete), "delete", ts(1720890990L),
+      wall(1720890990724L), nsDoc, Some(docKeyJson), None,
+      Some(docJson(3)), None),
+    ChangeEventRow(ResumeToken(tokenDrop), "drop", ts(1720891097L),
+      wall(1720891097561L), nsDoc, None, None, None, None),
+    ChangeEventRow(ResumeToken(tokenDropDatabase), "dropDatabase",
+      ts(1720891097L), wall(1720891097561L), Ns("test-database", null),
+      None, None, None, None),
+    ChangeEventRow(ResumeToken(tokenInvalidate), "invalidate",
+      ts(1720891399L), wall(1720891399561L), null, None, None, None, None))
 
-  def golden(spark: SparkSession): DataFrame =
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(goldenRows, 1), schema)
+  def golden(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    // Project through the canonical schema so column nullability and
+    // order match what a connector source would produce.
+    spark.createDataFrame(goldenEvents.toDF().rdd, schema)
+  }
 }

@@ -38,15 +38,30 @@ object EnvelopeTransform {
     df.filter(col("operationType").isin(ChangeEvents.DataOps: _*))
 
   /** P1: Debezium-style value envelope `{before?, updateDescription?,
-    * after?, op}` as a JSON string; absent source fields are omitted
-    * (to_json drops nulls), matching the reference envelope builder.
+    * after?, op}` as a JSON string, field order and `", "`/`": "`
+    * spacing matching the reference's json_util.dumps output. The
+    * open sub-documents are already extended-JSON strings, so they are
+    * spliced in verbatim (no double-encoding); absent fields are
+    * omitted (concat_ws skips nulls) exactly like the reference's
+    * conditional dict building.
     */
-  val valueEnvelope: Column =
-    to_json(struct(
-      col("fullDocumentBeforeChange").alias("before"),
-      col("updateDescription"),
-      col("fullDocument").alias("after"),
-      opCode.alias("op")))
+  val valueEnvelope: Column = {
+    val before = when(col("fullDocumentBeforeChange").isNotNull,
+      concat(lit("\"before\": "), col("fullDocumentBeforeChange")))
+    val updDesc = when(col("updateDescription").isNotNull,
+      concat(
+        lit("\"updateDescription\": {\"updatedFields\": "),
+        col("updateDescription.updatedFields"),
+        lit(", \"removedFields\": "),
+        to_json(col("updateDescription.removedFields")),
+        lit(", \"truncatedArrays\": "),
+        to_json(col("updateDescription.truncatedArrays")),
+        lit("}")))
+    val after = when(col("fullDocument").isNotNull,
+      concat(lit("\"after\": "), col("fullDocument")))
+    val op = concat(lit("\"op\": \""), opCode, lit("\""))
+    concat(lit("{"), concat_ws(", ", before, updDesc, after, op), lit("}"))
+  }
 
   /** P3: topic = `{prefix}.{db}.{coll}`; prefix optional (empty ⇒
     * `{db}.{coll}`). concat_ws skips nulls, so an empty prefix maps to

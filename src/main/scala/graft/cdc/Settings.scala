@@ -1,0 +1,38 @@
+package graft.cdc
+
+/** Pipeline configuration — the surviving subset of the reference's
+  * 27-field pydantic `Settings` (`settings.py:37-112`). Everything
+  * about queues, process counts, handshakes, and token timeouts
+  * disappears into Spark's runtime; what remains is source/sink
+  * wiring and pacing.
+  *
+  * @param sourceFormat   streaming source ("mongodb" with the
+  *                       mongo-spark connector in production; tests
+  *                       use "parquet"/MemoryStream)
+  * @param sourceOptions  passed through to the source — for mongodb:
+  *                       connection.uri, database, collection,
+  *                       change.stream.lookup.full.document (S3),
+  *                       aggregation.pipeline (S4 pushdown)
+  * @param topicPrefix    P3 routing prefix ({prefix}.{db}.{coll})
+  * @param sinkFormat     "kafka" in production; tests inject foreachBatch
+  * @param sinkOptions    e.g. kafka.bootstrap.servers,
+  *                       kafka.enable.idempotence (K3 parity)
+  * @param checkpointLocation replaces the whole committing subsystem
+  *                       (C1-C5): offset log + commit log
+  * @param triggerInterval micro-batch pacing; 30s mirrors the
+  *                       reference's commit_interval (`settings.py:60`)
+  * @param sinkPartitions  optional keyed repartition before the sink —
+  *                       producers_count parity (P4); None lets the
+  *                       Kafka sink's keyed partitioner do it
+  * @param streamReaderName identity for the SavedToken mirror (C4)
+  */
+case class Settings(
+    sourceFormat: String = "mongodb",
+    sourceOptions: Map[String, String] = Map.empty,
+    topicPrefix: String = "",
+    sinkFormat: String = "kafka",
+    sinkOptions: Map[String, String] = Map.empty,
+    checkpointLocation: String,
+    triggerInterval: String = "30 seconds",
+    sinkPartitions: Option[Int] = None,
+    streamReaderName: String = "graft-stream-reader")

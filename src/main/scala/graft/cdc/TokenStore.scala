@@ -1,0 +1,100 @@
+package graft.cdc
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.sql.Timestamp
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Operational-parity mirror of the reference's durable resume-token
+  * store (C4/C5, `committing/token_saver.py` /
+  * `change_stream_reading/resume_token.py`).
+  *
+  * Spark's checkpointLocation is the real recovery mechanism; this
+  * store exists so operators can observe stream progress in the same
+  * upsert-by-reader-name shape the reference persists to MongoDB. A
+  * production deployment would add a MongoTokenStore using the Mongo
+  * Java driver's replaceOne(upsert=true) — same interface.
+  */
+trait TokenStore {
+  def save(t: SavedToken): Unit
+  def load(name: String): Option[SavedToken]
+}
+
+final class InMemoryTokenStore extends TokenStore {
+  private val m = new ConcurrentHashMap[String, SavedToken]()
+  override def save(t: SavedToken): Unit = m.put(t.streamReaderName, t)
+  override def load(name: String): Option[SavedToken] = Option(m.get(name))
+}
+
+/** One JSON line per reader name in a directory; atomic replace on
+  * save (write-temp-then-move), mirroring the upsert semantics.
+  */
+final class FileTokenStore(dir: String) extends TokenStore {
+  Files.createDirectories(Paths.get(dir))
+
+  private def fileFor(name: String) =
+    Paths.get(dir, name.replaceAll("[^A-Za-z0-9._-]", "_") + ".json")
+
+  override def save(t: SavedToken): Unit = {
+    val tmp = Files.createTempFile(Paths.get(dir), ".token", ".tmp")
+    val json =
+      s"""{"streamReaderName":${quote(t.streamReaderName)},"token":${quote(
+          t.token)},"date":${t.date.getTime}}"""
+    Files.write(tmp, json.getBytes(UTF_8))
+    Files.move(tmp, fileFor(t.streamReaderName),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  override def load(name: String): Option[SavedToken] = {
+    val p = fileFor(name)
+    if (!Files.exists(p)) None
+    else {
+      val s = new String(Files.readAllBytes(p), UTF_8)
+      // minimal parse of the fixed shape written above
+      val tok = """"token":"((?:[^"\\]|\\.)*)"""".r
+        .findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+      val date = """"date":(\d+)""".r
+        .findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
+      Some(SavedToken(name, unescape(tok), new Timestamp(date)))
+    }
+  }
+
+  private def quote(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c => c.toString
+    } + "\""
+
+  private def unescape(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\").replace("\\n", "\n")
+}
+
+/** Mirrors the last committed source offset of a named streaming query
+  * into a TokenStore after every micro-batch — the Spark-native
+  * replacement for the reference's CommitFlow→TokenSaving path, with
+  * the same ≤ trigger-interval persistence lag (BASELINE.md).
+  */
+final class TokenStoreListener(queryName: String, store: TokenStore)
+    extends StreamingQueryListener {
+
+  override def onQueryStarted(
+      e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+
+  override def onQueryProgress(
+      e: StreamingQueryListener.QueryProgressEvent): Unit = {
+    val p = e.progress
+    if (p.name == queryName && p.sources.nonEmpty) {
+      val end = p.sources.map(s => Option(s.endOffset).getOrElse("null"))
+        .mkString("[", ",", "]")
+      store.save(SavedToken(queryName, end,
+        Timestamp.valueOf(java.time.LocalDateTime.now())))
+    }
+  }
+
+  override def onQueryTerminated(
+      e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+}

@@ -1,0 +1,85 @@
+package graft.cdc
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.ByteSumMod
+
+/** Scala twin of the reference's E2E smoke assertions
+  * (`tests/test_change_stream_reading/test_application.py:4-56`) over
+  * the same 7 golden events, applied to the batch-mode transform.
+  */
+class EnvelopeTransformSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.GraftSession.builder("4").getOrCreate()
+
+  private lazy val out =
+    EnvelopeTransform(ChangeEvents.golden(spark), topicPrefix = "test")
+      .collect()
+
+  test("only the 4 data events survive the op-type filter (F1)") {
+    assert(out.length === 4)
+  }
+
+  test("all data events route to {prefix}.{db}.{coll} (P3)") {
+    assert(out.map(_.getString(0)).toSeq ===
+      Seq.fill(4)("test.test-database.TestCollection"))
+  }
+
+  test("empty prefix routes to {db}.{coll} (P3 branch)") {
+    val noPrefix =
+      EnvelopeTransform(ChangeEvents.golden(spark), topicPrefix = "").collect()
+    assert(noPrefix.map(_.getString(0)).toSeq ===
+      Seq.fill(4)("test-database.TestCollection"))
+  }
+
+  test("key is the documentKey extended JSON (P2)") {
+    assert(out.map(_.getString(1)).toSeq ===
+      Seq.fill(4)(ChangeEvents.docKeyJson))
+  }
+
+  test("op codes in stream order are c,u,u,d (P1 op map)") {
+    val ops = out.map(_.getString(2)).map { v =>
+      """"op": "(\w)"""".r.findFirstMatchIn(v).get.group(1)
+    }
+    assert(ops.toSeq === Seq("c", "u", "u", "d"))
+  }
+
+  test("insert envelope is {after, op} with spliced document (P1)") {
+    val v = out(0).getString(2)
+    assert(v ===
+      """{"after": {"_id": {"$oid": "6692b4a31ede014d28852865"}, "a": 1}, "op": "c"}""")
+  }
+
+  test("update envelope carries before/updateDescription/after/op in order (P1)") {
+    val v = out(1).getString(2)
+    assert(v ===
+      """{"before": {"_id": {"$oid": "6692b4a31ede014d28852865"}, "a": 1}, """ +
+      """"updateDescription": {"updatedFields": {"a": 2}, "removedFields": [], "truncatedArrays": []}, """ +
+      """"after": {"_id": {"$oid": "6692b4a31ede014d28852865"}, "a": 2}, "op": "u"}""")
+  }
+
+  test("delete envelope is {before, op} (P1)") {
+    val v = out(3).getString(2)
+    assert(v ===
+      """{"before": {"_id": {"$oid": "6692b4a31ede014d28852865"}, "a": 3}, "op": "d"}""")
+  }
+
+  test("byte-sum routing: one shared documentKey → one partition (P4)") {
+    // Reference smoke: with 2 producers all 4 data events land in
+    // queue 1 (`test_application.py:24-26`).
+    val parts = EnvelopeTransform(ChangeEvents.golden(spark), "test")
+      .select(ByteSumMod(col("key"), 2).alias("p"))
+      .collect().map(_.getInt(0))
+    assert(parts.distinct.length === 1)
+  }
+
+  test("ByteSumMod matches a direct byte-sum (codegen + interpreted)") {
+    val k = ChangeEvents.docKeyJson
+    val expected = k.getBytes("UTF-8").map(_ & 0xff).sum % 2
+    val got = EnvelopeTransform(ChangeEvents.golden(spark), "test")
+      .select(ByteSumMod(col("key"), 2)).head().getInt(0)
+    assert(got === expected)
+  }
+}

@@ -1,0 +1,125 @@
+package graft.cdc
+
+import java.nio.file.Files
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end streaming slice + crash-recovery contract (SURVEY §3.3,
+  * §7.3): run the pipeline over the golden events from a file source,
+  * stop, append more input, restart from the same checkpoint, and
+  * assert no loss and no re-delivery of committed batches — the Spark
+  * equivalent of the reference's resume-token protocol tests.
+  */
+class StreamingPipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.GraftSession.builder("4").getOrCreate()
+
+  test("pipeline streams golden events to envelopes; restart resumes, not replays") {
+    val srcDir = Files.createTempDirectory("graft-src").toString
+    val cpDir = Files.createTempDirectory("graft-cp").toString
+    val store = new InMemoryTokenStore
+    val settings = Settings(
+      sourceFormat = "parquet",
+      sourceOptions = Map("path" -> srcDir),
+      topicPrefix = "test",
+      checkpointLocation = cpDir,
+      triggerInterval = "1 seconds",
+      streamReaderName = "test-stream-reader-name")
+
+    val received = mutable.ArrayBuffer.empty[(Long, String, String, String)]
+    val listener = new TokenStoreListener(settings.streamReaderName, store)
+    spark.streams.addListener(listener)
+
+    def runOnce(): Unit = {
+      val envelopes = Pipeline.transform(Pipeline.read(spark, settings), settings)
+      val q = Pipeline.writeForeach(envelopes, settings) { (batch, id) =>
+        batch.collect().foreach { r =>
+          received.synchronized {
+            received += ((id, r.getString(0), r.getString(1), r.getString(2)))
+          }
+        }
+      }
+      q.processAllAvailable()
+      q.stop()
+      q.awaitTermination()
+    }
+
+    try {
+      // wave 1: the 7 golden events → exactly 4 envelopes, ops c,u,u,d
+      ChangeEvents.golden(spark).coalesce(1)
+        .write.mode(SaveMode.Append).parquet(srcDir)
+      runOnce()
+      val wave1 = received.toSeq
+      assert(wave1.length === 4)
+      val ops = wave1.map(_._4).map(v =>
+        """"op": "(\w)"""".r.findFirstMatchIn(v).get.group(1))
+      assert(ops === Seq("c", "u", "u", "d"))
+      assert(wave1.forall(_._2 === "test.test-database.TestCollection"))
+
+      // resume token mirror advanced (C4 parity)
+      val tok1 = store.load(settings.streamReaderName)
+      assert(tok1.nonEmpty, "listener should have saved a token")
+
+      // wave 2: append one more insert; restart from the same
+      // checkpoint → ONLY the new event is delivered (no replay of
+      // committed offsets = the C1/C5 resume contract)
+      import spark.implicits._
+      val extra = Seq(ChangeEvents.goldenEvents.head.copy(
+        _id = ResumeToken("FFEE00"),
+        fullDocument = Some("""{"_id": {"$oid": "aaaabbbbccccddddeeeeffff"}, "a": 9}""")))
+      spark.createDataFrame(extra.toDF().rdd, ChangeEvents.schema)
+        .coalesce(1).write.mode(SaveMode.Append).parquet(srcDir)
+      runOnce()
+      val wave2 = received.drop(wave1.length)
+      assert(wave2.length === 1, s"expected only the new event, got $wave2")
+      assert(wave2.head._4.contains("\"a\": 9"))
+    } finally {
+      spark.streams.removeListener(listener)
+    }
+  }
+
+  test("drop/dropDatabase/invalidate-only input advances offsets with zero rows") {
+    // §7.3 hard part 2: token-only heartbeats. A batch of only
+    // non-data events must commit offsets (so restart won't rescan)
+    // while emitting nothing.
+    val srcDir = Files.createTempDirectory("graft-src2").toString
+    val cpDir = Files.createTempDirectory("graft-cp2").toString
+    val settings = Settings(
+      sourceFormat = "parquet",
+      sourceOptions = Map("path" -> srcDir),
+      checkpointLocation = cpDir,
+      triggerInterval = "1 seconds",
+      streamReaderName = "heartbeat-reader")
+
+    import spark.implicits._
+    val nonData = ChangeEvents.goldenEvents.filter(e =>
+      !ChangeEvents.DataOps.contains(e.operationType))
+    spark.createDataFrame(nonData.toDF().rdd, ChangeEvents.schema)
+      .coalesce(1).write.mode(SaveMode.Append).parquet(srcDir)
+
+    var rows = 0L
+    var batches = 0
+    val envelopes = Pipeline.transform(Pipeline.read(spark, settings), settings)
+    val q = Pipeline.writeForeach(envelopes, settings) { (batch, _) =>
+      batches += 1; rows += batch.count()
+    }
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+
+    assert(rows === 0)
+    // offset log committed → a restart sees nothing new
+    var rows2 = 0L
+    val env2 = Pipeline.transform(Pipeline.read(spark, settings), settings)
+    val q2 = Pipeline.writeForeach(env2, settings) { (batch, _) =>
+      rows2 += batch.count()
+    }
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination()
+    assert(rows2 === 0)
+  }
+}
