@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.cdc.EnvelopeTransform
-import graft.queries.{CdcQueries, RelationalQueries, TextQueries}
+import graft.queries.{CdcQueries, DedupQueries, RelationalQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -36,11 +36,15 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CdcQueries.queries ++ RelationalQueries.queries ++ TextQueries.queries
+    CdcQueries.queries ++ RelationalQueries.queries ++
+      TextQueries.queries ++ DedupQueries.queries ++
+      SimilarityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    CdcQueries.oracles ++ RelationalQueries.oracles ++ TextQueries.oracles
+    CdcQueries.oracles ++ RelationalQueries.oracles ++
+      TextQueries.oracles ++ DedupQueries.oracles ++
+      SimilarityQueries.oracles
 }

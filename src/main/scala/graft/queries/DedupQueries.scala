@@ -1,0 +1,256 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+
+/** Deduplication operators over `documents` — the LLM-training-data
+  * pipeline surface: exact (hash group-by), n-gram Jaccard via an
+  * inverted shingle index, MinHash + LSH banding (the 100 TB path),
+  * and SimHash fingerprints.
+  *
+  * Every hash is engine-portable by construction: md5 (identical in
+  * Spark and DuckDB) reduced into int64 ranges that never overflow,
+  * so each query has an exact SQL oracle.
+  *
+  * Scale notes:
+  *  - exact dedup is a single hash-partitioned group-by (map-side
+  *    combine, no skew: keys are hashes).
+  *  - the Jaccard inverted index is quadratic in posting-list length;
+  *    it is the *verifier* stage. At 100 TB candidate generation must
+  *    come from LSH banding (dd_minhash_lsh): band keys hash-partition
+  *    evenly and each bucket joins locally.
+  *  - SimHash is a pure per-document aggregate (one explode + one
+  *    group-by keyed by doc_id — the natural partitioning).
+  */
+object DedupQueries {
+
+  /** 60-bit portable hash: first 15 hex digits of md5. */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  private val SqlH60 = (e: String) =>
+    s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+
+  // MinHash parameters: k=32 permutations h_i(x) = (a_i*x + b_i) mod P,
+  // P < 2^31 and x reduced mod P so products stay < 2^62 (no int64
+  // overflow in either engine, no ANSI failures).
+  final val P = 1073741789L
+  final val K = 32
+  final val Bands = 8
+  final val RowsPerBand = 4
+  // deterministic odd constants derived from small primes
+  final val As: Seq[Long] = (1 to K).map(i => (2L * i * i * 7919L + 1L) % P)
+  final val Bs: Seq[Long] = (1 to K).map(i => (3L * i * 104729L + 7L) % P)
+
+  /** doc_id + distinct word-3-gram shingles. */
+  private def shingled(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").alias("w"))
+    docs.select(col("doc_id"),
+      array_distinct(expr(
+        "transform(sequence(1, size(w) - 2)," +
+          " i -> concat(w[i-1], ' ', w[i], ' ', w[i+1]))")).alias("sh"))
+  }
+
+  /** Per-doc MinHash signature as an array<long> of length K. */
+  private def signatures(s: SparkSession, d: String): DataFrame = {
+    val hs = shingled(s, d)
+      .select(col("doc_id"),
+        transform(col("sh"), x => pmod(h60(x), lit(P))).alias("hs"))
+    val sig = (0 until K).map { i =>
+      array_min(transform(col("hs"),
+        x => pmod(x * As(i) + Bs(i), lit(P)))).alias(s"m$i")
+    }
+    hs.select(col("doc_id") +: sig: _*)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: hash-group on a normalized key (5-token prefix);
+    // one row per retained (min-id) document.
+    "dd_exact" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(concat_ws(" ", slice(split(col("text"), " "), 1, 5)))
+            .alias("k"))
+        .groupBy("k")
+        .agg(min(col("doc_id")).alias("keeper"), count(lit(1)).alias("n"))
+        .orderBy("keeper")),
+
+    // N-gram Jaccard near-dup: inverted shingle index self-join,
+    // exact |A∩B| / |A∪B| on full shingle sets, threshold 0.3.
+    "dd_ngram_jaccard" -> ((s, d) => {
+      val sh = shingled(s, d)
+      val sizes = sh.select(col("doc_id"), size(col("sh")).cast(LongType)
+        .alias("nsh"))
+      val inv = sh.select(col("doc_id"), explode(col("sh")).alias("s"))
+      val a = inv.alias("a")
+      val b = inv.alias("b")
+      val common = a.join(b,
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").alias("ida"), col("b.doc_id").alias("idb"))
+        .agg(count(lit(1)).alias("common"))
+      val sa = sizes.select(col("doc_id").alias("ida"), col("nsh").alias("sa"))
+      val sb = sizes.select(col("doc_id").alias("idb"), col("nsh").alias("sb"))
+      common
+        .join(broadcast(sa), "ida").join(broadcast(sb), "idb")
+        .withColumn("jac",
+          col("common") / (col("sa") + col("sb") - col("common")))
+        .filter(col("jac") >= 0.3)
+        .select(col("ida"), col("idb"), col("common"), col("sa"),
+          col("sb"), col("jac"))
+        .orderBy("ida", "idb")
+    }),
+
+    // MinHash+LSH candidate pairs: 32 portable hash permutations,
+    // banded 8×4; docs sharing any band key become candidates; the
+    // signature-agreement fraction estimates Jaccard. This is the
+    // shape that scales: band keys shuffle-partition evenly and no
+    // full self-join ever happens.
+    "dd_minhash_lsh" -> ((s, d) => {
+      val sig = signatures(s, d).cache()
+      val bandCols = (0 until Bands).map { bnd =>
+        val parts = (0 until RowsPerBand)
+          .map(r => col(s"m${bnd * RowsPerBand + r}"))
+        struct(lit(bnd).alias("band"),
+          concat_ws("_", parts: _*).alias("key"))
+      }
+      val banded = sig.select(col("doc_id"),
+          explode(array(bandCols: _*)).alias("bk"))
+        .select(col("doc_id"), col("bk.band").alias("band"),
+          col("bk.key").alias("key"))
+      val a = banded.alias("a")
+      val b = banded.alias("b")
+      val cand = a.join(b,
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").alias("ida"), col("b.doc_id").alias("idb"))
+        .distinct()
+      val sa = sig.select(
+        col("doc_id").alias("ida"),
+        array((0 until K).map(i => col(s"m$i")): _*).alias("siga"))
+      val sb = sig.select(
+        col("doc_id").alias("idb"),
+        array((0 until K).map(i => col(s"m$i")): _*).alias("sigb"))
+      cand.join(sa, "ida").join(sb, "idb")
+        .withColumn("agree",
+          size(filter(zip_with(col("siga"), col("sigb"),
+            (x, y) => x === y), b => b)).cast(LongType))
+        .select(col("ida"), col("idb"), col("agree"),
+          (col("agree") / lit(K.toLong)).alias("est_jaccard"))
+        .orderBy("ida", "idb")
+    }),
+
+    // SimHash: 16-bit signed-sum fingerprint over word hashes.
+    "dd_simhash" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).alias("wd"))
+        .withColumn("h", h60(col("wd")))
+      val bitSums = (0 until 16).map { j =>
+        sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1L)
+          .otherwise(-1L)).alias(s"s$j")
+      }
+      val agg = words.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      val sim = (0 until 16).map { j =>
+        when(col(s"s$j") > 0, 1L << j).otherwise(0L)
+      }.reduce(_ + _)
+      agg.select(col("doc_id"), sim.alias("simhash")).orderBy("doc_id")
+    }))
+
+  // ----------------------------------------------------------------
+  // Oracles (DuckDB). Repetitive parts are generated so the constants
+  // provably match the Scala side.
+  // ----------------------------------------------------------------
+
+  private val sqlShingles =
+    """docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |       FROM docs, UNNEST(range(1, len(w) - 1)) t(i))""".stripMargin
+
+  private val sqlSignature: String = {
+    // per doc: list of shingle hashes reduced mod P, then K minima
+    val mins = (0 until K).map { i =>
+      s"list_min(list_transform(hs, x -> (x * ${As(i)} + ${Bs(i)}) % $P)) AS m$i"
+    }.mkString(",\n       ")
+    s"""hashes AS (SELECT doc_id,
+       |  list_transform(list_distinct(
+       |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |     for i in range(1, len(w) - 1)]),
+       |    x -> ${SqlH60("x")} % $P) AS hs
+       |  FROM docs),
+       |sig AS (SELECT doc_id,
+       |       $mins
+       |  FROM hashes)""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "dd_exact" ->
+      """SELECT md5(array_to_string(w[1:5], ' ')) AS k,
+        |  min(doc_id) AS keeper,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t
+        |GROUP BY 1 ORDER BY keeper""".stripMargin,
+
+    "dd_ngram_jaccard" ->
+      s"""WITH $sqlShingles,
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh
+         |          FROM sh GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+         |            CAST(count(*) AS BIGINT) AS common
+         |          FROM sh a JOIN sh b
+         |            ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT ida, idb, common, sa.nsh AS sa, sb.nsh AS sb,
+         |  common / (sa.nsh + sb.nsh - common) AS jac
+         |FROM pairs
+         |JOIN sizes sa ON pairs.ida = sa.doc_id
+         |JOIN sizes sb ON pairs.idb = sb.doc_id
+         |WHERE common / (sa.nsh + sb.nsh - common) >= 0.3
+         |ORDER BY ida, idb""".stripMargin,
+
+    "dd_minhash_lsh" -> {
+      val bandKeys = (0 until Bands).map { bnd =>
+        val parts = (0 until RowsPerBand)
+          .map(r => s"m${bnd * RowsPerBand + r}")
+        s"SELECT doc_id, $bnd AS band, concat_ws('_', ${parts.mkString(", ")}) AS key FROM sig"
+      }.mkString("\n UNION ALL ")
+      val sigList = (0 until K).map(i => s"m$i").mkString("[", ", ", "]")
+      s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |$sqlSignature,
+         |banded AS ($bandKeys),
+         |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+         |         FROM banded a JOIN banded b
+         |           ON a.band = b.band AND a.key = b.key
+         |              AND a.doc_id < b.doc_id),
+         |sigs AS (SELECT doc_id, $sigList AS sig FROM sig)
+         |SELECT ida, idb,
+         |  CAST(len(list_filter(range(1, ${K + 1}),
+         |    i -> sa.sig[i] = sb.sig[i])) AS BIGINT) AS agree,
+         |  CAST(len(list_filter(range(1, ${K + 1}),
+         |    i -> sa.sig[i] = sb.sig[i])) AS BIGINT) / $K AS est_jaccard
+         |FROM cand
+         |JOIN sigs sa ON cand.ida = sa.doc_id
+         |JOIN sigs sb ON cand.idb = sb.doc_id
+         |ORDER BY ida, idb""".stripMargin
+    },
+
+    "dd_simhash" -> {
+      val bitSums = (0 until 16).map { j =>
+        s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
+      }.mkString(",\n  ")
+      val simExpr = (0 until 16).map { j =>
+        s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH words AS (
+         |  SELECT doc_id, ${SqlH60("wd")} AS h
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+         |        FROM documents) t),
+         |agg AS (SELECT doc_id,
+         |  $bitSums
+         |  FROM words GROUP BY doc_id)
+         |SELECT doc_id, CAST($simExpr AS BIGINT) AS simhash
+         |FROM agg ORDER BY doc_id""".stripMargin
+    })
+}

@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (dim-64 float
+  * vectors): brute-force cosine top-k as the exactness baseline, and
+  * a hyperplane-LSH bucketed variant as the scale path.
+  *
+  * Exactness strategy: vectors are quantized to integer 1e-4 grid
+  * (`round(x * 10000)`), so dot products and squared norms are exact
+  * int64 arithmetic (dim 64 × 1e8 max per term ≪ 2^63) and identical
+  * in any engine; the cosine is then one deterministic double
+  * division. Ranking ties break on vec_id.
+  *
+  * Scale notes (100 TB): brute force is O(Q×N) — fine when the query
+  * set is broadcast (it is: the probe side is a small isin-filtered
+  * set, Catalyst broadcasts it). The LSH variant is the real ANN
+  * shape: bucket by sign bits against shared hyperplanes, shuffle
+  * once on bucket id, search inside buckets only. An IVF variant
+  * would swap sign-buckets for nearest-centroid assignment; the
+  * partitioning story is identical.
+  */
+object SimilarityQueries {
+
+  final val Dim = 64
+  final val TopK = 10
+  final val NQueries = 5  // probe vectors: vec_id < 5
+  final val NPlanes = 6   // LSH: 2^6 = 64 buckets
+
+  /** integer-quantized embedding: array<long> */
+  private def quant(c: Column): Column =
+    transform(c, x => round(x * 10000, 0).cast(LongType))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** cosine from exact integer parts — bit-identical across engines */
+  private def cosine(d: Column, na: Column, nb: Column): Column =
+    d / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), quant(col("embedding")).alias("q"))
+      .withColumn("n2", dot(col("q"), col("q")))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force cosine top-k for a broadcast probe set.
+    "sim_cosine_topk" -> ((s, d) => {
+      val all = quantized(s, d)
+      val probes = all.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").alias("qid"), col("q").alias("qq"),
+          col("n2").alias("qn2"))
+      val scored = all.join(broadcast(probes), col("vec_id") =!= col("qid"))
+        .withColumn("dp", dot(col("qq"), col("q")))
+        .withColumn("cos", cosine(col("dp"), col("qn2"), col("n2")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+      scored
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .filter(col("rk") <= TopK)
+        .select(col("qid"), col("rk"), col("vec_id"), col("dp"), col("cos"))
+        .orderBy("qid", "rk")
+    }),
+
+    // Hyperplane-LSH buckets: sign of dot(v, plane_s) for 6 shared
+    // hyperplanes (planes = quantized vectors 0..5 — deterministic,
+    // data-derived, available to the oracle). One row per vector
+    // with its bucket, plus bucket population — the partition-level
+    // statistic an ANN search plans with.
+    "sim_lsh_bucket" -> ((s, d) => {
+      val all = quantized(s, d)
+      val planes = all.filter(col("vec_id") < NPlanes)
+        .select(col("vec_id").alias("pid"), col("q").alias("pq"))
+      val bucketed = all.crossJoin(broadcast(planes))
+        .withColumn("bit",
+          when(dot(col("q"), col("pq")) > 0,
+            pow(lit(2.0), col("pid")).cast(LongType)).otherwise(0L))
+        .groupBy(col("vec_id"))
+        .agg(sum(col("bit")).alias("bucket"))
+      bucketed
+        .groupBy("bucket")
+        .agg(count(lit(1)).alias("pop"),
+          min(col("vec_id")).alias("min_vec"),
+          max(col("vec_id")).alias("max_vec"))
+        .orderBy("bucket")
+    }),
+
+    // ANN search restricted to the probe's bucket: the end-to-end
+    // LSH query shape (candidate generation + exact re-rank inside
+    // the bucket).
+    "sim_lsh_ann" -> ((s, d) => {
+      val all = quantized(s, d)
+      val planes = all.filter(col("vec_id") < NPlanes)
+        .select(col("vec_id").alias("pid"), col("q").alias("pq"))
+      val withBucket = all.crossJoin(broadcast(planes))
+        .withColumn("bit",
+          when(dot(col("q"), col("pq")) > 0,
+            pow(lit(2.0), col("pid")).cast(LongType)).otherwise(0L))
+        .groupBy(col("vec_id"))
+        .agg(sum(col("bit")).alias("bucket"))
+        .join(all, "vec_id")
+      val probes = withBucket.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").alias("qid"), col("bucket").alias("qb"),
+          col("q").alias("qq"), col("n2").alias("qn2"))
+      val scored = withBucket
+        .join(broadcast(probes),
+          col("bucket") === col("qb") && col("vec_id") =!= col("qid"))
+        .withColumn("dp", dot(col("qq"), col("q")))
+        .withColumn("cos", cosine(col("dp"), col("qn2"), col("n2")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+      scored
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .filter(col("rk") <= TopK)
+        .select(col("qid"), col("rk"), col("vec_id"), col("cos"))
+        .orderBy("qid", "rk")
+    }))
+
+  // ----------------------------------------------------------------
+  // DuckDB oracles: same integer quantization; dot products via
+  // position-joined unnest (order-independent integer sums).
+  // ----------------------------------------------------------------
+
+  private val sqlQuant =
+    """q AS (SELECT vec_id,
+      |        list_transform(embedding,
+      |          x -> CAST(round(x * 10000, 0) AS BIGINT)) AS qv
+      |      FROM embeddings),
+      |qn AS (SELECT vec_id, qv,
+      |         list_sum(list_transform(qv, x -> x * x)) AS n2
+      |       FROM q)""".stripMargin
+
+  private def sqlDot(a: String, b: String) =
+    s"list_sum(list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i]))"
+
+  val oracles: Map[String, String] = Map(
+    "sim_cosine_topk" ->
+      s"""WITH $sqlQuant,
+         |scored AS (
+         |  SELECT p.vec_id AS qid, v.vec_id AS vec_id,
+         |    CAST(${sqlDot("p.qv", "v.qv")} AS BIGINT) AS dp,
+         |    CAST(${sqlDot("p.qv", "v.qv")} AS BIGINT)
+         |      / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(v.n2 AS DOUBLE)))
+         |      AS cos
+         |  FROM qn p JOIN qn v ON v.vec_id <> p.vec_id
+         |  WHERE p.vec_id < $NQueries)
+         |SELECT qid, rk, vec_id, dp, cos FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rk
+         |  FROM scored) t
+         |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin,
+
+    "sim_lsh_bucket" ->
+      s"""WITH $sqlQuant,
+         |planes AS (SELECT vec_id AS pid, qv AS pq FROM qn
+         |           WHERE vec_id < $NPlanes),
+         |bucketed AS (
+         |  SELECT v.vec_id,
+         |    CAST(sum(CASE WHEN ${sqlDot("v.qv", "p.pq")} > 0
+         |      THEN (1 << p.pid) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM qn v CROSS JOIN planes p
+         |  GROUP BY v.vec_id)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS pop,
+         |  min(vec_id) AS min_vec, max(vec_id) AS max_vec
+         |FROM bucketed GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "sim_lsh_ann" ->
+      s"""WITH $sqlQuant,
+         |planes AS (SELECT vec_id AS pid, qv AS pq FROM qn
+         |           WHERE vec_id < $NPlanes),
+         |bucketed AS (
+         |  SELECT v.vec_id,
+         |    CAST(sum(CASE WHEN ${sqlDot("v.qv", "p.pq")} > 0
+         |      THEN (1 << p.pid) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM qn v CROSS JOIN planes p
+         |  GROUP BY v.vec_id),
+         |wb AS (SELECT b.vec_id, b.bucket, qn.qv, qn.n2
+         |       FROM bucketed b JOIN qn ON b.vec_id = qn.vec_id),
+         |scored AS (
+         |  SELECT p.vec_id AS qid, v.vec_id AS vec_id,
+         |    CAST(${sqlDot("p.qv", "v.qv")} AS BIGINT)
+         |      / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(v.n2 AS DOUBLE)))
+         |      AS cos
+         |  FROM (SELECT * FROM wb WHERE vec_id < $NQueries) p
+         |  JOIN wb v ON v.bucket = p.bucket AND v.vec_id <> p.vec_id)
+         |SELECT qid, rk, vec_id, cos FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rk
+         |  FROM scored) t
+         |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin)
+}

@@ -1,23 +1,76 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 import graft.Tables
 import graft.functions.Fingerprint
 
 /** Text-analysis operators over the `documents` table (training-data
-  * pipeline surface). All per-document — embarrassingly parallel, no
-  * shuffle; the fingerprint is a codegen Catalyst expression.
+  * pipeline surface): token stats, quality scoring, language-ID
+  * heuristic, rolling-hash fingerprinting. All per-document column
+  * expressions — embarrassingly parallel, zero shuffle, fully inside
+  * whole-stage codegen; at 100 TB these run at scan speed.
+  *
+  * Tokenization contract shared with every oracle: split on a single
+  * space (the corpus is space-joined words).
   */
 object TextQueries {
+
+  private def w: Column = split(col("text"), " ")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Rolling-hash document fingerprint (custom codegen expression).
     "tx_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), Fingerprint(col("text")).alias("fp"))
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // Token counting: whitespace tokens + chars + mean token length.
+    "tx_tokens" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(w).cast(LongType).alias("n_tokens"),
+          length(col("text")).cast(LongType).alias("n_chars_q"),
+          (length(col("text")).cast(LongType) /
+            size(w).cast(LongType)).alias("chars_per_token"))
+        .orderBy("doc_id")),
+
+    // Quality scoring: stopword ratio + type-token ratio, exact-int
+    // numerators so the derived doubles are bit-identical everywhere.
+    "tx_quality" -> ((s, d) => {
+      val nTok = size(w).cast(LongType)
+      val stopN = size(filter(w, x => x.isin("the", "a"))).cast(LongType)
+      val uniqN = size(array_distinct(w)).cast(LongType)
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          nTok.alias("n_tokens"),
+          stopN.alias("stop_n"),
+          uniqN.alias("uniq_n"),
+          (stopN / nTok).alias("stop_ratio"),
+          (uniqN / nTok).alias("ttr"))
+        .orderBy("doc_id")
+    }),
+
+    // Language-ID n-gram/marker heuristic (the corpus carries no real
+    // language signal — the operator demonstrates the deterministic
+    // marker-scoring shape).
+    "tx_langid" -> ((s, d) => {
+      val cntThe = size(filter(w, x => x === "the")).cast(LongType)
+      val cntA = size(filter(w, x => x === "a")).cast(LongType)
+      val predicted = when(cntThe > cntA, "en")
+        .when(cntThe < cntA, "la").otherwise("tie")
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"), col("lang"),
+          cntThe.alias("cnt_the"), cntA.alias("cnt_a"),
+          predicted.alias("predicted"),
+          when(predicted === col("lang"), 1L).otherwise(0L).alias("hit"))
+        .orderBy("doc_id")
+    }))
 
   val oracles: Map[String, String] = Map(
     // Same fold, same constants: h = (h*31 + byte) % 1e9+7 over the
@@ -29,5 +82,43 @@ object TextQueries {
         |      list_transform(string_split(text, ''),
         |        x -> CAST(ascii(x) AS BIGINT))),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "tx_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_q,
+        |  CAST(length(text) AS BIGINT) /
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "tx_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(w, x -> x IN ('the','a'))) AS BIGINT) AS stop_n,
+        |  CAST(len(list_distinct(w)) AS BIGINT) AS uniq_n,
+        |  CAST(len(list_filter(w, x -> x IN ('the','a'))) AS BIGINT)
+        |    / CAST(len(w) AS BIGINT) AS stop_ratio,
+        |  CAST(len(list_distinct(w)) AS BIGINT)
+        |    / CAST(len(w) AS BIGINT) AS ttr
+        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+
+    "tx_langid" ->
+      """SELECT doc_id, lang,
+        |  CAST(len(list_filter(w, x -> x = 'the')) AS BIGINT) AS cnt_the,
+        |  CAST(len(list_filter(w, x -> x = 'a')) AS BIGINT) AS cnt_a,
+        |  CASE WHEN len(list_filter(w, x -> x = 'the'))
+        |         > len(list_filter(w, x -> x = 'a')) THEN 'en'
+        |       WHEN len(list_filter(w, x -> x = 'the'))
+        |         < len(list_filter(w, x -> x = 'a')) THEN 'la'
+        |       ELSE 'tie' END AS predicted,
+        |  CAST(CASE WHEN (CASE WHEN len(list_filter(w, x -> x = 'the'))
+        |         > len(list_filter(w, x -> x = 'a')) THEN 'en'
+        |       WHEN len(list_filter(w, x -> x = 'the'))
+        |         < len(list_filter(w, x -> x = 'a')) THEN 'la'
+        |       ELSE 'tie' END) = lang THEN 1 ELSE 0 END AS BIGINT) AS hit
+        |FROM (SELECT doc_id, lang, string_split(text, ' ') AS w
+        |      FROM documents) t
+        |ORDER BY doc_id""".stripMargin)
 }
