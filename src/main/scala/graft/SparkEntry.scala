@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.cdc.EnvelopeTransform
-import graft.queries.{CdcQueries, DedupQueries, RelationalQueries, SimilarityQueries, TextQueries}
+import graft.queries.{CdcQueries, DedupQueries, MultimodalQueries, RelationalQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -22,9 +22,10 @@ object SparkEntry {
           .when(col("event_type").isin("click", "view"), "update")
           .when(col("event_type") === "purchase", "replace")
           .otherwise("invalidate").alias("operationType"),
-        // ts is LongType nanos (see GraftSession nanosAsLong)
-        timestamp_micros((col("ts") / 1000).cast("long")).alias("clusterTime"),
-        timestamp_micros((col("ts") / 1000).cast("long")).alias("wallTime"),
+        // ts is LongType nanos (see GraftSession nanosAsLong); integer
+        // `div`, not `/`: double division loses precision above 2^53.
+        timestamp_micros(expr("ts div 1000")).alias("clusterTime"),
+        timestamp_micros(expr("ts div 1000")).alias("wallTime"),
         struct(lit("app").alias("db"), lit("events").alias("coll")).alias("ns"),
         col("user_id").cast("string").alias("documentKey"),
         col("props").alias("fullDocument"),
@@ -38,7 +39,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CdcQueries.queries ++ RelationalQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++
-      SimilarityQueries.queries
+      SimilarityQueries.queries ++ MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -46,5 +47,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CdcQueries.oracles ++ RelationalQueries.oracles ++
       TextQueries.oracles ++ DedupQueries.oracles ++
-      SimilarityQueries.oracles
+      SimilarityQueries.oracles ++ MultimodalQueries.oracles
 }

@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Multimodal
+
+/** Multimodal pipeline as verifiable queries: the binary decode path
+  * runs through the real typed mapPartitions plumbing with the
+  * deterministic stub codec, so the whole chain (binary column →
+  * decoder → features / frames) has an exact SQL oracle.
+  */
+object MultimodalQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_features" -> ((s, d) =>
+      Multimodal.extractFeatures(
+        Multimodal.asMedia(s, Tables.documents(s, d)),
+        Multimodal.StubDecoder)
+        .toDF()
+        .orderBy("media_id")),
+
+    "mm_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(
+        Multimodal.asMedia(s, Tables.documents(s, d)),
+        chunkBytes = 32, stride = 2)
+        .toDF()
+        .orderBy("media_id", "frame_no")))
+
+  private val fpSql = (e: String) =>
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split($e, ''),
+       |        x -> CAST(ascii(x) AS BIGINT))),
+       |    (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "mm_features" ->
+      s"""SELECT doc_id AS media_id,
+         |  'img/' || source AS kind,
+         |  CAST(length(text) AS BIGINT) AS n_bytes,
+         |  ${fpSql("text")} AS fp,
+         |  CAST(1 + ascii(substr(text, 1, 1)) % 64 AS BIGINT) AS width,
+         |  CAST(1 + ascii(substr(text, 2, 1)) % 64 AS BIGINT) AS height
+         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "mm_frames" ->
+      s"""WITH chunks AS (
+         |  SELECT doc_id AS media_id,
+         |    CAST(i - 1 AS BIGINT) AS frame_no,
+         |    substr(text, (i - 1) * 32 + 1, 32) AS chunk
+         |  FROM documents,
+         |    UNNEST(range(1, CAST(ceil(length(text) / 32.0) AS BIGINT) + 1))
+         |      t(i))
+         |SELECT media_id, frame_no,
+         |  CAST(length(chunk) AS BIGINT) AS n_bytes,
+         |  ${fpSql("chunk")} AS fp
+         |FROM chunks WHERE frame_no % 2 = 0
+         |ORDER BY media_id, frame_no""".stripMargin)
+}

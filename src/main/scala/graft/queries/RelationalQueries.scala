@@ -71,7 +71,99 @@ object RelationalQueries {
       val custOnly = cn.except(sn).withColumn("tag", lit("cust_only"))
       val both = cn.intersect(sn).withColumn("tag", lit("both"))
       custOnly.unionAll(both).select("tag", "nk").orderBy("tag", "nk")
-    }))
+    }),
+
+    // ROLLUP with explicit grouping-set markers (coalesced so null
+    // ordering differences between engines can't bite).
+    "rel_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast(LongType)).alias("sum_qty"),
+          count(lit(1)).alias("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).alias("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).alias("ls"),
+          col("sum_qty"), col("n"))
+        .orderBy("rf", "ls")),
+
+    // Semi/anti joins: customers with vs without orders, per nation.
+    "rel_semi_anti" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).select(col("o_custkey"))
+      val withO = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy(col("c_nationkey").alias("nk"))
+        .agg(count(lit(1)).alias("n")).withColumn("tag", lit("has_orders"))
+      val withoutO = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").alias("nk"))
+        .agg(count(lit(1)).alias("n")).withColumn("tag", lit("no_orders"))
+      withO.unionAll(withoutO).select("tag", "nk", "n").orderBy("tag", "nk")
+    }),
+
+    // Exact distinct counts (the HLL/approx variant is
+    // rel_approx_distinct, rows-only checked — sketches are
+    // engine-specific by nature).
+    "rel_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .agg(
+          countDistinct(col("l_partkey")).alias("parts"),
+          countDistinct(col("l_suppkey")).alias("supps"),
+          countDistinct(col("l_orderkey")).alias("ords"),
+          count(lit(1)).alias("n"))),
+
+    "rel_approx_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .agg(
+          approx_count_distinct(col("l_partkey")).alias("approx_parts"),
+          approx_count_distinct(col("l_orderkey")).alias("approx_ords"))),
+
+    // Scalar function library over orders: string/date/math.
+    "rel_scalar_funcs" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          upper(col("o_orderpriority")).alias("pri_up"),
+          substring(col("o_orderpriority"), 1, 1).alias("pri_1"),
+          length(col("o_orderpriority")).cast(LongType).alias("pri_len"),
+          year(col("o_orderdate")).cast(LongType).alias("yr"),
+          month(col("o_orderdate")).cast(LongType).alias("mo"),
+          dayofmonth(col("o_orderdate")).cast(LongType).alias("dom"),
+          unix_millis(date_trunc("month", col("o_orderdate")))
+            .alias("month_ms"),
+          pmod(col("o_orderkey"), lit(7)).alias("k_mod"),
+          abs(round(col("o_totalprice") * 100, 0).cast(LongType) - 1000000L)
+            .alias("cents_off"))
+        .orderBy("o_orderkey")),
+
+    // Analytic window functions: running sum, lag, lead, rank.
+    "rel_window_running" -> ((s, d) => {
+      val cents = round(col("o_totalprice") * 100, 0).cast(LongType)
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          cents.alias("cents"))
+        .withColumn("running", sum(col("cents")).over(wr))
+        .withColumn("prev", lag(col("cents"), 1).over(w))
+        .withColumn("nxt", lead(col("cents"), 1).over(w))
+        .withColumn("rk", rank().over(
+          Window.partitionBy("o_custkey").orderBy(col("cents").desc,
+            col("o_orderkey").asc)).cast(LongType))
+        .drop("o_orderdate")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // Tumbling event-time window as integer-exact hour bucketing over
+    // the nanosecond ts (streaming-window semantics in batch; the
+    // streaming variant with watermarks lives in graft.streaming).
+    "rel_hour_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(expr("ts div 3600000000000").alias("hour_bucket"),
+          col("event_type"),
+          round(col("value") * 100, 0).cast(LongType).alias("cents"))
+        .groupBy("hour_bucket", "event_type")
+        .agg(count(lit(1)).alias("n"), sum(col("cents")).alias("cents_sum"))
+        .orderBy("hour_bucket", "event_type")))
 
   val oracles: Map[String, String] = Map(
     "rel_q1_agg" ->
@@ -115,5 +207,73 @@ object RelationalQueries {
         |    SELECT DISTINCT c_nationkey AS nk FROM customer
         |    INTERSECT
         |    SELECT DISTINCT s_nationkey AS nk FROM supplier)) t
-        |ORDER BY tag, nk""".stripMargin)
+        |ORDER BY tag, nk""".stripMargin,
+
+    "rel_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "rel_semi_anti" ->
+      """SELECT tag, nk, n FROM (
+        |  SELECT 'has_orders' AS tag, c_nationkey AS nk,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM customer WHERE EXISTS (
+        |    SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  GROUP BY c_nationkey
+        |  UNION ALL
+        |  SELECT 'no_orders' AS tag, c_nationkey AS nk,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM customer WHERE NOT EXISTS (
+        |    SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  GROUP BY c_nationkey) t
+        |ORDER BY tag, nk""".stripMargin,
+
+    "rel_distinct" ->
+      """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS parts,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supps,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS ords,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem""".stripMargin,
+
+    "rel_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  upper(o_orderpriority) AS pri_up,
+        |  substr(o_orderpriority, 1, 1) AS pri_1,
+        |  CAST(length(o_orderpriority) AS BIGINT) AS pri_len,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+        |  epoch_ms(date_trunc('month', o_orderdate)) AS month_ms,
+        |  o_orderkey % 7 AS k_mod,
+        |  abs(CAST(round(o_totalprice * 100, 0) AS BIGINT) - 1000000)
+        |    AS cents_off
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "rel_window_running" ->
+      """SELECT o_custkey, o_orderkey, cents,
+        |  CAST(sum(cents) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS running,
+        |  lag(cents, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev,
+        |  lead(cents, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC) AS nxt,
+        |  CAST(rank() OVER (PARTITION BY o_custkey
+        |    ORDER BY cents DESC, o_orderkey ASC) AS BIGINT) AS rk
+        |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+        |        CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |      FROM orders) t
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "rel_hour_window" ->
+      """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS cents_sum
+        |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin)
 }

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-time streaming operators (SURVEY §2 "absent categories" that
+  * the Spark engine supplies natively): tumbling/sliding windows with
+  * watermarks, within-watermark dedup, and session windows. These are
+  * the building blocks the CDC stream (or any event stream through
+  * this engine) composes for time-based analytics with bounded state.
+  *
+  * State-size discipline for 100 TB streams: every operator here
+  * requires a watermark, so Spark can evict window/dedup state; keys
+  * are (window, low-cardinality dims) — state is proportional to
+  * active windows, not stream length.
+  */
+object EventTimeOps {
+
+  /** Tumbling (or sliding, if slide != width) windowed counts+sums. */
+  def windowedAgg(
+      events: DataFrame,
+      timeCol: String,
+      watermark: String,
+      width: String,
+      slide: Option[String] = None,
+      keys: Seq[Column] = Seq.empty,
+      aggs: Seq[Column] = Seq(count(lit(1)).alias("n"))): DataFrame = {
+    val win = slide match {
+      case Some(sl) => window(col(timeCol), width, sl)
+      case None => window(col(timeCol), width)
+    }
+    events.withWatermark(timeCol, watermark)
+      .groupBy(win +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Drop duplicate events by key within the watermark horizon —
+    * bounded-state dedup for at-least-once upstream delivery (exactly
+    * the duplicate profile the CDC pipeline's restart semantics
+    * produce).
+    */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      timeCol: String,
+      watermark: String,
+      keyCols: Seq[String]): DataFrame =
+    events.withWatermark(timeCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Session windows: activity grouped by gaps of `gap` inactivity. */
+  def sessionAgg(
+      events: DataFrame,
+      timeCol: String,
+      watermark: String,
+      gap: String,
+      keys: Seq[Column],
+      aggs: Seq[Column]): DataFrame =
+    events.withWatermark(timeCol, watermark)
+      .groupBy(session_window(col(timeCol), gap) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+}
