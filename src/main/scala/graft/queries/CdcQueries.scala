@@ -29,6 +29,16 @@ object CdcQueries {
     Tables.events(s, d)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1/S4: source scan with predicate + projection pushdown — the
+    // batch analog of the connector's server-side pipeline. .explain
+    // shows PushedFilters and a 3-column ReadSchema.
+    "s1_scan_pushdown" -> ((s, d) =>
+      events(s, d)
+        .filter(col("event_id") >= 100 && col("event_id") < 1100)
+        .select(col("event_id"), col("user_id"),
+          round(col("value") * 100, 0).cast(LongType).alias("cents"))
+        .orderBy("event_id")),
+
     "f1_optype_filter" -> ((s, d) =>
       events(s, d)
         .filter(col("event_type").isin(dataTypes: _*))
@@ -106,6 +116,12 @@ object CdcQueries {
         .orderBy("batch")))
 
   val oracles: Map[String, String] = Map(
+    "s1_scan_pushdown" ->
+      """SELECT event_id, user_id,
+        |  CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |FROM events WHERE event_id >= 100 AND event_id < 1100
+        |ORDER BY event_id""".stripMargin,
+
     "f1_optype_filter" ->
       """SELECT event_id, event_type, user_id FROM events
         |WHERE event_type IN ('click','purchase','signup','view')

@@ -89,6 +89,33 @@ object SimilarityQueries {
         .orderBy("bucket")
     }),
 
+    // Embedding-cosine near-duplicate pairs: candidates from shared
+    // LSH bucket (no full O(N^2) pair scan), exact integer dot
+    // re-rank, threshold on cosine. The dedup-by-embedding operator
+    // of a training-data pipeline.
+    "dd_embed_cosine" -> ((s, d) => {
+      val all = quantized(s, d)
+      val planes = all.filter(col("vec_id") < NPlanes)
+        .select(col("vec_id").alias("pid"), col("q").alias("pq"))
+      val withBucket = all.crossJoin(broadcast(planes))
+        .withColumn("bit",
+          when(dot(col("q"), col("pq")) > 0,
+            pow(lit(2.0), col("pid")).cast(LongType)).otherwise(0L))
+        .groupBy(col("vec_id"))
+        .agg(sum(col("bit")).alias("bucket"))
+        .join(all, "vec_id")
+      val a = withBucket.select(col("bucket"), col("vec_id").alias("ida"),
+        col("q").alias("qa"), col("n2").alias("na"))
+      val b = withBucket.select(col("bucket"), col("vec_id").alias("idb"),
+        col("q").alias("qb"), col("n2").alias("nb"))
+      a.join(b, Seq("bucket")).filter(col("ida") < col("idb"))
+        .withColumn("cos", cosine(dot(col("qa"), col("qb")),
+          col("na"), col("nb")))
+        .filter(col("cos") >= 0.5)
+        .select(col("ida"), col("idb"), col("cos"))
+        .orderBy("ida", "idb")
+    }),
+
     // ANN search restricted to the probe's bucket: the end-to-end
     // LSH query shape (candidate generation + exact re-rank inside
     // the bucket).
@@ -167,6 +194,28 @@ object SimilarityQueries {
          |SELECT bucket, CAST(count(*) AS BIGINT) AS pop,
          |  min(vec_id) AS min_vec, max(vec_id) AS max_vec
          |FROM bucketed GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "dd_embed_cosine" ->
+      s"""WITH $sqlQuant,
+         |planes AS (SELECT vec_id AS pid, qv AS pq FROM qn
+         |           WHERE vec_id < $NPlanes),
+         |bucketed AS (
+         |  SELECT v.vec_id,
+         |    CAST(sum(CASE WHEN ${sqlDot("v.qv", "p.pq")} > 0
+         |      THEN (1 << p.pid) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM qn v CROSS JOIN planes p
+         |  GROUP BY v.vec_id),
+         |wb AS (SELECT b.vec_id, b.bucket, qn.qv, qn.n2
+         |       FROM bucketed b JOIN qn ON b.vec_id = qn.vec_id)
+         |SELECT a.vec_id AS ida, b.vec_id AS idb,
+         |  CAST(${sqlDot("a.qv", "b.qv")} AS BIGINT)
+         |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+         |    AS cos
+         |FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE CAST(${sqlDot("a.qv", "b.qv")} AS BIGINT)
+         |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+         |    >= 0.5
+         |ORDER BY ida, idb""".stripMargin,
 
     "sim_lsh_ann" ->
       s"""WITH $sqlQuant,
