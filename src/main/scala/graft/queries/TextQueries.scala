@@ -55,6 +55,20 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // BPE-ish regex tokenization: letter runs, digit runs, and
+    // single punctuation as separate tokens (the pre-tokenizer shape
+    // GPT-style BPE vocabularies use), plus distinct-token count.
+    "tx_bpe_tokens" -> ((s, d) => {
+      val toks = expr(
+        "regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(toks).cast(LongType).alias("n_bpe"),
+          size(array_distinct(toks)).cast(LongType).alias("n_bpe_uniq"))
+        .orderBy("doc_id")
+    }),
+
     // Language-ID n-gram/marker heuristic (the corpus carries no real
     // language signal — the operator demonstrates the deterministic
     // marker-scoring shape).
@@ -103,6 +117,14 @@ object TextQueries {
         |    / CAST(len(w) AS BIGINT) AS ttr
         |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t
         |ORDER BY doc_id""".stripMargin,
+
+    "tx_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text),
+        |    '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe,
+        |  CAST(len(list_distinct(regexp_extract_all(lower(text),
+        |    '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS n_bpe_uniq
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "tx_langid" ->
       """SELECT doc_id, lang,

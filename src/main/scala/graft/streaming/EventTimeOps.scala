@@ -47,6 +47,33 @@ object EventTimeOps {
     events.withWatermark(timeCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval join: pair left events with right events
+    * of the same key whose time falls in [leftTime, leftTime + bound].
+    * Both sides carry watermarks so join state is evicted — the
+    * bounded-state form of stream-stream correlation (e.g. click →
+    * purchase attribution on the CDC stream).
+    *
+    * Inputs must expose distinct column names; `leftKey`/`rightKey`
+    * name the equi-pair and `leftTime`/`rightTime` the event-time
+    * columns.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      watermark: String,
+      bound: String): DataFrame = {
+    val l = left.withWatermark(leftTime, watermark)
+    val r = right.withWatermark(rightTime, watermark)
+    l.join(r,
+      expr(s"$leftKey = $rightKey AND " +
+        s"$rightTime >= $leftTime AND " +
+        s"$rightTime <= $leftTime + interval $bound"))
+  }
+
   /** Session windows: activity grouped by gaps of `gap` inactivity. */
   def sessionAgg(
       events: DataFrame,

@@ -70,6 +70,31 @@ class EventTimeOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs within the time bound only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    val joined = EventTimeOps.intervalJoin(
+      clicks.toDF().toDF("c_ts", "c_user", "c_v"),
+      buys.toDF().toDF("b_ts", "b_user", "b_v"),
+      leftKey = "c_user", rightKey = "b_user",
+      leftTime = "c_ts", rightTime = "b_ts",
+      watermark = "10 minutes", bound = "5 minutes")
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ij").start()
+    try {
+      clicks.addData(Ev(t(1), "alice", 1), Ev(t(1), "bob", 2))
+      // in-bound purchase for alice (10:04), out-of-bound for bob (10:20)
+      buys.addData(Ev(t(4), "alice", 10), Ev(t(20), "bob", 20))
+      q.processAllAvailable()
+      val rows = spark.table("ij")
+        .select("c_user", "c_v", "b_v").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows === Set(("alice", 1L, 10L)))
+    } finally q.stop()
+  }
+
   test("session windows split on inactivity gaps") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
