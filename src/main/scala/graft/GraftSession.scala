@@ -22,6 +22,13 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // TypedImperativeAggregates (MinHashSig) run in
+      // ObjectHashAggregateExec, which falls back to sort-based
+      // aggregation after 128 distinct groups by default — a 2.5×
+      // regression on per-document signatures. Buffers are small
+      // (8*k bytes), so a high threshold is safe.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (1 << 22).toString)
 
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
     val s = builder(cpus).getOrCreate()

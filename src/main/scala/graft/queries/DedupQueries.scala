@@ -65,16 +65,20 @@ object DedupQueries {
       .persist()
   }
 
-  /** Per-doc MinHash signature as an array<long> of length K. */
+  /** Per-doc MinHash signature via the MinHashSigAgg typed aggregate:
+    * explode shingle hashes, one-pass k-minima per document with
+    * map-side combine (the shuffle carries one 32-long signature per
+    * doc, not every shingle hash). Exposed as m0..m{K-1} columns for
+    * the banding stage.
+    */
   private def signatures(s: SparkSession, d: String): DataFrame = {
-    val hs = shingled(s, d)
-      .select(col("doc_id"),
-        transform(col("sh"), x => pmod(h60(x), lit(P))).alias("hs"))
-    val sig = (0 until K).map { i =>
-      array_min(transform(col("hs"),
-        x => pmod(x * As(i) + Bs(i), lit(P)))).alias(s"m$i")
-    }
-    hs.select(col("doc_id") +: sig: _*)
+    val hashed = shingled(s, d)
+      .select(col("doc_id"), explode(col("sh")).alias("shingle"))
+      .select(col("doc_id"), pmod(h60(col("shingle")), lit(P)).alias("h"))
+    val agg = hashed.groupBy("doc_id")
+      .agg(graft.functions.MinHashSig(col("h"), K, P, As, Bs).alias("sig"))
+    val cols = (0 until K).map(i => element_at(col("sig"), i + 1).alias(s"m$i"))
+    agg.select(col("doc_id") +: cols: _*)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
