@@ -15,6 +15,9 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def run(name: String): Double = {
+      // isolate queries: drop caches/broadcasts from earlier queries
+      // so measurements don't depend on run order or GC debt
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
