@@ -55,15 +55,11 @@ object DedupQueries {
     * index to parquet once; the cache manager dedups this plan across
     * the dedup queries in one session.
     */
-  private def shingled(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").alias("w"))
-    docs.select(col("doc_id"),
-      array_distinct(expr(
-        "transform(sequence(1, size(w) - 2)," +
-          " i -> concat(w[i-1], ' ', w[i], ' ', w[i+1]))")).alias("sh"))
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.WordShingles(col("text"), 3).alias("sh"))
       .persist()
-  }
 
   /** Per-doc MinHash signature via the MinHashSigAgg typed aggregate:
     * explode shingle hashes, one-pass k-minima per document with
