@@ -28,8 +28,9 @@ object SimilarityQueries {
 
   final val Dim = 64
   final val TopK = 10
-  final val NQueries = 5  // probe vectors: vec_id < 5
-  final val NPlanes = 6   // LSH: 2^6 = 64 buckets
+  final val NQueries = 5   // probe vectors: vec_id < 5
+  final val NPlanes = 6    // LSH: 2^6 = 64 buckets
+  final val NCentroids = 8 // IVF: data-derived centroid seeds
 
   /** integer-quantized embedding: array<long> */
   private def quant(c: Column): Column =
@@ -114,6 +115,43 @@ object SimilarityQueries {
         .filter(col("cos") >= 0.5)
         .select(col("ida"), col("idb"), col("cos"))
         .orderBy("ida", "idb")
+    }),
+
+    // IVF variant: assign every vector to its nearest centroid
+    // (centroids = quantized vectors 0..7 — deterministic, available
+    // to the oracle), then search only the probe's cell. Same
+    // partition-once-search-locally shape as production IVF; a real
+    // deployment would learn centroids with k-means and probe
+    // multiple cells.
+    "sim_ivf_ann" -> ((s, d) => {
+      val all = quantized(s, d)
+      val cents = all.filter(col("vec_id") < NCentroids)
+        .select(col("vec_id").alias("cid"), col("q").alias("cq"),
+          col("n2").alias("cn2"))
+      val wAssign = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("dist2").asc, col("cid").asc)
+      val assigned = all.crossJoin(broadcast(cents))
+        // dist^2 = |v|^2 + |c|^2 - 2<v,c> — exact ints
+        .withColumn("dist2",
+          col("n2") + col("cn2") - lit(2L) * dot(col("q"), col("cq")))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid").alias("cell"), col("q"), col("n2"))
+      val probes = assigned.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").alias("qid"), col("cell").alias("qcell"),
+          col("q").alias("qq"), col("n2").alias("qn2"))
+      val scored = assigned
+        .join(broadcast(probes),
+          col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+        .withColumn("cos", cosine(dot(col("qq"), col("q")),
+          col("qn2"), col("n2")))
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+      scored
+        .withColumn("rk", row_number().over(wRank).cast(LongType))
+        .filter(col("rk") <= TopK)
+        .select(col("qid"), col("rk"), col("vec_id"), col("cos"))
+        .orderBy("qid", "rk")
     }),
 
     // ANN search restricted to the probe's bucket: the end-to-end
@@ -216,6 +254,31 @@ object SimilarityQueries {
          |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
          |    >= 0.5
          |ORDER BY ida, idb""".stripMargin,
+
+    "sim_ivf_ann" ->
+      s"""WITH $sqlQuant,
+         |cents AS (SELECT vec_id AS cid, qv AS cq, n2 AS cn2 FROM qn
+         |          WHERE vec_id < $NCentroids),
+         |assigned AS (
+         |  SELECT vec_id, cell, qv, n2 FROM (
+         |    SELECT v.vec_id, c.cid AS cell, v.qv, v.n2,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY v.n2 + c.cn2 - 2 * ${sqlDot("v.qv", "c.cq")} ASC,
+         |                 c.cid ASC) AS rn
+         |    FROM qn v CROSS JOIN cents c) t
+         |  WHERE rn = 1),
+         |scored AS (
+         |  SELECT p.vec_id AS qid, v.vec_id AS vec_id,
+         |    CAST(${sqlDot("p.qv", "v.qv")} AS BIGINT)
+         |      / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(v.n2 AS DOUBLE)))
+         |      AS cos
+         |  FROM (SELECT * FROM assigned WHERE vec_id < $NQueries) p
+         |  JOIN assigned v ON v.cell = p.cell AND v.vec_id <> p.vec_id)
+         |SELECT qid, rk, vec_id, cos FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rk
+         |  FROM scored) t
+         |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin,
 
     "sim_lsh_ann" ->
       s"""WITH $sqlQuant,

@@ -81,6 +81,15 @@ class StreamingPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("TopicEnsurer creates each topic exactly once (K4)") {
+    val created = mutable.ArrayBuffer.empty[String]
+    val ensurer = new TopicEnsurer(t => created.synchronized { created += t })
+    val batch = EnvelopeTransform(ChangeEvents.golden(spark), "test")
+    ensurer.ensure(batch)
+    ensurer.ensure(batch) // second batch, same topics → cached, no call
+    assert(created.toSeq === Seq("test.test-database.TestCollection"))
+  }
+
   test("drop/dropDatabase/invalidate-only input advances offsets with zero rows") {
     // §7.3 hard part 2: token-only heartbeats. A batch of only
     // non-data events must commit offsets (so restart won't rescan)
