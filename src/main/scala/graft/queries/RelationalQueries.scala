@@ -86,6 +86,18 @@ object RelationalQueries {
           col("sum_qty"), col("n"))
         .orderBy("rf", "ls")),
 
+    // CUBE: all grouping-set combinations with coalesced markers.
+    "rel_cube" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).alias("n"),
+          sum(cents(col("o_totalprice"))).alias("cents"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).alias("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).alias("pri"),
+          col("n"), col("cents"))
+        .orderBy("st", "pri")),
+
     // Semi/anti joins: customers with vs without orders, per nation.
     "rel_semi_anti" -> ((s, d) => {
       val c = Tables.customer(s, d)
@@ -216,6 +228,15 @@ object RelationalQueries {
         |  CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
+
+    "rel_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS st,
+        |  coalesce(o_orderpriority, 'ALL') AS pri,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY st, pri""".stripMargin,
 
     "rel_semi_anti" ->
       """SELECT tag, nk, n FROM (
