@@ -14,6 +14,10 @@ Test / fork := true
 // sequentially so session lifecycle is deterministic.
 Test / parallelExecution := false
 run / fork := true
+// Forked-run stdout must pass through verbatim: the bench harness
+// parses the single JSON result line, and sbt's default LoggedOutput
+// strategy prefixes every line with "[info] ", breaking json.loads.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

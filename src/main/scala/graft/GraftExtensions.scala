@@ -4,6 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
+import org.apache.spark.sql.graftshim.analysisError
+
 import graft.functions.{ByteSumModExpr, FingerprintExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
@@ -19,15 +21,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("byte_sum_mod"),
       new ExpressionInfo(classOf[ByteSumModExpr].getName, null, "byte_sum_mod"),
       (args: Seq[Expression]) => args match {
-        case Seq(c, Literal(n: Int, _)) => ByteSumModExpr(c, n)
-        case _ => throw new IllegalArgumentException(
-          "byte_sum_mod(col, <int literal>)")
+        case Seq(c, Literal(n: Int, _)) if n > 0 => ByteSumModExpr(c, n)
+        case Seq(_, Literal(n: Int, _)) => throw analysisError(
+          s"byte_sum_mod(col, n): n must be a positive Int literal, got $n")
+        case _ => throw analysisError(
+          s"byte_sum_mod(col, <positive int literal>): got ${args.length} " +
+            "argument(s)")
       }))
 
     e.injectFunction((
       FunctionIdentifier("graft_fingerprint"),
       new ExpressionInfo(classOf[FingerprintExpr].getName, null,
         "graft_fingerprint"),
-      (args: Seq[Expression]) => FingerprintExpr(args.head)))
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => FingerprintExpr(c)
+        case _ => throw analysisError(
+          s"graft_fingerprint(col) takes exactly 1 argument, got ${args.length}")
+      }))
   }
 }

@@ -48,14 +48,21 @@ object EnvelopeTransform {
   val valueEnvelope: Column = {
     val before = when(col("fullDocumentBeforeChange").isNotNull,
       concat(lit("\"before\": "), col("fullDocumentBeforeChange")))
+    // The reference dumps the updateDescription sub-document verbatim —
+    // whatever keys are present. Real change streams routinely omit
+    // truncatedArrays (surfaced here as a null struct field), so each
+    // sub-key is included conditionally; a bare concat would null the
+    // whole section if any one sub-field were null.
+    val updFields = when(col("updateDescription.updatedFields").isNotNull,
+      concat(lit("\"updatedFields\": "), col("updateDescription.updatedFields")))
+    val remFields = when(col("updateDescription.removedFields").isNotNull,
+      concat(lit("\"removedFields\": "), to_json(col("updateDescription.removedFields"))))
+    val truncArrs = when(col("updateDescription.truncatedArrays").isNotNull,
+      concat(lit("\"truncatedArrays\": "), to_json(col("updateDescription.truncatedArrays"))))
     val updDesc = when(col("updateDescription").isNotNull,
       concat(
-        lit("\"updateDescription\": {\"updatedFields\": "),
-        col("updateDescription.updatedFields"),
-        lit(", \"removedFields\": "),
-        to_json(col("updateDescription.removedFields")),
-        lit(", \"truncatedArrays\": "),
-        to_json(col("updateDescription.truncatedArrays")),
+        lit("\"updateDescription\": {"),
+        concat_ws(", ", updFields, remFields, truncArrs),
         lit("}")))
     val after = when(col("fullDocument").isNotNull,
       concat(lit("\"after\": "), col("fullDocument")))

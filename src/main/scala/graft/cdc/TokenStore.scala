@@ -69,8 +69,25 @@ final class FileTokenStore(dir: String) extends TokenStore {
       case c => c.toString
     } + "\""
 
-  private def unescape(s: String): String =
-    s.replace("\\\"", "\"").replace("\\\\", "\\").replace("\\n", "\n")
+  // Single left-to-right scan: chained .replace calls are not a correct
+  // inverse of quote (a literal backslash+'n' round-trips as "\\n", which
+  // replace("\\\\","\\") first collapses and replace("\\n","\n") then
+  // corrupts into a real newline).
+  private def unescape(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => out.append('\n')
+          case e => out.append(e) // covers \" and \\ (and passes others through)
+        }
+        i += 2
+      } else { out.append(c); i += 1 }
+    }
+    out.result()
+  }
 }
 
 /** Mirrors the last committed source offset of a named streaming query

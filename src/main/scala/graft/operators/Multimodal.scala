@@ -115,9 +115,15 @@ object Multimodal {
     */
   def repartitionBySize(media: Dataset[MediaRow],
       targetBytesPerPartition: Long): Dataset[MediaRow] = {
+    // sum() over zero rows is NULL — coalesce before reading, and skip
+    // the shuffle entirely for an empty input.
     val totalBytes = media
-      .select(sum(length(col("content")).cast("long"))).head().getLong(0)
-    val parts = math.max(1, (totalBytes / targetBytesPerPartition).toInt)
-    media.repartition(parts, col("media_id"))
+      .select(coalesce(sum(length(col("content")).cast("long")), lit(0L)))
+      .head().getLong(0)
+    if (totalBytes == 0L) media
+    else {
+      val parts = math.max(1, (totalBytes / targetBytesPerPartition).toInt)
+      media.repartition(parts, col("media_id"))
+    }
   }
 }

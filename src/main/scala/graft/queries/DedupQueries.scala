@@ -189,7 +189,12 @@ object DedupQueries {
        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
        |     for i in range(1, len(w) - 1)]),
        |    x -> ${SqlH60("x")} % $P) AS hs
-       |  FROM docs),
+       |  FROM docs
+       |  -- docs with <3 words have no shingles: the Spark side drops
+       |  -- them (explode of an empty array), so the oracle must too —
+       |  -- otherwise NULL minima collapse to band key '' and every
+       |  -- short doc pairs with every other one.
+       |  WHERE len(w) >= 3),
        |sig AS (SELECT doc_id,
        |       $mins
        |  FROM hashes)""".stripMargin

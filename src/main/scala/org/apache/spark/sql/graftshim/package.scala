@@ -10,4 +10,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 package object graftshim {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Spark 4 hides AnalysisException's plain-message constructor behind
+    * error classes; function builders still want a plain analysis-time
+    * error with a readable signature hint.
+    */
+  def analysisError(msg: String): AnalysisException =
+    new AnalysisException(
+      errorClass = "INTERNAL_ERROR",
+      messageParameters = Map("message" -> msg))
 }

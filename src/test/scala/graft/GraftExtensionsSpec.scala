@@ -23,6 +23,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val expected = "abc".getBytes.foldLeft(0L)(
         (h, b) => (h * 31 + (b & 0xff)) % 1000000007L)
       assert(r.getLong(1) === expected)
+
+      // Builder argument validation: bad arity / non-positive modulus
+      // must fail analysis with a readable signature hint, not leak a
+      // NoSuchElementException or a codegen-time ArithmeticException.
+      val e1 = intercept[Exception](
+        spark.sql("SELECT graft_fingerprint()").collect())
+      assert(e1.getMessage.contains("exactly 1 argument"), e1.getMessage)
+      val e2 = intercept[Exception](
+        spark.sql("SELECT byte_sum_mod('a', 0)").collect())
+      assert(e2.getMessage.contains("positive"), e2.getMessage)
+      val e3 = intercept[Exception](
+        spark.sql("SELECT byte_sum_mod('a')").collect())
+      assert(e3.getMessage.contains("byte_sum_mod"), e3.getMessage)
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()

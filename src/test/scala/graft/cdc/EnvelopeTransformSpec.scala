@@ -66,6 +66,33 @@ class EnvelopeTransformSpec extends AnyFunSuite {
       """{"before": {"_id": {"$oid": "6692b4a31ede014d28852865"}, "a": 3}, "op": "d"}""")
   }
 
+  test("null updateDescription sub-fields are omitted, not section-dropping (P1)") {
+    // Real change streams routinely omit truncatedArrays; the connector
+    // surfaces that as a null struct field. The reference serializes
+    // whatever keys are present (change_event_handler.py:100-113), so
+    // the envelope must keep the other sub-keys.
+    import spark.implicits._
+    val ev = ChangeEvents.goldenEvents(1).copy(
+      updateDescription =
+        Some(UpdateDescription("""{"a": 2}""", Seq("gone"), null)))
+    val df = spark.createDataFrame(
+      Seq(ev).toDF().rdd, ChangeEvents.schema)
+    val v = EnvelopeTransform(df, "test").head().getString(2)
+    assert(v.contains(
+      """"updateDescription": {"updatedFields": {"a": 2}, "removedFields": ["gone"]}"""),
+      s"got: $v")
+    assert(!v.contains("truncatedArrays"))
+  }
+
+  test("all-null updateDescription sub-fields serialize as {} (P1)") {
+    import spark.implicits._
+    val ev = ChangeEvents.goldenEvents(1).copy(
+      updateDescription = Some(UpdateDescription(null, null, null)))
+    val df = spark.createDataFrame(Seq(ev).toDF().rdd, ChangeEvents.schema)
+    val v = EnvelopeTransform(df, "test").head().getString(2)
+    assert(v.contains(""""updateDescription": {}"""), s"got: $v")
+  }
+
   test("byte-sum routing: one shared documentKey → one partition (P4)") {
     // Reference smoke: with 2 producers all 4 data events land in
     // queue 1 (`test_application.py:24-26`).
