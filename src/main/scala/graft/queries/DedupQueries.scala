@@ -77,6 +77,31 @@ object DedupQueries {
     agg.select(col("doc_id") +: cols: _*)
   }
 
+  /** LSH candidate pairs (ida < idb): band the cached signatures, join
+    * docs sharing any band bucket. Shared by dd_minhash_lsh (verify
+    * stage) and dd_cluster (connected components).
+    */
+  private def candidatePairs(s: SparkSession, d: String): DataFrame = {
+    val sig = signatures(s, d).cache()
+    val bandCols = (0 until Bands).map { bnd =>
+      val parts = (0 until RowsPerBand)
+        .map(r => col(s"m${bnd * RowsPerBand + r}"))
+      struct(lit(bnd).alias("band"),
+        concat_ws("_", parts: _*).alias("key"))
+    }
+    val banded = sig.select(col("doc_id"),
+        explode(array(bandCols: _*)).alias("bk"))
+      .select(col("doc_id"), col("bk.band").alias("band"),
+        col("bk.key").alias("key"))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").alias("ida"), col("b.doc_id").alias("idb"))
+      .distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-group on a normalized key (5-token prefix);
     // one row per retained (min-id) document.
@@ -121,23 +146,7 @@ object DedupQueries {
     // full self-join ever happens.
     "dd_minhash_lsh" -> ((s, d) => {
       val sig = signatures(s, d).cache()
-      val bandCols = (0 until Bands).map { bnd =>
-        val parts = (0 until RowsPerBand)
-          .map(r => col(s"m${bnd * RowsPerBand + r}"))
-        struct(lit(bnd).alias("band"),
-          concat_ws("_", parts: _*).alias("key"))
-      }
-      val banded = sig.select(col("doc_id"),
-          explode(array(bandCols: _*)).alias("bk"))
-        .select(col("doc_id"), col("bk.band").alias("band"),
-          col("bk.key").alias("key"))
-      val a = banded.alias("a")
-      val b = banded.alias("b")
-      val cand = a.join(b,
-          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").alias("ida"), col("b.doc_id").alias("idb"))
-        .distinct()
+      val cand = candidatePairs(s, d)
       val sa = sig.select(
         col("doc_id").alias("ida"),
         array((0 until K).map(i => col(s"m$i")): _*).alias("siga"))
@@ -167,6 +176,51 @@ object DedupQueries {
         when(col(s"s$j") > 0, 1L << j).otherwise(0L)
       }.reduce(_ + _)
       agg.select(col("doc_id"), sim.alias("simhash")).orderBy("doc_id")
+    }),
+
+    // Near-dup clustering: connected components over the LSH candidate
+    // pairs via iterative min-label propagation — each doc in a pair
+    // gets cluster_id = the smallest doc_id reachable through shared
+    // band buckets. Converges in graph-diameter iterations (near-dup
+    // components are shallow); every iteration is one keyed join + one
+    // group-by, so the step cost is two shuffles of the (tiny relative
+    // to the corpus) edge set, never a corpus-wide operation. The
+    // label set only shrinks labels monotonically, so the fixpoint
+    // test is a cheap sum comparison, not a join.
+    "dd_cluster" -> ((s, d) => {
+      val pairs = candidatePairs(s, d)
+      val edges = pairs.select(col("ida").alias("src"), col("idb").alias("dst"))
+        .unionByName(
+          pairs.select(col("idb").alias("src"), col("ida").alias("dst")))
+        .persist()
+      var labels = edges.select(col("src").alias("id")).distinct()
+        .withColumn("label", col("id"))
+      var prevSum = Option.empty[Long]
+      var iter = 0
+      var converged = false
+      while (!converged && iter < 25) {
+        val nbrMin = edges
+          .join(labels.select(col("id").alias("dst2"),
+            col("label").alias("nbl")), col("dst") === col("dst2"))
+          .groupBy(col("src")).agg(min(col("nbl")).alias("nbl"))
+        val next = labels
+          .join(nbrMin, col("id") === col("src"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nbl"), col("label")))
+              .alias("label"))
+          // cut the iteration lineage: without this, the plan (and the
+          // closure Catalyst must optimize) doubles per iteration
+          .localCheckpoint()
+        val sum = next.agg(coalesce(org.apache.spark.sql.functions.sum(
+          col("label")), lit(0L))).head().getLong(0)
+        converged = prevSum.contains(sum)
+        prevSum = Some(sum)
+        labels = next
+        iter += 1
+      }
+      edges.unpersist()
+      labels.select(col("id").alias("doc_id"), col("label").alias("cluster_id"))
+        .orderBy("doc_id")
     }))
 
   // ----------------------------------------------------------------
@@ -200,6 +254,24 @@ object DedupQueries {
        |  FROM hashes)""".stripMargin
   }
 
+  /** docs → signatures → band keys → distinct candidate pairs, as SQL
+    * CTEs (the oracle twin of `candidatePairs`).
+    */
+  private val sqlCandCtes: String = {
+    val bandKeys = (0 until Bands).map { bnd =>
+      val parts = (0 until RowsPerBand)
+        .map(r => s"m${bnd * RowsPerBand + r}")
+      s"SELECT doc_id, $bnd AS band, concat_ws('_', ${parts.mkString(", ")}) AS key FROM sig"
+    }.mkString("\n UNION ALL ")
+    s"""docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |$sqlSignature,
+       |banded AS ($bandKeys),
+       |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+       |         FROM banded a JOIN banded b
+       |           ON a.band = b.band AND a.key = b.key
+       |              AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "dd_exact" ->
       """SELECT md5(array_to_string(w[1:5], ' ')) AS k,
@@ -226,19 +298,8 @@ object DedupQueries {
          |ORDER BY ida, idb""".stripMargin,
 
     "dd_minhash_lsh" -> {
-      val bandKeys = (0 until Bands).map { bnd =>
-        val parts = (0 until RowsPerBand)
-          .map(r => s"m${bnd * RowsPerBand + r}")
-        s"SELECT doc_id, $bnd AS band, concat_ws('_', ${parts.mkString(", ")}) AS key FROM sig"
-      }.mkString("\n UNION ALL ")
       val sigList = (0 until K).map(i => s"m$i").mkString("[", ", ", "]")
-      s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |$sqlSignature,
-         |banded AS ($bandKeys),
-         |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-         |         FROM banded a JOIN banded b
-         |           ON a.band = b.band AND a.key = b.key
-         |              AND a.doc_id < b.doc_id),
+      s"""WITH $sqlCandCtes,
          |sigs AS (SELECT doc_id, $sigList AS sig FROM sig)
          |SELECT ida, idb,
          |  CAST(len(list_filter(range(1, ${K + 1}),
@@ -267,5 +328,20 @@ object DedupQueries {
          |  FROM words GROUP BY doc_id)
          |SELECT doc_id, CAST($simExpr AS BIGINT) AS simhash
          |FROM agg ORDER BY doc_id""".stripMargin
-    })
+    },
+
+    // Connected components as a recursive transitive closure: correct
+    // on the candidate-pair graph at oracle scale (components are
+    // tiny); the engine side uses label propagation, which computes
+    // the same min-reachable-id per node.
+    "dd_cluster" ->
+      s"""WITH RECURSIVE $sqlCandCtes,
+         |edges(a, b) AS (SELECT ida, idb FROM cand
+         |                UNION SELECT idb, ida FROM cand),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin)
 }

@@ -84,6 +84,26 @@ object TextQueries {
           predicted.alias("predicted"),
           when(predicted === col("lang"), 1L).otherwise(0L).alias("hit"))
         .orderBy("doc_id")
+    }),
+
+    // Deterministic stratified sampling: rank docs inside each lang
+    // stratum by a content hash and keep the top ceil(10%) — the
+    // reproducible downsampling a training-data pipeline needs (same
+    // corpus ⇒ same sample on any engine, any partitioning). One
+    // window shuffle on the stratum key.
+    "tx_sample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = conv(substring(md5(col("text")), 1, 15), 16, 10)
+        .cast(LongType)
+      val win = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), h.alias("h"))
+        .withColumn("rn", row_number().over(win).cast(LongType))
+        .withColumn("stratum_n",
+          count(lit(1)).over(Window.partitionBy("lang")))
+        .filter(col("rn") <= expr("(stratum_n + 9) div 10"))
+        .select(col("doc_id"), col("lang"), col("rn"), col("stratum_n"))
+        .orderBy("lang", "rn")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -142,5 +162,20 @@ object TextQueries {
         |       ELSE 'tie' END) = lang THEN 1 ELSE 0 END AS BIGINT) AS hit
         |FROM (SELECT doc_id, lang, string_split(text, ' ') AS w
         |      FROM documents) t
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+
+    "tx_sample" ->
+      """WITH hashed AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+        |      AS BIGINT) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS stratum_n
+        |  FROM hashed)
+        |SELECT doc_id, lang, rn, CAST(stratum_n AS BIGINT) AS stratum_n
+        |FROM ranked WHERE rn <= (stratum_n + 9) // 10
+        |ORDER BY lang, rn""".stripMargin)
 }

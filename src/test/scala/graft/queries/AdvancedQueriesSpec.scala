@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the round-2 operators (the DuckDB compare
+  * is the exactness gate; these pin the operator semantics and the
+  * physical-plan shape that must survive scale-up).
+  */
+class AdvancedQueriesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.GraftSession.builder("4").getOrCreate()
+  private val sf = "/root/testdata/sf0.001"
+
+  private def q(name: String) =
+    graft.SparkEntry.queries(name)(spark, sf)
+
+  test("rel_asof_join: every matched order predates or equals the event") {
+    val rows = q("rel_asof_join").collect()
+    assert(rows.nonEmpty)
+    val orders = graft.Tables.orders(spark, sf)
+      .selectExpr("o_orderkey", "o_custkey",
+        "unix_millis(cast(o_orderdate as timestamp)) ms")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.filter(!_.isNullAt(3)).foreach { r =>
+      val (cust, oms) = orders(r.getLong(3))
+      assert(cust === r.getLong(1), "as-of order belongs to the event's user")
+      assert(oms <= r.getLong(2), "as-of order not after the event")
+    }
+  }
+
+  test("rel_asof_join: match is the LATEST qualifying order") {
+    val rows = q("rel_asof_join").collect()
+    val orders = graft.Tables.orders(spark, sf)
+      .selectExpr("o_custkey",
+        "unix_millis(cast(o_orderdate as timestamp)) ms", "o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.filter(!_.isNullAt(3)).foreach { r =>
+      val best = orders
+        .filter(o => o._1 == r.getLong(1) && o._2 <= r.getLong(2))
+        .maxBy(o => (o._2, o._3))
+      assert(best._3 === r.getLong(3))
+    }
+  }
+
+  test("rel_range_join: bands partition all orders exactly once") {
+    val total = q("rel_range_join").collect().map(_.getLong(1)).sum
+    assert(total === graft.Tables.orders(spark, sf).count())
+  }
+
+  test("rel_range_join: band table is broadcast (no fact shuffle)") {
+    val plan = q("rel_range_join").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("rel_percentiles: p50 <= p90 <= p99, all observed values") {
+    val ordersCents = graft.Tables.orders(spark, sf)
+      .selectExpr("o_orderpriority p",
+        "cast(round(o_totalprice * 100, 0) as long) c")
+      .collect().groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet)
+    q("rel_percentiles").collect().foreach { r =>
+      val vals = ordersCents(r.getString(0))
+      val (p50, p90, p99) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(p50 <= p90 && p90 <= p99)
+      assert(vals(p50) && vals(p90) && vals(p99),
+        "discrete percentiles are observed values")
+    }
+  }
+
+  test("s7_sessions: sessions are disjoint and gap-split at 30 min") {
+    val bySessions = q("s7_sessions").collect()
+      .groupBy(_.getLong(0)).values
+    bySessions.foreach { ss =>
+      val sorted = ss.sortBy(_.getLong(1))
+      sorted.foreach(r => assert(r.getLong(3) <= r.getLong(4)))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(3) - a.getLong(4) >
+            AdvancedQueries.SessionGapMs,
+            "consecutive sessions separated by more than the gap")
+        case _ =>
+      }
+    }
+  }
+
+  test("s7_sessions: event count is conserved") {
+    val total = q("s7_sessions").collect().map(_.getLong(2)).sum
+    assert(total === graft.Tables.events(spark, sf).count())
+  }
+
+  test("dd_cluster: labels are component-minimal and consistent") {
+    // sf0.01: the corpus is known to produce LSH candidate pairs
+    val sf01 = "/root/testdata/sf0.01"
+    val labels = graft.SparkEntry.queries("dd_cluster")(spark, sf01)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.nonEmpty)
+    labels.foreach { case (id, lbl) => assert(lbl <= id) }
+    // every edge endpoint pair carries the same final label
+    val pairs = graft.SparkEntry.queries("dd_minhash_lsh")(spark, sf01)
+      .select("ida", "idb").collect()
+    pairs.foreach { p =>
+      assert(labels(p.getLong(0)) === labels(p.getLong(1)),
+        "connected docs share a cluster id")
+    }
+    // the labels' own labels are fixpoints (min-label propagation done)
+    labels.values.foreach(l => assert(labels(l) === l))
+  }
+
+  test("tx_sample: ceil(10%) per stratum, reproducible ranks") {
+    val rows = graft.SparkEntry.queries("tx_sample")(spark, sf).collect()
+    rows.groupBy(_.getString(1)).foreach { case (_, ss) =>
+      val n = ss.head.getLong(3)
+      assert(ss.length === ((n + 9) / 10).toInt)
+      assert(ss.map(_.getLong(2)).sorted.toSeq === (1L to ss.length).toSeq)
+    }
+  }
+}
