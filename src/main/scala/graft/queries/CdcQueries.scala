@@ -88,16 +88,17 @@ object CdcQueries {
 
     // C1: contiguous-prefix commit watermark
     // (`committing/commit_processing.py:96-118`): the highest event id
-    // such that every id before it is confirmed. Inherently a prefix
-    // scan — at scale this runs on the (small) commit stream, never on
-    // the data path, exactly like the reference's committer process.
+    // such that every id before it is confirmed. A prefix scan LOOKS
+    // like a global window (single-partition at scale), but the
+    // watermark is equivalently max(id) strictly below the FIRST
+    // unconfirmed id — two fully-parallel aggregations and a 1-row
+    // broadcast, no global ordering anywhere.
     "c1_commit_watermark" -> ((s, d) => {
-      val w = Window.orderBy("event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      events(s, d)
-        .withColumn("bad",
-          sum(when(col("event_type") === "error", 1).otherwise(0)).over(w))
-        .filter(col("bad") === 0)
+      val ev = events(s, d)
+      val firstBad = ev.filter(col("event_type") === "error")
+        .agg(min(col("event_id")).alias("min_bad"))
+      ev.crossJoin(broadcast(firstBad))
+        .filter(col("min_bad").isNull || col("event_id") < col("min_bad"))
         .agg(max(col("event_id")).alias("watermark"))
     }),
 
