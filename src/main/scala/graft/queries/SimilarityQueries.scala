@@ -112,7 +112,10 @@ object SimilarityQueries {
       a.join(b, Seq("bucket")).filter(col("ida") < col("idb"))
         .withColumn("cos", cosine(dot(col("qa"), col("qb")),
           col("na"), col("nb")))
-        .filter(col("cos") >= 0.5)
+        // 0.35: high enough to mean "near-duplicate" on this synthetic
+        // corpus (max observed pair cosine ≈ 0.51), low enough that the
+        // result set is non-empty and the oracle check is substantive
+        .filter(col("cos") >= 0.35)
         .select(col("ida"), col("idb"), col("cos"))
         .orderBy("ida", "idb")
     }),
@@ -252,7 +255,7 @@ object SimilarityQueries {
          |FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE CAST(${sqlDot("a.qv", "b.qv")} AS BIGINT)
          |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
-         |    >= 0.5
+         |    >= 0.35
          |ORDER BY ida, idb""".stripMargin,
 
     "sim_ivf_ann" ->

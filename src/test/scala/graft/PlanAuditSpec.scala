@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-shape audit over EVERY query's physical plan: the properties
+  * that must survive a 100× scale-up, asserted as regressions.
+  *
+  *  - no CartesianProduct, ever (an unconstrained O(N²) pair scan);
+  *  - BroadcastNestedLoopJoin only where a deliberately tiny dimension
+  *    (band table, probe set, 1-row scalar) is broadcast against a
+  *    non-equi predicate;
+  *  - Exchange SinglePartition only for final one-row aggregates —
+  *    never as a data-path stage (the global-window trap).
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.GraftSession.builder("4").getOrCreate()
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val plans: Map[String, String] =
+    SparkEntry.queries.map { case (n, f) =>
+      n -> f(spark, sf).queryExecution.executedPlan.toString
+    }
+
+  // Queries whose RESULT is a single row (global scalar aggregate):
+  // the one-partition final exchange is inherent and carries one row.
+  private val singleRowAggregates =
+    Set("c1_commit_watermark", "rel_approx_distinct", "rel_distinct")
+
+  // Queries that intentionally broadcast a tiny build side against a
+  // non-equi / cross predicate (band dim, probe rows, hyperplanes,
+  // centroids, 1-row scalar).
+  private val broadcastNonEqui = Set(
+    "rel_range_join", "c1_commit_watermark", "sim_cosine_topk",
+    "sim_lsh_bucket", "sim_lsh_ann", "sim_ivf_ann", "dd_embed_cosine")
+
+  test("no query plan contains a CartesianProduct") {
+    plans.foreach { case (n, p) =>
+      assert(!p.contains("CartesianProduct"), s"$n has a cartesian product")
+    }
+  }
+
+  test("single-partition exchanges only in one-row scalar aggregates") {
+    plans.foreach { case (n, p) =>
+      if (!singleRowAggregates(n)) {
+        assert(!p.contains("Exchange SinglePartition"),
+          s"$n funnels data through one partition")
+      }
+    }
+  }
+
+  test("nested-loop joins only where a tiny side is deliberately broadcast") {
+    plans.foreach { case (n, p) =>
+      if (!broadcastNonEqui(n)) {
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$n has an unexpected nested-loop join")
+      }
+    }
+  }
+
+  test("parquet scans prune columns (no full-width reads)") {
+    // Every scan's ReadSchema must be narrower than the widest table
+    // (documents carries `text`; events carries `props`): spot the
+    // schema string of a scan that selects everything.
+    val full = "ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint," +
+      "event_type:string,value:double,props:string>"
+    plans.foreach { case (n, p) =>
+      assert(!p.contains(full), s"$n reads all events columns")
+    }
+  }
+}
