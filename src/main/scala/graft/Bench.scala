@@ -51,7 +51,13 @@ object Bench {
     val best = collection.mutable.Map.empty[String, Double]
     var sweep = 0
     while (sweep < sweeps && (sweep == 0 || elapsedSec < budgetSec)) {
-      for (n <- names) {
+      // Different deterministic order each sweep: contention bursts
+      // span many minutes, so a fixed order lets one burst shadow the
+      // same alphabetical block of queries in every sweep; shuffling
+      // decorrelates burst position from query identity.
+      val order = names.sortBy(n =>
+        scala.util.hashing.MurmurHash3.stringHash(s"$n#$sweep"))
+      for (n <- order) {
         val t = run(n)
         if (t >= 0 && t < best.getOrElse(n, Double.MaxValue)) best(n) = t
       }
