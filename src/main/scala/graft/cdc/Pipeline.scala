@@ -75,6 +75,20 @@ object Pipeline {
     write(transform(read(spark, s), s), s)
 }
 
+/** The reference's file-writer mode (`tests/mocks/kafka.py:85-100`,
+  * `tests/test_file_writer/test_application.py`): envelopes appended
+  * per topic to files instead of Kafka. Spark-first this is a
+  * partitionBy("topic") JSON append — one directory per topic, each
+  * micro-batch adds files, at-least-once like the Kafka path.
+  */
+object FileTopicSink {
+  def append(batch: DataFrame, dir: String): Unit =
+    batch.write.mode("append").partitionBy("topic").json(dir)
+
+  def attach(envelopes: DataFrame, s: Settings, dir: String): StreamingQuery =
+    Pipeline.writeForeach(envelopes, s)((b, _) => append(b, dir))
+}
+
 /** K4 parity: the reference caches known topics and creates missing
   * ones before producing (`producing/producer.py:43-64`). With Spark's
   * Kafka sink this runs driver-side in a foreachBatch prologue; the

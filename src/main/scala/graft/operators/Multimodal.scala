@@ -108,6 +108,34 @@ object Multimodal {
     }
   }
 
+  case class ResizedMedia(
+      media_id: Long,
+      orig_bytes: Long,
+      resized_bytes: Long,
+      fp: Long,
+      width: Long,
+      height: Long)
+
+  /** Resize/downsample: keep every `stride`-th payload byte and
+    * re-extract features from the reduced payload — the plumbing shape
+    * of image downscaling (payload in, smaller payload + metadata
+    * out), stride-deterministic so the oracle can replay it.
+    */
+  def resize(media: Dataset[MediaRow], stride: Int, decoder: MediaDecoder)
+      : Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    require(stride >= 1)
+    media.mapPartitions { it =>
+      it.map { m =>
+        val out = Array.range(0, m.content.length, stride)
+          .map(i => m.content(i))
+        val (w, h) = decoder.dims(m.kind, out)
+        ResizedMedia(m.media_id, m.content.length.toLong,
+          out.length.toLong, rollingHash(out), w, h)
+      }
+    }
+  }
+
   /** Size-aware repartition: media payloads are heavily skewed (a 4K
     * video next to an icon); balance partitions by cumulative byte
     * size rather than row count. At 100 TB this is the difference

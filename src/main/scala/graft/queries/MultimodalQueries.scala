@@ -26,7 +26,14 @@ object MultimodalQueries {
         Multimodal.asMedia(s, Tables.documents(s, d)),
         chunkBytes = 32, stride = 2)
         .toDF()
-        .orderBy("media_id", "frame_no")))
+        .orderBy("media_id", "frame_no")),
+
+    "mm_resize" -> ((s, d) =>
+      Multimodal.resize(
+        Multimodal.asMedia(s, Tables.documents(s, d)),
+        stride = 4, Multimodal.StubDecoder)
+        .toDF()
+        .orderBy("media_id")))
 
   private val fpSql = (e: String) =>
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -56,5 +63,23 @@ object MultimodalQueries {
          |  CAST(length(chunk) AS BIGINT) AS n_bytes,
          |  ${fpSql("chunk")} AS fp
          |FROM chunks WHERE frame_no % 2 = 0
-         |ORDER BY media_id, frame_no""".stripMargin)
+         |ORDER BY media_id, frame_no""".stripMargin,
+
+    // every 4th char of the payload, re-featured (ASCII corpus ⇒
+    // byte positions == char positions)
+    "mm_resize" ->
+      s"""WITH resized AS (
+         |  SELECT doc_id AS media_id,
+         |    CAST(length(text) AS BIGINT) AS orig_bytes,
+         |    array_to_string(
+         |      [substr(text, (i - 1) * 4 + 1, 1)
+         |       for i in range(1, CAST(ceil(length(text) / 4.0) AS BIGINT) + 1)],
+         |      '') AS r
+         |  FROM documents)
+         |SELECT media_id, orig_bytes,
+         |  CAST(length(r) AS BIGINT) AS resized_bytes,
+         |  ${fpSql("r")} AS fp,
+         |  CAST(1 + ascii(substr(r, 1, 1)) % 64 AS BIGINT) AS width,
+         |  CAST(1 + ascii(substr(r, 2, 1)) % 64 AS BIGINT) AS height
+         |FROM resized ORDER BY media_id""".stripMargin)
 }

@@ -86,6 +86,21 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Text normalization: lowercase, strip non-alphanumerics to
+    // spaces, collapse runs, trim — the canonical pre-tokenization
+    // cleanup pass. Pure per-row expressions, runs at scan speed.
+    "tx_normalize" -> ((s, d) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+        " +", " "))
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          norm.alias("norm"),
+          size(split(norm, " ")).cast(LongType).alias("n_norm_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic stratified sampling: rank docs inside each lang
     // stratum by a content hash and keep the top ceil(10%) — the
     // reproducible downsampling a training-data pipeline needs (same
@@ -163,6 +178,16 @@ object TextQueries {
         |FROM (SELECT doc_id, lang, string_split(text, ' ') AS w
         |      FROM documents) t
         |ORDER BY doc_id""".stripMargin,
+
+    "tx_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |    ' +', ' ', 'g')) AS norm,
+        |  CAST(len(string_split(trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |    ' +', ' ', 'g')), ' ')) AS BIGINT) AS n_norm_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "tx_sample" ->
       """WITH hashed AS (

@@ -131,4 +131,35 @@ class StreamingPipelineSpec extends AnyFunSuite {
     q2.awaitTermination()
     assert(rows2 === 0)
   }
+
+  test("file-writer sink: envelopes land under one directory per topic") {
+    // The reference's file-writer mode (`tests/mocks/kafka.py:85-100`):
+    // per-topic append instead of Kafka produce.
+    val srcDir = Files.createTempDirectory("graft-src3").toString
+    val cpDir = Files.createTempDirectory("graft-cp3").toString
+    val outDir = Files.createTempDirectory("graft-topics").toString
+    val settings = Settings(
+      sourceFormat = "parquet",
+      sourceOptions = Map("path" -> srcDir),
+      topicPrefix = "test",
+      checkpointLocation = cpDir,
+      triggerInterval = "1 seconds",
+      streamReaderName = "file-writer-reader")
+
+    ChangeEvents.golden(spark).coalesce(1)
+      .write.mode(SaveMode.Append).parquet(srcDir)
+    val envelopes = Pipeline.transform(Pipeline.read(spark, settings), settings)
+    val q = FileTopicSink.attach(envelopes, settings, outDir)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+
+    val written = spark.read.json(outDir)
+    assert(written.count() === 4)
+    assert(written.select("topic").distinct().collect().map(_.getString(0))
+      .toSeq === Seq("test.test-database.TestCollection"))
+    // key/value survive the round trip
+    val keys = written.select("key").distinct().collect().map(_.getString(0))
+    assert(keys.toSeq === Seq(ChangeEvents.docKeyJson))
+  }
 }
