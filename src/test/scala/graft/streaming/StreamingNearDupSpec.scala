@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.DedupQueries.{As, Bs, K, P}
+import graft.streaming.StreamingNearDup._
+
+class StreamingNearDupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.GraftSession.builder("4").getOrCreate()
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and runs far away home"
+  private val nearDup =
+    "the quick brown fox jumps over the lazy dog and runs far away now"
+  private val unrelated =
+    "completely different words about spark structured streaming state stores"
+
+  test("signature: identical texts agree fully, near-dups mostly, unrelated rarely") {
+    val a = signature(base).get
+    val b = signature(nearDup).get
+    val c = signature(unrelated).get
+    def agree(x: Array[Long], y: Array[Long]) =
+      x.zip(y).count { case (p, q) => p == q }
+    assert(agree(a, a) === K)
+    assert(agree(a, b) >= K / 2, s"near-dup agreement ${agree(a, b)}")
+    assert(agree(a, c) < K / 4, s"unrelated agreement ${agree(a, c)}")
+  }
+
+  test("signature matches the batch MinHashSig aggregate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, base)).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        explode(graft.functions.WordShingles(col("text"), 3)).alias("sh"))
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("sh")), 1, 15), 16, 10)
+          .cast("long"), lit(P)).alias("h"))
+      .groupBy("doc_id")
+      .agg(graft.functions.MinHashSig(col("h"), K, P, As, Bs).alias("sig"))
+    val batchSig = df.head().getSeq[Long](1).toArray
+    assert(batchSig.toSeq === signature(base).get.toSeq)
+  }
+
+  test("near-dups are found ACROSS micro-batches via bucket state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Doc]
+    val q = candidatePairs(in.toDS(), minAgree = 16, maxPerBucket = 8)
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try {
+      in.addData(Doc(1L, base), Doc(2L, unrelated))
+      q.processAllAvailable()
+      assert(spark.table("neardup_out").count() === 0)
+
+      // the near-dup arrives two batches later — state must remember
+      in.addData(Doc(3L, "filler text that matches nothing at all here"))
+      q.processAllAvailable()
+      in.addData(Doc(4L, nearDup))
+      q.processAllAvailable()
+
+      val pairs = spark.table("neardup_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).distinct
+      assert(pairs.toSeq === Seq((1L, 4L)), s"got ${pairs.toSeq}")
+    } finally q.stop()
+  }
+
+  test("per-bucket state is FIFO-capped") {
+    // fill one bucket past the cap with identical docs → state holds
+    // at most maxPerBucket entries
+    val sig = signature(base).get
+    val rows = (1L to 5L).map(i => Banded(0, "k", i, sig))
+    val state = new TestGroupState(List.empty[(Long, Array[Long])])
+    val out = matchBucket(minAgree = K, maxPerBucket = 3)(
+      (0, "k"), rows.iterator, state).toSeq
+    assert(state.value.length === 3)
+    // newest retained first (FIFO eviction of the oldest)
+    assert(state.value.map(_._1) === List(5L, 4L, 3L))
+    // each arrival matched everything retained at that moment
+    assert(out.nonEmpty)
+  }
+}
+
+/** Minimal GroupState for driving matchBucket directly. */
+final class TestGroupState[T](init: T)
+    extends org.apache.spark.sql.streaming.GroupState[T] {
+  private var v: Option[T] = Option(init)
+  def value: T = v.get
+  override def exists: Boolean = v.isDefined
+  override def get: T = v.get
+  override def getOption: Option[T] = v
+  override def update(newValue: T): Unit = v = Some(newValue)
+  override def remove(): Unit = v = None
+  override def hasTimedOut: Boolean = false
+  override def setTimeoutDuration(durationMs: Long): Unit = ()
+  override def setTimeoutDuration(duration: String): Unit = ()
+  override def setTimeoutTimestamp(timestampMs: Long): Unit = ()
+  override def setTimeoutTimestamp(timestampMs: Long, additionalDuration: String): Unit = ()
+  override def setTimeoutTimestamp(timestamp: java.sql.Date): Unit = ()
+  override def setTimeoutTimestamp(timestamp: java.sql.Date, additionalDuration: String): Unit = ()
+  override def getCurrentWatermarkMs(): Long = 0L
+  override def getCurrentProcessingTimeMs(): Long = 0L
+}
