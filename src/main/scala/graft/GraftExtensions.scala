@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 
 import org.apache.spark.sql.graftshim.analysisError
 
-import graft.functions.{ByteSumModExpr, FingerprintExpr}
+import graft.functions.{ByteSumModExpr, FingerprintExpr, MinHashSigAggExpr, WordShinglesExpr}
+import graft.queries.DedupQueries
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * expressions as SQL functions so `spark.sql("...")` users get the
@@ -37,6 +38,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c) => FingerprintExpr(c)
         case _ => throw analysisError(
           s"graft_fingerprint(col) takes exactly 1 argument, got ${args.length}")
+      }))
+
+    e.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShinglesExpr].getName, null,
+        "word_shingles"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, Literal(n: Int, _)) if n >= 1 => WordShinglesExpr(c, n)
+        case _ => throw analysisError(
+          "word_shingles(col, <positive int literal>) takes 2 arguments")
+      }))
+
+    // Aggregate: minhash_sig(hashCol) with the engine's standard k/P
+    // permutation set (the same constants the dedup oracles replay).
+    e.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigAggExpr].getName, null,
+        "minhash_sig"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => MinHashSigAggExpr(
+          c, DedupQueries.K, DedupQueries.P, DedupQueries.As, DedupQueries.Bs)
+        case _ => throw analysisError(
+          s"minhash_sig(col) takes exactly 1 argument, got ${args.length}")
       }))
   }
 }

@@ -195,22 +195,27 @@ object DedupQueries {
         .persist()
       var labels = edges.select(col("src").alias("id")).distinct()
         .withColumn("label", col("id"))
-      var prevSum = Option.empty[Long]
-      var iter = 0
-      var converged = false
-      while (!converged && iter < 25) {
+      // one min-label propagation step (labels only ever decrease)
+      def prop(ls: DataFrame): DataFrame = {
         val nbrMin = edges
-          .join(labels.select(col("id").alias("dst2"),
+          .join(ls.select(col("id").alias("dst2"),
             col("label").alias("nbl")), col("dst") === col("dst2"))
           .groupBy(col("src")).agg(min(col("nbl")).alias("nbl"))
-        val next = labels
-          .join(nbrMin, col("id") === col("src"), "left")
+        ls.join(nbrMin, col("id") === col("src"), "left")
           .select(col("id"),
             least(col("label"), coalesce(col("nbl"), col("label")))
               .alias("label"))
-          // cut the iteration lineage: without this, the plan (and the
-          // closure Catalyst must optimize) doubles per iteration
-          .localCheckpoint()
+      }
+      var prevSum = Option.empty[Long]
+      var iter = 0
+      var converged = false
+      while (!converged && iter < 13) {
+        // two propagation steps per materialization: halves the
+        // driver-side job count (the per-iteration fixed cost), and a
+        // fixpoint of the double step is a fixpoint of the single step
+        // because labels are monotone. localCheckpoint cuts the
+        // iteration lineage so plans don't double per round.
+        val next = prop(prop(labels)).localCheckpoint()
         val sum = next.agg(coalesce(org.apache.spark.sql.functions.sum(
           col("label")), lit(0L))).head().getLong(0)
         converged = prevSum.contains(sum)

@@ -36,6 +36,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val e3 = intercept[Exception](
         spark.sql("SELECT byte_sum_mod('a')").collect())
       assert(e3.getMessage.contains("byte_sum_mod"), e3.getMessage)
+
+      // word_shingles + the minhash_sig aggregate from plain SQL
+      val sh = spark.sql(
+        "SELECT word_shingles('a b c d', 3) AS sh").head().getSeq[String](0)
+      assert(sh === Seq("a b c", "b c d"))
+      val sig = spark.sql(
+        """SELECT minhash_sig(h) AS sig FROM (
+          |  SELECT CAST(conv(substr(md5(x), 1, 15), 16, 10) AS BIGINT)
+          |         % 1073741789 AS h
+          |  FROM VALUES ('a b c'), ('b c d') t(x))""".stripMargin)
+        .head().getSeq[Long](0)
+      assert(sig.length === graft.queries.DedupQueries.K)
+      assert(sig.forall(_ >= 0L))
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
