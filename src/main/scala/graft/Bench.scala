@@ -67,7 +67,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Reference-comparable headline: events/s through the CDC envelope
+    // path (filter + envelope + routing — the reference's whole data
+    // plane, `change_handler.py` + `change_event_handler.py`).
+    val eventsPerSec = best.get("p1_cdc_envelope").filter(_ > 0).map { sec =>
+      val n = Tables.events(spark, sfDir).count()
+      (n / sec).round
+    }.getOrElse(-1L)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"envelope_events_per_sec":$eventsPerSec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
