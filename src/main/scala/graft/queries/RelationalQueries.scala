@@ -98,6 +98,60 @@ object RelationalQueries {
           col("n"), col("cents"))
         .orderBy("st", "pri")),
 
+    // Explicit GROUPING SETS (the general form rollup/cube special-
+    // case), with grouping() markers instead of coalesce so NULL data
+    // values can't collide with the ALL marker.
+    "rel_grouping_sets" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          cents(col("o_totalprice")).alias("c"))
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")),
+            Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).alias("n"), sum(col("c")).alias("cents"),
+          grouping(col("o_orderstatus")).cast(LongType).alias("g_st"),
+          grouping(col("o_orderpriority")).cast(LongType).alias("g_pri"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).alias("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).alias("pri"),
+          col("g_st"), col("g_pri"), col("n"), col("cents"))
+        .orderBy("st", "pri", "g_st", "g_pri")),
+
+    // JSON column decode: parse the props payload with an explicit
+    // schema (from_json — no inference, the rule for open documents,
+    // SURVEY §7.3 hard part 4) and aggregate the extracted field.
+    "rel_json_agg" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").cast(LongType).alias("kv"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).alias("n"),
+          count(col("kv")).alias("n_k"),
+          sum(col("kv")).alias("sum_k"),
+          min(col("kv")).alias("min_k"),
+          max(col("kv")).alias("max_k"))
+        .orderBy("event_type")),
+
+    // Skew-safe aggregation: salt the hot key space into 8 subkeys,
+    // partially aggregate per (key, salt), then merge — the two-phase
+    // shape that bounds any single reducer's load at 100 TB. The salt
+    // must be deterministic (id-derived, not random) so the oracle —
+    // and any retry of a failed task — sees the same result.
+    "rel_skew_agg" -> ((s, d) => {
+      val salted = Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          pmod(col("l_orderkey"), lit(8)).alias("salt"),
+          col("l_quantity").cast(LongType).alias("q"))
+        .groupBy(col("l_returnflag"), col("salt"))
+        .agg(sum(col("q")).alias("pq"), count(lit(1)).alias("pn"))
+      salted.groupBy(col("l_returnflag"))
+        .agg(sum(col("pq")).alias("sum_qty"), sum(col("pn")).alias("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // Semi/anti joins: customers with vs without orders, per nation.
     "rel_semi_anti" -> ((s, d) => {
       val c = Tables.customer(s, d)
@@ -237,6 +291,36 @@ object RelationalQueries {
         |    AS cents
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY st, pri""".stripMargin,
+
+    "rel_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS st,
+        |  coalesce(o_orderpriority, 'ALL') AS pri,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY st, pri, g_st, g_pri""".stripMargin,
+
+    "rel_json_agg" ->
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(json_extract(props, '$.k')) AS BIGINT) AS n_k,
+        |  CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
+        |  CAST(min(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS min_k,
+        |  CAST(max(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the salt is an engine-side execution detail; the oracle states
+    // the semantic result (plain group-by)
+    "rel_skew_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "rel_semi_anti" ->
       """SELECT tag, nk, n FROM (
