@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 
 import org.apache.spark.sql.graftshim.analysisError
 
-import graft.functions.{ByteSumModExpr, FingerprintExpr, MinHashSigAggExpr, WordShinglesExpr}
+import graft.functions.{ByteSumModExpr, DotProductExpr, FingerprintExpr, MinHashSigAggExpr, WordShinglesExpr}
 import graft.queries.DedupQueries
 
 /** SparkSessionExtensions entry point: registers the engine's custom
@@ -48,6 +48,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c, Literal(n: Int, _)) if n >= 1 => WordShinglesExpr(c, n)
         case _ => throw analysisError(
           "word_shingles(col, <positive int literal>) takes 2 arguments")
+      }))
+
+    e.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, null,
+        "dot_product"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => DotProductExpr(a, b)
+        case _ => throw analysisError(
+          s"dot_product(a, b) takes exactly 2 arguments, got ${args.length}")
       }))
 
     // Aggregate: minhash_sig(hashCol) with the engine's standard k/P

@@ -36,8 +36,11 @@ object SimilarityQueries {
   private def quant(c: Column): Column =
     transform(c, x => round(x * 10000, 0).cast(LongType))
 
+  // native codegen'd loop — the aggregate(zip_with(...)) HOF form is
+  // interpreted and allocates a products array per pair (see
+  // functions.DotProductExpr)
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    graft.functions.DotProduct(a, b)
 
   /** cosine from exact integer parts — bit-identical across engines */
   private def cosine(d: Column, na: Column, nb: Column): Column =

@@ -37,6 +37,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
         spark.sql("SELECT byte_sum_mod('a')").collect())
       assert(e3.getMessage.contains("byte_sum_mod"), e3.getMessage)
 
+      assert(spark.sql(
+        "SELECT dot_product(array(1L, 2L), array(3L, 4L)) AS d")
+        .head().getLong(0) === 11L)
+
       // word_shingles + the minhash_sig aggregate from plain SQL
       val sh = spark.sql(
         "SELECT word_shingles('a b c d', 3) AS sh").head().getSeq[String](0)

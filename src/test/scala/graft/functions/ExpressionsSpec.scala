@@ -38,6 +38,38 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(got.last.isNullAt(0))
   }
 
+  test("DotProduct matches the declarative HOF form on both codegen paths") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(4L, -5L, 6L)),
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq(10000L, -10000L), Seq(10000L, 10000L)))
+      .toDF("a", "b")
+    val hof = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0L), (acc, v) => acc + v)
+    def check(): Unit = {
+      val rows = df.select(DotProduct(col("a"), col("b")).alias("d"),
+        hof.alias("h")).collect()
+      rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+      assert(rows.map(_.getLong(0)).toSeq === Seq(12L, 0L, 0L))
+    }
+    check()
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      check()
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // null-safety
+    val withNull = Seq(Tuple1(Seq(1L))).toDF("a")
+      .select(DotProduct(col("a"), lit(null).cast("array<bigint>")))
+    assert(withNull.head().isNullAt(0))
+  }
+
   test("expressions survive codegen fallback (interpreted path)") {
     import spark.implicits._
     val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
