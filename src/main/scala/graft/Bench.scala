@@ -58,8 +58,13 @@ object Bench {
       val order = names.sortBy(n =>
         scala.util.hashing.MurmurHash3.stringHash(s"$n#$sweep"))
       for (n <- order) {
-        val t = run(n)
-        if (t >= 0 && t < best.getOrElse(n, Double.MaxValue)) best(n) = t
+        // sweep 0 must finish (every query needs >= 1 sample); later
+        // sweeps also stop mid-sweep so a contention stall can't push
+        // the run past the budget by a whole sweep
+        if (sweep == 0 || elapsedSec < budgetSec) {
+          val t = run(n)
+          if (t >= 0 && t < best.getOrElse(n, Double.MaxValue)) best(n) = t
+        }
       }
       sweep += 1
     }

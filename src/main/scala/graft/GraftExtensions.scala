@@ -46,8 +46,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "word_shingles"),
       (args: Seq[Expression]) => args match {
         case Seq(c, Literal(n: Int, _)) if n >= 1 => WordShinglesExpr(c, n)
+        case Seq(_, Literal(n: Int, _)) => throw analysisError(
+          s"word_shingles(col, n): n must be a positive Int literal, got $n")
         case _ => throw analysisError(
-          "word_shingles(col, <positive int literal>) takes 2 arguments")
+          s"word_shingles(col, <positive int literal>): got ${args.length} " +
+            "argument(s)")
       }))
 
     e.injectFunction((

@@ -150,7 +150,11 @@ object Multimodal {
       .head().getLong(0)
     if (totalBytes == 0L) media
     else {
-      val parts = math.max(1, (totalBytes / targetBytesPerPartition).toInt)
+      // long math until the final clamp: 100 TB / 32 KB overflows Int
+      // and would wrap to 1 partition — the opposite of the intent
+      val parts = math.min(
+        math.max(1L, totalBytes / targetBytesPerPartition),
+        Int.MaxValue.toLong).toInt
       media.repartition(parts, col("media_id"))
     }
   }

@@ -209,7 +209,12 @@ object DedupQueries {
       var prevSum = Option.empty[Long]
       var iter = 0
       var converged = false
-      while (!converged && iter < 13) {
+      // Iterate to the fixpoint — min-label propagation needs
+      // component-diameter steps, and stopping early would silently
+      // return non-minimal labels. The cap is a runaway backstop far
+      // above any realistic near-dup component diameter; hitting it is
+      // an error, never a silent partial answer.
+      while (!converged && iter < 1000) {
         // two propagation steps per materialization: halves the
         // driver-side job count (the per-iteration fixed cost), and a
         // fixpoint of the double step is a fixpoint of the single step
@@ -223,6 +228,8 @@ object DedupQueries {
         labels = next
         iter += 1
       }
+      if (!converged) throw new IllegalStateException(
+        s"dd_cluster: label propagation did not converge in $iter rounds")
       edges.unpersist()
       labels.select(col("id").alias("doc_id"), col("label").alias("cluster_id"))
         .orderBy("doc_id")

@@ -114,6 +114,7 @@ final class ReplayMicroBatchStream(
   extends MicroBatchStream with SupportsAdmissionControl {
 
   require(maxRowsPerBatch > 0, "maxRowsPerBatch must be positive")
+  require(numPartitions > 0, "partitions must be positive")
 
   // Materialize + convert once on the driver: this source replays a
   // bounded fixture (the production path is the mongodb connector).

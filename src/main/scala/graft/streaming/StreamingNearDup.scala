@@ -90,26 +90,44 @@ object StreamingNearDup {
   /** A pair surfacing in several bands is emitted once per band —
     * dedup downstream (a second stateful operator in the same query
     * would chain stateful stages; sinks or a batch pass handle it).
+    *
+    * State boundedness has TWO dimensions: `maxPerBucket` caps one
+    * bucket's entries, and `bucketTtl` evicts buckets idle longer than
+    * the TTL (processing-time timeout) — without it the NUMBER of
+    * bucket groups grows with every distinct signature seen, i.e.
+    * linearly with stream length. Keep the default TTL in production;
+    * `None` disables eviction (useful in tests — with processing-time
+    * timeouts the engine schedules timeout-check batches continuously,
+    * so processAllAvailable never quiesces).
     */
   def candidatePairs(
       docs: Dataset[Doc],
       minAgree: Int = 4,
-      maxPerBucket: Int = 64): Dataset[Pair] = {
+      maxPerBucket: Int = 64,
+      bucketTtl: Option[String] = Some("1 hour")): Dataset[Pair] = {
     import docs.sparkSession.implicits._
+    val timeoutConf =
+      if (bucketTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     banded(docs)
       .groupByKey(b => (b.band, b.key))
-      .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        matchBucket(minAgree, maxPerBucket))
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        matchBucket(minAgree, maxPerBucket, bucketTtl))
   }
 
   /** One bucket's update: compare arrivals to retained state, emit
-    * qualifying pairs, append to bounded FIFO state.
+    * qualifying pairs, append to bounded FIFO state. A timeout firing
+    * for an idle bucket drops its state.
     */
-  def matchBucket(minAgree: Int, maxPerBucket: Int)(
+  def matchBucket(minAgree: Int, maxPerBucket: Int,
+      bucketTtl: Option[String])(
       key: (Int, String),
       rows: Iterator[Banded],
       state: GroupState[List[(Long, Array[Long])]]): Iterator[Pair] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
     var held = state.getOption.getOrElse(Nil)
     val out = scala.collection.mutable.ArrayBuffer.empty[Pair]
     rows.foreach { b =>
@@ -130,6 +148,7 @@ object StreamingNearDup {
       }
     }
     state.update(held)
+    bucketTtl.foreach(state.setTimeoutDuration)
     out.iterator
   }
 }

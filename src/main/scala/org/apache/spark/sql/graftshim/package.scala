@@ -13,10 +13,13 @@ package object graftshim {
 
   /** Spark 4 hides AnalysisException's plain-message constructor behind
     * error classes; function builders still want a plain analysis-time
-    * error with a readable signature hint.
+    * error with a readable signature hint. USER_RAISED_EXCEPTION is the
+    * class for user-surfaced messages (what raise_error uses) —
+    * INTERNAL_ERROR would misfile a routine usage mistake as an engine
+    * bug for error-triage tooling.
     */
   def analysisError(msg: String): AnalysisException =
     new AnalysisException(
-      errorClass = "INTERNAL_ERROR",
-      messageParameters = Map("message" -> msg))
+      errorClass = "USER_RAISED_EXCEPTION",
+      messageParameters = Map("errorMessage" -> msg))
 }

@@ -48,7 +48,11 @@ class StreamingNearDupSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Doc]
-    val q = candidatePairs(in.toDS(), minAgree = 16, maxPerBucket = 8)
+    // bucketTtl = None: with processing-time timeouts the engine
+    // schedules timeout-check batches forever and processAllAvailable
+    // never returns; the TTL path is unit-tested on matchBucket below
+    val q = candidatePairs(in.toDS(), minAgree = 16, maxPerBucket = 8,
+      bucketTtl = None)
       .writeStream.format("memory").queryName("neardup_out")
       .outputMode("append").start()
     try {
@@ -74,7 +78,7 @@ class StreamingNearDupSpec extends AnyFunSuite {
     val sig = signature(base).get
     val rows = (1L to 5L).map(i => Banded(0, "k", i, sig))
     val state = new TestGroupState(List.empty[(Long, Array[Long])])
-    val out = matchBucket(minAgree = K, maxPerBucket = 3)(
+    val out = matchBucket(minAgree = K, maxPerBucket = 3, Some("1 hour"))(
       (0, "k"), rows.iterator, state).toSeq
     assert(state.value.length === 3)
     // newest retained first (FIFO eviction of the oldest)
@@ -82,19 +86,30 @@ class StreamingNearDupSpec extends AnyFunSuite {
     // each arrival matched everything retained at that moment
     assert(out.nonEmpty)
   }
+
+  test("idle-bucket timeout drops the bucket's state (TTL eviction)") {
+    val sig = signature(base).get
+    val state = new TestGroupState(List((1L, sig)))
+    state.timedOut = true
+    val out = matchBucket(minAgree = 1, maxPerBucket = 8, Some("1 hour"))(
+      (0, "k"), Iterator.empty, state).toSeq
+    assert(out.isEmpty)
+    assert(!state.exists, "state must be removed on timeout")
+  }
 }
 
 /** Minimal GroupState for driving matchBucket directly. */
 final class TestGroupState[T](init: T)
     extends org.apache.spark.sql.streaming.GroupState[T] {
   private var v: Option[T] = Option(init)
+  var timedOut: Boolean = false
   def value: T = v.get
   override def exists: Boolean = v.isDefined
   override def get: T = v.get
   override def getOption: Option[T] = v
   override def update(newValue: T): Unit = v = Some(newValue)
   override def remove(): Unit = v = None
-  override def hasTimedOut: Boolean = false
+  override def hasTimedOut: Boolean = timedOut
   override def setTimeoutDuration(durationMs: Long): Unit = ()
   override def setTimeoutDuration(duration: String): Unit = ()
   override def setTimeoutTimestamp(timestampMs: Long): Unit = ()
