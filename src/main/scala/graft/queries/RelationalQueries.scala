@@ -98,6 +98,24 @@ object RelationalQueries {
           col("n"), col("cents"))
         .orderBy("st", "pri")),
 
+    // Pivot: order counts+value by status, one column per priority.
+    // Pivot values are enumerated explicitly — at scale an unlisted-
+    // values pivot needs a driver-side distinct pass first; listing
+    // them keeps the plan a single pass.
+    "rel_pivot" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          cents(col("o_totalprice")).alias("c"))
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(sum(col("c")))
+        .select(col("o_orderstatus"),
+          col("1-URGENT").alias("p1"), col("2-HIGH").alias("p2"),
+          col("3-MEDIUM").alias("p3"), col("4-NOT SPECIFIED").alias("p4"),
+          col("5-LOW").alias("p5"))
+        .orderBy("o_orderstatus")),
+
     // Explicit GROUPING SETS (the general form rollup/cube special-
     // case), with grouping() markers instead of coalesce so NULL data
     // values can't collide with the ALL marker.
@@ -291,6 +309,21 @@ object RelationalQueries {
         |    AS cents
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY st, pri""".stripMargin,
+
+    "rel_pivot" ->
+      """SELECT o_orderstatus,
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |    THEN CAST(round(o_totalprice * 100, 0) AS BIGINT) END) AS BIGINT) AS p1,
+        |  CAST(sum(CASE WHEN o_orderpriority = '2-HIGH'
+        |    THEN CAST(round(o_totalprice * 100, 0) AS BIGINT) END) AS BIGINT) AS p2,
+        |  CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM'
+        |    THEN CAST(round(o_totalprice * 100, 0) AS BIGINT) END) AS BIGINT) AS p3,
+        |  CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+        |    THEN CAST(round(o_totalprice * 100, 0) AS BIGINT) END) AS BIGINT) AS p4,
+        |  CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
+        |    THEN CAST(round(o_totalprice * 100, 0) AS BIGINT) END) AS BIGINT) AS p5
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     "rel_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS st,
