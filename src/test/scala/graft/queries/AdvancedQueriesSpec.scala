@@ -107,6 +107,14 @@ class AdvancedQueriesSpec extends AnyFunSuite {
     labels.values.foreach(l => assert(labels(l) === l))
   }
 
+  // NOTE on ANN recall: on this synthetic corpus embeddings are
+  // i.i.d. random, so the exact top-10 cosines (~0.3) sit barely
+  // above noise and single-probe LSH/IVF recall against brute force
+  // is near zero BY CONSTRUCTION of the data (the classic motivation
+  // for multi-probe). A recall assertion would test the corpus, not
+  // the operator; the operators' correctness is pinned by their
+  // DuckDB oracles and the planted-near-dup streaming tests instead.
+
   test("tx_sample: ceil(10%) per stratum, reproducible ranks") {
     val rows = graft.SparkEntry.queries("tx_sample")(spark, sf).collect()
     rows.groupBy(_.getString(1)).foreach { case (_, ss) =>
