@@ -22,12 +22,17 @@ import org.apache.spark.sql.functions._
 object EnvelopeTransform {
 
   /** op map, `producing/change_event_handler.py:14-19`:
-    * insert→c, update/replace→u, delete→d.
+    * insert→c, update/replace→u, delete→d. An unmapped operationType
+    * raises (the reference KeyErrors, `_operation_map[...]`) rather
+    * than silently emitting an envelope with no op; the normal path
+    * filters first, so the branch never fires post-filterDataOps.
     */
   val opCode: Column =
     when(col("operationType") === "insert", "c")
       .when(col("operationType").isin("update", "replace"), "u")
       .when(col("operationType") === "delete", "d")
+      .otherwise(raise_error(
+        concat(lit("unmapped operationType: "), col("operationType"))))
 
   /** F1: keep only data-mutation events. Catalyst pushes this to the
     * source scan; drop/dropDatabase/invalidate still advance offsets
@@ -49,20 +54,31 @@ object EnvelopeTransform {
     val before = when(col("fullDocumentBeforeChange").isNotNull,
       concat(lit("\"before\": "), col("fullDocumentBeforeChange")))
     // The reference dumps the updateDescription sub-document verbatim —
-    // whatever keys are present. Real change streams routinely omit
-    // truncatedArrays (surfaced here as a null struct field), so each
-    // sub-key is included conditionally; a bare concat would null the
-    // whole section if any one sub-field were null.
+    // whatever keys are present, in the event's own order, with
+    // json_util's ", "/": " separators. So: each sub-key included
+    // conditionally (a bare concat would null the whole section on one
+    // null sub-field); arrays rendered by hand because Spark's to_json
+    // is compact (["a","b"], no space) while json_util emits
+    // ["a", "b"]; truncatedArrays elements are ext-JSON fragments and
+    // splice raw; key order matches the golden events
+    // (tests/mocks/events.py: removedFields, truncatedArrays,
+    // updatedFields) — the byte-parity anchor the reference's own
+    // tests pin.
+    val remFields = when(col("updateDescription.removedFields").isNotNull,
+      concat(lit("\"removedFields\": ["),
+        concat_ws(", ", transform(col("updateDescription.removedFields"),
+          x => concat(lit("\""), x, lit("\"")))),
+        lit("]")))
+    val truncArrs = when(col("updateDescription.truncatedArrays").isNotNull,
+      concat(lit("\"truncatedArrays\": ["),
+        concat_ws(", ", col("updateDescription.truncatedArrays")),
+        lit("]")))
     val updFields = when(col("updateDescription.updatedFields").isNotNull,
       concat(lit("\"updatedFields\": "), col("updateDescription.updatedFields")))
-    val remFields = when(col("updateDescription.removedFields").isNotNull,
-      concat(lit("\"removedFields\": "), to_json(col("updateDescription.removedFields"))))
-    val truncArrs = when(col("updateDescription.truncatedArrays").isNotNull,
-      concat(lit("\"truncatedArrays\": "), to_json(col("updateDescription.truncatedArrays"))))
     val updDesc = when(col("updateDescription").isNotNull,
       concat(
         lit("\"updateDescription\": {"),
-        concat_ws(", ", updFields, remFields, truncArrs),
+        concat_ws(", ", remFields, truncArrs, updFields),
         lit("}")))
     val after = when(col("fullDocument").isNotNull,
       concat(lit("\"after\": "), col("fullDocument")))
@@ -90,10 +106,13 @@ object EnvelopeTransform {
       valueEnvelope.alias("value"))
 
   /** P4 parity: the reference routes each event to producer
-    * `sum(bytes(key)) mod n`. In Spark the same guarantee (per-key
-    * ordering under n-way parallelism) comes from hashing the key; we
-    * expose the reference's exact byte-sum function for tests and for
-    * keyed repartition before a sink that needs it.
+    * `sum(bytes) mod n` over the documentKey's raw ObjectId bytes
+    * (`change_handler.py:77-81`). Here the byte-sum runs over the
+    * extended-JSON key string (the column this engine carries), so
+    * assignments differ from the reference's numerically — the
+    * guarantee preserved is the one that matters: a deterministic
+    * function of the key, so each key always routes to the same
+    * partition (per-document ordering under n-way parallelism).
     */
   def byteSumPartition(keyCol: Column, n: Int): Column =
     graft.functions.ByteSumMod(keyCol, n)

@@ -39,7 +39,7 @@ object Pipeline {
   def transform(events: DataFrame, s: Settings): DataFrame = {
     val out = EnvelopeTransform(events, s.topicPrefix)
     s.sinkPartitions match {
-      case Some(n) => out.repartition(n, col("key"))
+      case Some(n) => EnvelopeTransform.repartitionByKey(out, n)
       case None => out
     }
   }

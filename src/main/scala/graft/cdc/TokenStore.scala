@@ -52,12 +52,15 @@ final class FileTokenStore(dir: String) extends TokenStore {
     if (!Files.exists(p)) None
     else {
       val s = new String(Files.readAllBytes(p), UTF_8)
-      // minimal parse of the fixed shape written above
+      // minimal parse of the fixed shape written above; a file that
+      // exists but lacks either key is corruption and surfaces as
+      // None, not as a fabricated epoch-0 token
       val tok = """"token":"((?:[^"\\]|\\.)*)"""".r
-        .findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+        .findFirstMatchIn(s).map(_.group(1))
       val date = """"date":(\d+)""".r
-        .findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
-      Some(SavedToken(name, unescape(tok), new Timestamp(date)))
+        .findFirstMatchIn(s).map(_.group(1).toLong)
+      for (t <- tok; d <- date)
+        yield SavedToken(name, unescape(t), new Timestamp(d))
     }
   }
 

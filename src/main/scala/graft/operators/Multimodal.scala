@@ -137,9 +137,18 @@ object Multimodal {
   }
 
   /** Size-aware repartition: media payloads are heavily skewed (a 4K
-    * video next to an icon); balance partitions by cumulative byte
-    * size rather than row count. At 100 TB this is the difference
-    * between straggler-free stages and one executor OOMing.
+    * video next to an icon); balance partitions by byte size rather
+    * than row count. At 100 TB this is the difference between
+    * straggler-free stages and one executor OOMing.
+    *
+    * Two mechanisms, both deterministic:
+    *  - the partition COUNT comes from total bytes / target;
+    *  - oversized payloads (>= target on their own) get a dedicated
+    *    partition key, so a whale never shares (and blows) a hash
+    *    bucket that normal rows also landed in — hashing by id alone
+    *    would still send 10 GB and a thousand icons to one reducer.
+    * Normal rows spread by id hash; with rows ≪ target each, the law
+    * of large numbers keeps per-partition bytes near the target.
     */
   def repartitionBySize(media: Dataset[MediaRow],
       targetBytesPerPartition: Long): Dataset[MediaRow] = {
@@ -155,7 +164,11 @@ object Multimodal {
       val parts = math.min(
         math.max(1L, totalBytes / targetBytesPerPartition),
         Int.MaxValue.toLong).toInt
-      media.repartition(parts, col("media_id"))
+      val partKey = when(
+        length(col("content")).cast("long") >= targetBytesPerPartition,
+        concat(lit("whale:"), col("media_id").cast("string")))
+        .otherwise(pmod(hash(col("media_id")), lit(parts)).cast("string"))
+      media.repartition(parts, partKey)
     }
   }
 }

@@ -41,9 +41,16 @@ object Partitioning {
       small: DataFrame,
       key: String,
       saltFactor: Int): DataFrame = {
+    // The salt must be a DETERMINISTIC function of row content:
+    // position-derived salts (spark_partition_id/monotonically_
+    // increasing_id) change when a lost map task is recomputed, so a
+    // stage retry could re-salt rows into reduce partitions that
+    // already consumed the old copies — duplicating some matches and
+    // dropping others. Hashing every column keeps identical results
+    // across retries (identical rows co-locating is acceptable: they
+    // carry the same join behavior).
     val salted = large.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(),
-        lit(saltFactor)).cast("int"))
+      pmod(hash(large.columns.map(col): _*), lit(saltFactor)))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

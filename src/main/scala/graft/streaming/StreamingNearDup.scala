@@ -32,9 +32,13 @@ object StreamingNearDup {
   case class Banded(band: Int, key: String, doc_id: Long, sig: Array[Long])
   case class Pair(ida: Long, idb: Long, agree: Int)
 
-  /** 60-bit md5 hash, mod P — the per-shingle hash `h60(x) % P`. */
-  private def h60modP(s: String): Long = {
-    val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+  /** 60-bit md5 hash, mod P — the per-shingle hash `h60(x) % P`. The
+    * digest instance is passed in: getInstance does a provider lookup
+    * + allocation, and this runs once per shingle on the ingest loop.
+    */
+  private def h60modP(md5: MessageDigest, s: String): Long = {
+    md5.reset()
+    val d = md5.digest(s.getBytes("UTF-8"))
     // first 15 hex digits = 60 bits = first 7 bytes + high nibble of the 8th
     var h = 0L
     var i = 0
@@ -47,13 +51,14 @@ object StreamingNearDup {
   def signature(text: String): Option[Array[Long]] = {
     val words = text.split(" ", -1)
     if (words.length < 3) return None
+    val md5 = MessageDigest.getInstance("MD5")
     val sig = Array.fill(K)(Long.MaxValue)
     val seen = scala.collection.mutable.HashSet.empty[String]
     var i = 0
     while (i + 3 <= words.length) {
       val sh = s"${words(i)} ${words(i + 1)} ${words(i + 2)}"
       if (seen.add(sh)) {
-        val x = h60modP(sh)
+        val x = h60modP(md5, sh)
         var j = 0
         while (j < K) {
           val h = (As(j) * x + Bs(j)) % P

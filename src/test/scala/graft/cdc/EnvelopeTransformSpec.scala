@@ -54,9 +54,12 @@ class EnvelopeTransformSpec extends AnyFunSuite {
 
   test("update envelope carries before/updateDescription/after/op in order (P1)") {
     val v = out(1).getString(2)
+    // sub-key order matches the golden fixture's dict order
+    // (tests/mocks/events.py update(): removedFields, truncatedArrays,
+    // updatedFields) — the byte sequence json_util.dumps emits for it
     assert(v ===
       """{"before": {"_id": {"$oid": "6692b4a31ede014d28852865"}, "a": 1}, """ +
-      """"updateDescription": {"updatedFields": {"a": 2}, "removedFields": [], "truncatedArrays": []}, """ +
+      """"updateDescription": {"removedFields": [], "truncatedArrays": [], "updatedFields": {"a": 2}}, """ +
       """"after": {"_id": {"$oid": "6692b4a31ede014d28852865"}, "a": 2}, "op": "u"}""")
   }
 
@@ -74,12 +77,13 @@ class EnvelopeTransformSpec extends AnyFunSuite {
     import spark.implicits._
     val ev = ChangeEvents.goldenEvents(1).copy(
       updateDescription =
-        Some(UpdateDescription("""{"a": 2}""", Seq("gone"), null)))
+        Some(UpdateDescription("""{"a": 2}""", Seq("gone", "also"), null)))
     val df = spark.createDataFrame(
       Seq(ev).toDF().rdd, ChangeEvents.schema)
     val v = EnvelopeTransform(df, "test").head().getString(2)
+    // note json_util's ", " element separator — not to_json's compact form
     assert(v.contains(
-      """"updateDescription": {"updatedFields": {"a": 2}, "removedFields": ["gone"]}"""),
+      """"updateDescription": {"removedFields": ["gone", "also"], "updatedFields": {"a": 2}}"""),
       s"got: $v")
     assert(!v.contains("truncatedArrays"))
   }
