@@ -74,6 +74,22 @@ object EventTimeOps {
         s"$rightTime <= $leftTime + interval $bound"))
   }
 
+  /** Stream-static enrichment: join the stream against a (small)
+    * static dimension, broadcast so no stream-side state or shuffle
+    * exists — the streaming analogue of the reference's
+    * fullDocument=updateLookup server-side enrichment, and the way a
+    * CDC stream picks up reference data (topic configs, tenant maps)
+    * at scale. The static side re-resolves per micro-batch for file
+    * sources, so slowly-changing dimensions refresh without restart.
+    */
+  def enrich(
+      stream: DataFrame,
+      dim: DataFrame,
+      streamKey: String,
+      dimKey: String): DataFrame =
+    stream.join(broadcast(dim),
+      stream(streamKey) === dim(dimKey), "left")
+
   /** Session windows: activity grouped by gaps of `gap` inactivity. */
   def sessionAgg(
       events: DataFrame,

@@ -118,4 +118,24 @@ class EventTimeOpsSpec extends AnyFunSuite {
       assert(sessions === Seq(1L, 2L))
     } finally q.stop()
   }
+
+  test("stream-static enrichment joins a broadcast dimension, keeps misses") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val dim = Seq(("alice", "gold"), ("bob", "basic"))
+      .toDF("d_user", "tier")
+    val out = EventTimeOps.enrich(in.toDF(), dim, "user", "d_user")
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("enriched").start()
+    try {
+      in.addData(Ev(t(1), "alice", 1), Ev(t(2), "carol", 2))
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .select("user", "tier").collect()
+        .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+      // known user enriched; unknown user kept with NULL (left join)
+      assert(rows === Set(("alice", Some("gold")), ("carol", None)))
+    } finally q.stop()
+  }
 }
