@@ -33,16 +33,26 @@ case class MinHashSigAggExpr(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
 
+  // Seq[Long] indexing boxes on every access; copy once to primitive
+  // arrays for the per-row loop (32 lookups per input hash).
+  // transient lazy: rebuilt from the serialized as/bs on each executor.
+  @transient private lazy val aArr: Array[Long] = as.toArray
+  @transient private lazy val bArr: Array[Long] = bs.toArray
+
   override def createAggregationBuffer(): Array[Long] =
     Array.fill(k)(Long.MaxValue)
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val x = v.asInstanceOf[Long]
+      // reduce mod p defensively: a raw 60-bit hash times a ~2^30
+      // coefficient overflows int64 silently; pre-reduced inputs make
+      // this a no-op, unreduced ones (e.g. via the SQL surface) stay
+      // correct instead of wrapping
+      val x = v.asInstanceOf[Long] % p
       var i = 0
       while (i < k) {
-        val h = (as(i) * x + bs(i)) % p
+        val h = (aArr(i) * x + bArr(i)) % p
         if (h < buf(i)) buf(i) = h
         i += 1
       }
@@ -56,7 +66,13 @@ case class MinHashSigAggExpr(
     b1
   }
 
-  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+  // Untouched buffer (zero input rows) yields NULL like built-in
+  // min(), not an all-sentinel signature that would band every empty
+  // group into the same bucket. buf(0)==MaxValue is unambiguous: real
+  // minima are < p << Long.MaxValue.
+  override def eval(buf: Array[Long]): Any =
+    if (k > 0 && buf(0) == Long.MaxValue) null
+    else new GenericArrayData(buf)
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
     val bb = ByteBuffer.allocate(8 * k)
@@ -71,7 +87,7 @@ case class MinHashSigAggExpr(
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = false
+  override def nullable: Boolean = true
 
   override def withNewMutableAggBufferOffset(o: Int): MinHashSigAggExpr =
     copy(mutableAggBufferOffset = o)

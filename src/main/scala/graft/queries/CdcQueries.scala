@@ -61,9 +61,12 @@ object CdcQueries {
         .orderBy("event_id")),
 
     // P3: topic routing (`change_event_handler.py:84-91`)
+    // coalesce pins NULL semantics: Spark concat nulls the whole
+    // result on a NULL input while DuckDB concat skips it
     "p3_topic_route" -> ((s, d) =>
       events(s, d)
-        .groupBy(concat(lit("cdc.events."), col("event_type")).alias("topic"))
+        .groupBy(concat(lit("cdc.events."),
+          coalesce(col("event_type"), lit(""))).alias("topic"))
         .agg(count(lit(1)).alias("n"))
         .orderBy("topic")),
 
@@ -141,7 +144,7 @@ object CdcQueries {
         |ORDER BY event_id""".stripMargin,
 
     "p3_topic_route" ->
-      """SELECT concat('cdc.events.', event_type) AS topic,
+      """SELECT concat('cdc.events.', coalesce(event_type, '')) AS topic,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY event_type ORDER BY topic""".stripMargin,
 

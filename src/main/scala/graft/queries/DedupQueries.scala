@@ -27,11 +27,15 @@ import graft.Tables
   */
 object DedupQueries {
 
-  /** 60-bit portable hash: first 15 hex digits of md5. */
-  private def h60(c: Column): Column =
+  /** 60-bit portable hash: first 15 hex digits of md5. Shared across
+    * the query modules (tx_sample strata use the same hash) — the hex
+    * width must stay in lock-step with SqlH60 and every oracle that
+    * replays it.
+    */
+  private[queries] def h60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
-  private val SqlH60 = (e: String) =>
+  private[queries] val SqlH60 = (e: String) =>
     s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
 
   // MinHash parameters: k=32 permutations h_i(x) = (a_i*x + b_i) mod P,
@@ -213,24 +217,28 @@ object DedupQueries {
       // component-diameter steps, and stopping early would silently
       // return non-minimal labels. The cap is a runaway backstop far
       // above any realistic near-dup component diameter; hitting it is
-      // an error, never a silent partial answer.
-      while (!converged && iter < 1000) {
-        // two propagation steps per materialization: halves the
-        // driver-side job count (the per-iteration fixed cost), and a
-        // fixpoint of the double step is a fixpoint of the single step
-        // because labels are monotone. localCheckpoint cuts the
-        // iteration lineage so plans don't double per round.
-        val next = prop(prop(labels)).localCheckpoint()
-        val sum = next.agg(coalesce(org.apache.spark.sql.functions.sum(
-          col("label")), lit(0L))).head().getLong(0)
-        converged = prevSum.contains(sum)
-        prevSum = Some(sum)
-        labels = next
-        iter += 1
-      }
-      if (!converged) throw new IllegalStateException(
-        s"dd_cluster: label propagation did not converge in $iter rounds")
-      edges.unpersist()
+      // an error, never a silent partial answer. Previous rounds'
+      // localCheckpoint RDDs are released by the ContextCleaner once
+      // unreferenced; the explicitly persisted edges frame is freed in
+      // the finally even on the non-convergence throw.
+      try {
+        while (!converged && iter < 1000) {
+          // two propagation steps per materialization: halves the
+          // driver-side job count (the per-iteration fixed cost), and a
+          // fixpoint of the double step is a fixpoint of the single
+          // step because labels are monotone. localCheckpoint cuts the
+          // iteration lineage so plans don't double per round.
+          val next = prop(prop(labels)).localCheckpoint()
+          val sum = next.agg(coalesce(org.apache.spark.sql.functions.sum(
+            col("label")), lit(0L))).head().getLong(0)
+          converged = prevSum.contains(sum)
+          prevSum = Some(sum)
+          labels = next
+          iter += 1
+        }
+        if (!converged) throw new IllegalStateException(
+          s"dd_cluster: label propagation did not converge in $iter rounds")
+      } finally edges.unpersist()
       labels.select(col("id").alias("doc_id"), col("label").alias("cluster_id"))
         .orderBy("doc_id")
     }))

@@ -28,7 +28,7 @@ object RelationalQueries {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast(LongType)).alias("sum_qty"),
+          sum(round(col("l_quantity"), 0).cast(LongType)).alias("sum_qty"),
           sum(cents(col("l_extendedprice"))).alias("price_cents"),
           sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
             .alias("revenue_cents"),
@@ -78,7 +78,7 @@ object RelationalQueries {
     "rel_rollup" -> ((s, d) =>
       Tables.lineitem(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("l_quantity").cast(LongType)).alias("sum_qty"),
+        .agg(sum(round(col("l_quantity"), 0).cast(LongType)).alias("sum_qty"),
           count(lit(1)).alias("n"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).alias("rf"),
@@ -162,7 +162,7 @@ object RelationalQueries {
       val salted = Tables.lineitem(s, d)
         .select(col("l_returnflag"),
           pmod(col("l_orderkey"), lit(8)).alias("salt"),
-          col("l_quantity").cast(LongType).alias("q"))
+          round(col("l_quantity"), 0).cast(LongType).alias("q"))
         .groupBy(col("l_returnflag"), col("salt"))
         .agg(sum(col("q")).alias("pq"), count(lit(1)).alias("pn"))
       salted.groupBy(col("l_returnflag"))
@@ -220,13 +220,13 @@ object RelationalQueries {
 
     // Analytic window functions: running sum, lag, lead, rank.
     "rel_window_running" -> ((s, d) => {
-      val cents = round(col("o_totalprice") * 100, 0).cast(LongType)
+      val priceCents = cents(col("o_totalprice"))
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
       val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.orders(s, d)
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-          cents.alias("cents"))
+          priceCents.alias("cents"))
         .withColumn("running", sum(col("cents")).over(wr))
         .withColumn("prev", lag(col("cents"), 1).over(w))
         .withColumn("nxt", lead(col("cents"), 1).over(w))
@@ -252,7 +252,7 @@ object RelationalQueries {
   val oracles: Map[String, String] = Map(
     "rel_q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sum_qty,
         |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
         |    AS price_cents,
         |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0)
@@ -296,7 +296,7 @@ object RelationalQueries {
     "rel_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
         |  coalesce(l_linestatus, 'ALL') AS ls,
-        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sum_qty,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
@@ -350,7 +350,7 @@ object RelationalQueries {
     // the semantic result (plain group-by)
     "rel_skew_agg" ->
       """SELECT l_returnflag,
-        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sum_qty,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,

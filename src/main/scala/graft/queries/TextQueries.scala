@@ -108,8 +108,7 @@ object TextQueries {
     // window shuffle on the stratum key.
     "tx_sample" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val h = conv(substring(md5(col("text")), 1, 15), 16, 10)
-        .cast(LongType)
+      val h = DedupQueries.h60(col("text"))
       val win = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), h.alias("h"))

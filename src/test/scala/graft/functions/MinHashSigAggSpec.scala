@@ -25,12 +25,27 @@ class MinHashSigAggSpec extends AnyFunSuite {
     assert(got === ref(xs))
   }
 
-  test("empty-input groups keep the sentinel maxima") {
+  test("empty-input groups yield NULL like built-in min(), not sentinels") {
+    // an all-sentinel signature would band every empty group into the
+    // same LSH bucket; NULL is the honest answer for "no hashes seen"
     import spark.implicits._
-    val got = Seq((1L, Option.empty[Long])).toDF("g", "h")
+    val row = Seq((1L, Option.empty[Long])).toDF("g", "h")
       .groupBy("g").agg(MinHashSig(col("h"), K, P, As, Bs).alias("sig"))
-      .head().getSeq[Long](1)
-    assert(got === Seq.fill(K)(Long.MaxValue))
+      .head()
+    assert(row.isNullAt(1))
+  }
+
+  test("unreduced 60-bit inputs are reduced mod P, not overflowed") {
+    // raw h60 output (< 2^60) times a ~2^30 coefficient overflows
+    // int64; the aggregate must reduce first so the SQL surface is
+    // safe to call without a pre-pmod
+    import spark.implicits._
+    val raw = Seq(1152921504606846975L /* 2^60-1 */, 987654321987L)
+    val got = raw.toDF("h")
+      .agg(MinHashSig(col("h"), K, P, As, Bs).alias("sig"))
+      .head().getSeq[Long](0)
+    assert(got === ref(raw.map(x => x % P)))
+    assert(got.forall(v => v >= 0 && v < P))
   }
 
   test("grouped signatures match per-group reference across partitions") {
