@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 
 import org.apache.spark.sql.graftshim.analysisError
 
-import graft.functions.{ByteSumModExpr, DotProductExpr, FingerprintExpr, MinHashSigAggExpr, WordShinglesExpr}
+import graft.functions.{ByteSumModExpr, DotProductExpr, FingerprintExpr, LegacyExtJsonExpr, MinHashSigAggExpr, WordShinglesExpr}
 import graft.queries.DedupQueries
 
 /** SparkSessionExtensions entry point: registers the engine's custom
@@ -61,6 +61,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a, b) => DotProductExpr(a, b)
         case _ => throw analysisError(
           s"dot_product(a, b) takes exactly 2 arguments, got ${args.length}")
+      }))
+
+    e.injectFunction((
+      FunctionIdentifier("legacy_ext_json"),
+      new ExpressionInfo(classOf[LegacyExtJsonExpr].getName, null,
+        "legacy_ext_json"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => LegacyExtJsonExpr(c)
+        case _ => throw analysisError(
+          s"legacy_ext_json(col) takes exactly 1 argument, got ${args.length}")
       }))
 
     // Aggregate: minhash_sig(hashCol) with the engine's standard k/P

@@ -49,10 +49,24 @@ object EnvelopeTransform {
     * spliced in verbatim (no double-encoding); absent fields are
     * omitted (concat_ws skips nulls) exactly like the reference's
     * conditional dict building.
+    *
+    * `valueEnvelope` splices verbatim — correct when the source
+    * already carries **legacy**-dialect strings (the fixture path).
+    * `valueEnvelopeLegacy` additionally runs each open sub-document
+    * through the E3 codec (`functions.LegacyExtJson`), so a connector
+    * configured for canonical/relaxed output (`{"$date":
+    * {"$numberLong": ...}}` etc.) still produces the reference's
+    * legacy dialect (`json_util.dumps(..., LEGACY_JSON_OPTIONS)`,
+    * `producing/change_event_handler.py:95-113`).
     */
-  val valueEnvelope: Column = {
+  val valueEnvelope: Column = envelope(identity)
+
+  val valueEnvelopeLegacy: Column =
+    envelope(graft.functions.LegacyExtJsonCol.apply)
+
+  private def envelope(codec: Column => Column): Column = {
     val before = when(col("fullDocumentBeforeChange").isNotNull,
-      concat(lit("\"before\": "), col("fullDocumentBeforeChange")))
+      concat(lit("\"before\": "), codec(col("fullDocumentBeforeChange"))))
     // The reference dumps the updateDescription sub-document verbatim —
     // whatever keys are present, in the event's own order, with
     // json_util's ", "/": " separators. So: each sub-key included
@@ -71,17 +85,19 @@ object EnvelopeTransform {
         lit("]")))
     val truncArrs = when(col("updateDescription.truncatedArrays").isNotNull,
       concat(lit("\"truncatedArrays\": ["),
-        concat_ws(", ", col("updateDescription.truncatedArrays")),
+        concat_ws(", ", transform(col("updateDescription.truncatedArrays"),
+          codec)),
         lit("]")))
     val updFields = when(col("updateDescription.updatedFields").isNotNull,
-      concat(lit("\"updatedFields\": "), col("updateDescription.updatedFields")))
+      concat(lit("\"updatedFields\": "),
+        codec(col("updateDescription.updatedFields"))))
     val updDesc = when(col("updateDescription").isNotNull,
       concat(
         lit("\"updateDescription\": {"),
         concat_ws(", ", remFields, truncArrs, updFields),
         lit("}")))
     val after = when(col("fullDocument").isNotNull,
-      concat(lit("\"after\": "), col("fullDocument")))
+      concat(lit("\"after\": "), codec(col("fullDocument"))))
     val op = concat(lit("\"op\": \""), opCode, lit("\""))
     concat(lit("{"), concat_ws(", ", before, updDesc, after, op), lit("}"))
   }
@@ -97,13 +113,20 @@ object EnvelopeTransform {
 
   /** Full transform: filter + project to the Kafka-sink contract
     * (`topic`, `key`, `value` columns — the Spark Kafka sink routes
-    * per-row by these exact column names).
+    * per-row by these exact column names). With `legacyDialect = true`
+    * the key and every open sub-document run through the E3 codec, so
+    * canonical/relaxed connector output serializes in the reference's
+    * legacy dialect (P2 runs documentKey through json_util the same
+    * way, `change_event_handler.py:93-98`).
     */
-  def apply(df: DataFrame, topicPrefix: String = ""): DataFrame =
+  def apply(df: DataFrame, topicPrefix: String = "",
+      legacyDialect: Boolean = false): DataFrame =
     filterDataOps(df).select(
       topic(topicPrefix).alias("topic"),
-      col("documentKey").alias("key"),
-      valueEnvelope.alias("value"))
+      (if (legacyDialect) graft.functions.LegacyExtJsonCol(col("documentKey"))
+       else col("documentKey")).alias("key"),
+      (if (legacyDialect) valueEnvelopeLegacy else valueEnvelope)
+        .alias("value"))
 
   /** P4 parity: the reference routes each event to producer
     * `sum(bytes) mod n` over the documentKey's raw ObjectId bytes

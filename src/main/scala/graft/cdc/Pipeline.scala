@@ -90,12 +90,21 @@ object FileTopicSink {
 }
 
 /** K4 parity: the reference caches known topics and creates missing
-  * ones before producing (`producing/producer.py:43-64`). With Spark's
-  * Kafka sink this runs driver-side in a foreachBatch prologue; the
-  * AdminClient call is injected so tests (and this kafka-less
-  * container) can observe the contract.
+  * ones before producing (`producing/producer.py:43-64`), passing the
+  * full creation spec — partitions, replication factor, topic config —
+  * from settings (`settings.py:31-34`). With Spark's Kafka sink this
+  * runs driver-side in a foreachBatch prologue; the AdminClient call
+  * is injected so tests (and this kafka-less container) can observe
+  * the contract, spec included.
   */
-final class TopicEnsurer(createTopic: String => Unit) {
+final class TopicEnsurer(
+    createTopic: (String, TopicSpec) => Unit,
+    spec: TopicSpec = TopicSpec()) {
+
+  /** Name-only convenience (pre-spec call sites / simple sinks). */
+  def this(createTopic: String => Unit) =
+    this((t: String, _: TopicSpec) => createTopic(t), TopicSpec())
+
   private val known = scala.collection.concurrent.TrieMap.empty[String, Unit]
 
   /** Ensure every distinct topic in this batch exists. The distinct
@@ -105,5 +114,5 @@ final class TopicEnsurer(createTopic: String => Unit) {
   def ensure(batch: DataFrame): Unit =
     batch.select("topic").distinct().collect().map(_.getString(0))
       .filterNot(known.contains)
-      .foreach { t => createTopic(t); known.put(t, ()) }
+      .foreach { t => createTopic(t, spec); known.put(t, ()) }
 }

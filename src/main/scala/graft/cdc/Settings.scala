@@ -25,6 +25,13 @@ package graft.cdc
   *                       producers_count parity (P4); None lets the
   *                       Kafka sink's keyed partitioner do it
   * @param streamReaderName identity for the SavedToken mirror (C4)
+  * @param newTopic        creation spec for auto-created topics (K4 —
+  *                        `settings.py:31-34` NewTopicConfiguration:
+  *                        partitions, replication factor, topic config)
+  * @param tokenSaveTimeoutMs base write timeout for token persistence;
+  *                        attempt n waits n× this (C4 retry parity,
+  *                        `settings.py:46-47` + `token_saver.py:58-90`)
+  * @param tokenSaveOnTimeoutRetry attempts before a timeout propagates
   */
 case class Settings(
     sourceFormat: String = "mongodb",
@@ -35,4 +42,16 @@ case class Settings(
     checkpointLocation: String,
     triggerInterval: String = "30 seconds",
     sinkPartitions: Option[Int] = None,
-    streamReaderName: String = "graft-stream-reader")
+    streamReaderName: String = "graft-stream-reader",
+    newTopic: TopicSpec = TopicSpec(),
+    tokenSaveTimeoutMs: Long = 5000L,
+    tokenSaveOnTimeoutRetry: Int = 3)
+
+/** K4: what auto-created topics are created *with* — the reference's
+  * `NewTopicConfiguration` (`settings.py:31-34`), passed verbatim to
+  * the AdminClient's NewTopic (`producing/producer.py:43-64`).
+  */
+case class TopicSpec(
+    numPartitions: Int = 1,
+    replicationFactor: Short = 1,
+    config: Map[String, String] = Map.empty)

@@ -93,6 +93,64 @@ final class FileTokenStore(dir: String) extends TokenStore {
   }
 }
 
+/** C4 operational parity: the reference's escalating save-retry policy
+  * (`committing/token_saver.py:58-90`) behind the same `TokenStore`
+  * trait. Attempt n (0-based) runs under a write deadline of
+  * `writeTimeoutMs * (n + 1)` — 5 s / 10 s / 15 s at the defaults
+  * (`settings.py:46-47`); a timeout retries with the longer deadline
+  * until `onTimeoutRetryCount` attempts are spent (then the timeout
+  * propagates); any non-timeout error propagates immediately.
+  *
+  * The deadline context is injected (`withTimeout`) exactly like the
+  * reference leans on pymongo's `timeout(...)` context manager: a real
+  * MongoTokenStore passes it through as maxTimeMS/wTimeoutMS on the
+  * upsert; the default runs the delegate undeadlined (file/in-memory
+  * stores complete locally). Tests inject both seams, mirroring
+  * `tests/test_commit_flow/test_token_saver.py:85-138`.
+  */
+final class RetryingTokenStore(
+    delegate: TokenStore,
+    writeTimeoutMs: Long = 5000L,
+    onTimeoutRetryCount: Int = 3,
+    isTimeout: Throwable => Boolean = RetryingTokenStore.defaultIsTimeout,
+    withTimeout: (Long, () => Unit) => Unit = (_, op) => op())
+  extends TokenStore {
+
+  require(onTimeoutRetryCount >= 1, "onTimeoutRetryCount must be >= 1")
+
+  override def save(t: SavedToken): Unit = {
+    var count = 0
+    var done = false
+    while (!done) {
+      try {
+        withTimeout(writeTimeoutMs * (count + 1), () => delegate.save(t))
+        done = true
+      } catch {
+        case e: Throwable if isTimeout(e) =>
+          count += 1
+          if (count >= onTimeoutRetryCount) throw e
+      }
+    }
+  }
+
+  override def load(name: String): Option[SavedToken] = delegate.load(name)
+}
+
+object RetryingTokenStore {
+  /** The JVM shapes of "the write timed out" (pymongo's
+    * `exc.timeout` discriminator, `token_saver.py:70`).
+    */
+  def defaultIsTimeout(e: Throwable): Boolean = e match {
+    case _: java.util.concurrent.TimeoutException => true
+    case _: java.net.SocketTimeoutException => true
+    case _ => false
+  }
+
+  def fromSettings(delegate: TokenStore, s: Settings): RetryingTokenStore =
+    new RetryingTokenStore(delegate, s.tokenSaveTimeoutMs,
+      s.tokenSaveOnTimeoutRetry)
+}
+
 /** Mirrors the last committed source offset of a named streaming query
   * into a TokenStore after every micro-batch — the Spark-native
   * replacement for the reference's CommitFlow→TokenSaving path, with

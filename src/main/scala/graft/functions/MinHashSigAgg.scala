@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.graftshim.{toColumn, toExpression}
+import org.apache.spark.sql.graftshim.{toColumn, toExpression, LongInput}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** MinHash signature as a native typed aggregate: for each of k
@@ -31,7 +31,8 @@ case class MinHashSigAggExpr(
     bs: Seq[Long],
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[Array[Long]]
+  with LongInput with UnaryLike[Expression] {
 
   // Seq[Long] indexing boxes on every access; copy once to primitive
   // arrays for the per-row loop (32 lookups per input hash).
@@ -48,11 +49,13 @@ case class MinHashSigAggExpr(
       // reduce mod p defensively: a raw 60-bit hash times a ~2^30
       // coefficient overflows int64 silently; pre-reduced inputs make
       // this a no-op, unreduced ones (e.g. via the SQL surface) stay
-      // correct instead of wrapping
-      val x = v.asInstanceOf[Long] % p
+      // correct instead of wrapping. floorMod, not %: a negative input
+      // under signed remainder yields a negative residue that beats
+      // every legitimate minimum and corrupts the signature.
+      val x = java.lang.Math.floorMod(v.asInstanceOf[Long], p)
       var i = 0
       while (i < k) {
-        val h = (aArr(i) * x + bArr(i)) % p
+        val h = java.lang.Math.floorMod(aArr(i) * x + bArr(i), p)
         if (h < buf(i)) buf(i) = h
         i += 1
       }

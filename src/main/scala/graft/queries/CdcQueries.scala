@@ -146,7 +146,7 @@ object CdcQueries {
     "p3_topic_route" ->
       """SELECT concat('cdc.events.', coalesce(event_type, '')) AS topic,
         |  CAST(count(*) AS BIGINT) AS n
-        |FROM events GROUP BY event_type ORDER BY topic""".stripMargin,
+        |FROM events GROUP BY 1 ORDER BY topic""".stripMargin,
 
     "p4_hash_route" ->
       """SELECT CAST(list_aggregate(list_transform(

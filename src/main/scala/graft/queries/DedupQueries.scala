@@ -60,10 +60,11 @@ object DedupQueries {
     * the dedup queries in one session.
     */
   private def shingled(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"),
-        graft.functions.WordShingles(col("text"), 3).alias("sh"))
-      .persist()
+    QueryMemo.cached(s, "dd.shingled", d) {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.WordShingles(col("text"), 3).alias("sh"))
+    }
 
   /** Per-doc MinHash signature via the MinHashSigAgg typed aggregate:
     * explode shingle hashes, one-pass k-minima per document with
@@ -71,22 +72,24 @@ object DedupQueries {
     * doc, not every shingle hash). Exposed as m0..m{K-1} columns for
     * the banding stage.
     */
-  private def signatures(s: SparkSession, d: String): DataFrame = {
-    val hashed = shingled(s, d)
-      .select(col("doc_id"), explode(col("sh")).alias("shingle"))
-      .select(col("doc_id"), pmod(h60(col("shingle")), lit(P)).alias("h"))
-    val agg = hashed.groupBy("doc_id")
-      .agg(graft.functions.MinHashSig(col("h"), K, P, As, Bs).alias("sig"))
-    val cols = (0 until K).map(i => element_at(col("sig"), i + 1).alias(s"m$i"))
-    agg.select(col("doc_id") +: cols: _*)
-  }
+  private def signatures(s: SparkSession, d: String): DataFrame =
+    QueryMemo.cached(s, "dd.signatures", d) {
+      val hashed = shingled(s, d)
+        .select(col("doc_id"), explode(col("sh")).alias("shingle"))
+        .select(col("doc_id"), pmod(h60(col("shingle")), lit(P)).alias("h"))
+      val agg = hashed.groupBy("doc_id")
+        .agg(graft.functions.MinHashSig(col("h"), K, P, As, Bs).alias("sig"))
+      val cols =
+        (0 until K).map(i => element_at(col("sig"), i + 1).alias(s"m$i"))
+      agg.select(col("doc_id") +: cols: _*)
+    }
 
   /** LSH candidate pairs (ida < idb): band the cached signatures, join
     * docs sharing any band bucket. Shared by dd_minhash_lsh (verify
     * stage) and dd_cluster (connected components).
     */
   private def candidatePairs(s: SparkSession, d: String): DataFrame = {
-    val sig = signatures(s, d).cache()
+    val sig = signatures(s, d)
     val bandCols = (0 until Bands).map { bnd =>
       val parts = (0 until RowsPerBand)
         .map(r => col(s"m${bnd * RowsPerBand + r}"))
@@ -149,7 +152,7 @@ object DedupQueries {
     // shape that scales: band keys shuffle-partition evenly and no
     // full self-join ever happens.
     "dd_minhash_lsh" -> ((s, d) => {
-      val sig = signatures(s, d).cache()
+      val sig = signatures(s, d)
       val cand = candidatePairs(s, d)
       val sa = sig.select(
         col("doc_id").alias("ida"),
@@ -183,65 +186,109 @@ object DedupQueries {
     }),
 
     // Near-dup clustering: connected components over the LSH candidate
-    // pairs via iterative min-label propagation — each doc in a pair
-    // gets cluster_id = the smallest doc_id reachable through shared
-    // band buckets. Converges in graph-diameter iterations (near-dup
-    // components are shallow); every iteration is one keyed join + one
-    // group-by, so the step cost is two shuffles of the (tiny relative
-    // to the corpus) edge set, never a corpus-wide operation. The
-    // label set only shrinks labels monotonically, so the fixpoint
-    // test is a cheap sum comparison, not a join.
+    // pairs via alternating large-star/small-star (Kiveris et al.,
+    // "Connected Components in MapReduce and Beyond") — each doc in a
+    // pair gets cluster_id = the smallest doc_id reachable through
+    // shared band buckets. Unlike plain min-label propagation
+    // (component-diameter rounds), the star operators contract paths
+    // multiplicatively and converge in O(log n) rounds; each round is
+    // a bounded number of shuffles of the edge set (tiny relative to
+    // the corpus), never a corpus-wide operation.
     "dd_cluster" -> ((s, d) => {
       val pairs = candidatePairs(s, d)
-      val edges = pairs.select(col("ida").alias("src"), col("idb").alias("dst"))
-        .unionByName(
-          pairs.select(col("idb").alias("src"), col("ida").alias("dst")))
-        .persist()
-      var labels = edges.select(col("src").alias("id")).distinct()
-        .withColumn("label", col("id"))
-      // one min-label propagation step (labels only ever decrease)
-      def prop(ls: DataFrame): DataFrame = {
-        val nbrMin = edges
-          .join(ls.select(col("id").alias("dst2"),
-            col("label").alias("nbl")), col("dst") === col("dst2"))
-          .groupBy(col("src")).agg(min(col("nbl")).alias("nbl"))
-        ls.join(nbrMin, col("id") === col("src"), "left")
-          .select(col("id"),
-            least(col("label"), coalesce(col("nbl"), col("label")))
-              .alias("label"))
-      }
-      var prevSum = Option.empty[Long]
-      var iter = 0
-      var converged = false
-      // Iterate to the fixpoint — min-label propagation needs
-      // component-diameter steps, and stopping early would silently
-      // return non-minimal labels. The cap is a runaway backstop far
-      // above any realistic near-dup component diameter; hitting it is
-      // an error, never a silent partial answer. Previous rounds'
-      // localCheckpoint RDDs are released by the ContextCleaner once
-      // unreferenced; the explicitly persisted edges frame is freed in
-      // the finally even on the non-convergence throw.
-      try {
-        while (!converged && iter < 1000) {
-          // two propagation steps per materialization: halves the
-          // driver-side job count (the per-iteration fixed cost), and a
-          // fixpoint of the double step is a fixpoint of the single
-          // step because labels are monotone. localCheckpoint cuts the
-          // iteration lineage so plans don't double per round.
-          val next = prop(prop(labels)).localCheckpoint()
-          val sum = next.agg(coalesce(org.apache.spark.sql.functions.sum(
-            col("label")), lit(0L))).head().getLong(0)
-          converged = prevSum.contains(sum)
-          prevSum = Some(sum)
-          labels = next
-          iter += 1
-        }
-        if (!converged) throw new IllegalStateException(
-          s"dd_cluster: label propagation did not converge in $iter rounds")
-      } finally edges.unpersist()
-      labels.select(col("id").alias("doc_id"), col("label").alias("cluster_id"))
+      connectedComponents(
+        pairs.select(col("ida").alias("src"), col("idb").alias("dst")))
+        .select(col("id").alias("doc_id"), col("label").alias("cluster_id"))
         .orderBy("doc_id")
     }))
+
+  /** One large-star step: every node u connects its strictly-larger
+    * neighbors to m = min(N(u) ∪ {u}). The per-u minimum is a window
+    * aggregate over the symmetrized edge list — one hash-partition
+    * shuffle on u, no join.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val nbrs = e.unionByName(
+      e.select(col("dst").alias("src"), col("src").alias("dst")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
+    nbrs
+      .withColumn("m", least(col("src"), min(col("dst")).over(w)))
+      .filter(col("dst") > col("src"))
+      .select(col("dst").alias("src"), col("m").alias("dst"))
+      .distinct()
+  }
+
+  /** One small-star step: orient edges larger→smaller, then every node
+    * u connects its smaller neighbors (and itself) to
+    * m = min(N_small(u) ∪ {u}). Same one-shuffle window shape.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val oriented = e
+      .select(greatest(col("src"), col("dst")).alias("src"),
+        least(col("src"), col("dst")).alias("dst"))
+      .filter(col("src") =!= col("dst"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
+    val withM = oriented
+      .withColumn("m", least(col("src"), min(col("dst")).over(w)))
+    withM.select(col("dst").alias("v"), col("m"))
+      .unionByName(withM.select(col("src").alias("v"), col("m")))
+      .filter(col("v") =!= col("m"))
+      .select(col("v").alias("src"), col("m").alias("dst"))
+      .distinct()
+  }
+
+  /** Cut iteration lineage each round. Reliable `checkpoint()` (HDFS/
+    * object-store dir via `graft.cluster.checkpointDir`) survives
+    * executor loss — the right choice for a long job at scale;
+    * `localCheckpoint` (default: fast, executor-storage-pinned) is
+    * fine for short local runs.
+    */
+  private def materialize(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    df.sparkSession.conf.getOption("graft.cluster.checkpointDir") match {
+      case Some(dir) =>
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+  }
+
+  /** Connected components of an undirected edge list: returns
+    * (id, label) for every node appearing in `edges0`, label = the
+    * component's minimum node id.
+    *
+    * Convergence is detected by EXACT edge-set equality between
+    * consecutive rounds (count + one-sided exceptAll — both are
+    * shuffles of the already-materialized edge set, the same order of
+    * cost as a star step), not a lossy checksum: at the fixpoint of
+    * large∘small the edge set is a star forest rooted at component
+    * minima, so labels read off directly. The round cap is a runaway
+    * backstop: star-contraction provably converges in O(log n) rounds,
+    * so 60 covers any graph that fits in 64-bit ids; hitting the cap
+    * is an error, never a silent partial answer.
+    */
+  private[queries] def connectedComponents(edges0: DataFrame): DataFrame = {
+    val nodes = edges0.select(col("src").alias("id"))
+      .unionByName(edges0.select(col("dst").alias("id")))
+      .distinct()
+    var e = materialize(edges0.select(col("src"), col("dst")).distinct())
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 60) {
+      val next = materialize(smallStar(largeStar(e)))
+      converged = next.count() == e.count() && next.exceptAll(e).isEmpty
+      e = next
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"dd_cluster: star contraction did not converge in $iter rounds")
+    // star forest: each non-root points to its component min; roots
+    // (and singletons, were any present) label themselves
+    nodes
+      .join(e.select(col("src").alias("id"), col("dst").alias("label")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).alias("label"))
+  }
 
   // ----------------------------------------------------------------
   // Oracles (DuckDB). Repetitive parts are generated so the constants

@@ -184,8 +184,7 @@ object RelationalQueries {
     }),
 
     // Exact distinct counts (the HLL/approx variant is
-    // rel_approx_distinct, rows-only checked — sketches are
-    // engine-specific by nature).
+    // rel_approx_distinct below).
     "rel_distinct" -> ((s, d) =>
       Tables.lineitem(s, d)
         .agg(
@@ -194,11 +193,25 @@ object RelationalQueries {
           countDistinct(col("l_orderkey")).alias("ords"),
           count(lit(1)).alias("n"))),
 
+    // HLL sketch values are engine-specific, so the oracle-checkable
+    // contract is the sketch's accuracy guarantee: exact counts plus
+    // a boolean per sketch asserting relative error ≤ 5% (default HLL
+    // rsd is 0.05 ⇒ expected error well under that at these
+    // cardinalities). DuckDB emits the exact counts and literal TRUEs;
+    // the row hash-matches iff the engine's sketches are in tolerance.
     "rel_approx_distinct" -> ((s, d) =>
       Tables.lineitem(s, d)
         .agg(
-          approx_count_distinct(col("l_partkey")).alias("approx_parts"),
-          approx_count_distinct(col("l_orderkey")).alias("approx_ords"))),
+          countDistinct(col("l_partkey")).alias("parts"),
+          countDistinct(col("l_orderkey")).alias("ords"),
+          approx_count_distinct(col("l_partkey")).alias("ap"),
+          approx_count_distinct(col("l_orderkey")).alias("ao"))
+        .select(
+          col("parts"), col("ords"),
+          (abs(col("ap") - col("parts")).cast("double") / col("parts")
+            <= 0.05).alias("parts_within_5pct"),
+          (abs(col("ao") - col("ords")).cast("double") / col("ords")
+            <= 0.05).alias("ords_within_5pct"))),
 
     // Scalar function library over orders: string/date/math.
     "rel_scalar_funcs" -> ((s, d) =>
@@ -375,6 +388,13 @@ object RelationalQueries {
         |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supps,
         |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS ords,
         |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem""".stripMargin,
+
+    "rel_approx_distinct" ->
+      """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS parts,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS ords,
+        |  TRUE AS parts_within_5pct,
+        |  TRUE AS ords_within_5pct
         |FROM lineitem""".stripMargin,
 
     "rel_scalar_funcs" ->

@@ -46,17 +46,23 @@ object SimilarityQueries {
   private def cosine(d: Column, na: Column, nb: Column): Column =
     d / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
 
-  /** Persisted: every similarity query references this frame 2-5
-    * times (probes, assignment, both self-join sides); without
-    * persist each reference re-runs the interpreted transform()
-    * quantization — the same re-evaluation multiplier measured and
-    * fixed for the shingle index (DedupQueries.shingled).
+  /** Persisted with intentional session-lifetime residency: every
+    * similarity query references this frame 2-5 times (probes,
+    * assignment, both self-join sides); without persist each reference
+    * re-runs the interpreted transform() quantization — the same
+    * re-evaluation multiplier measured and fixed for the shingle index
+    * (DedupQueries.shingled). The per-(session, dir) memo means
+    * repeated query construction reuses one frame instead of logging
+    * 'already cached' per build; ensurePersisted re-pins it if an
+    * external clearCache (the bench isolates queries that way) dropped
+    * the cache entry.
     */
   private def quantized(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
-      .select(col("vec_id"), quant(col("embedding")).alias("q"))
-      .withColumn("n2", dot(col("q"), col("q")))
-      .persist()
+    QueryMemo.cached(s, "sim.quantized", dir) {
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), quant(col("embedding")).alias("q"))
+        .withColumn("n2", dot(col("q"), col("q")))
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Brute-force cosine top-k for a broadcast probe set.

@@ -53,6 +53,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .head().getSeq[Long](0)
       assert(sig.length === graft.queries.DedupQueries.K)
       assert(sig.forall(_ >= 0L))
+
+      // E3 codec from SQL
+      assert(spark.sql(
+        """SELECT legacy_ext_json('{"a": {"$numberLong": "42"}}') AS v""")
+        .head().getString(0) === """{"a": 42}""")
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()

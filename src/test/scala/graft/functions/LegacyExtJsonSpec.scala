@@ -1,0 +1,144 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc.{ChangeEvents, EnvelopeTransform, UpdateDescription}
+
+/** E3 byte parity: canonical/relaxed extended JSON → the **legacy**
+  * dialect `json_util.dumps(..., LEGACY_JSON_OPTIONS)` emits
+  * (`producing/change_event_handler.py:95-113`), pinned against the
+  * exact byte sequences json_util produces for the golden fixture
+  * types (`tests/mocks/events.py`).
+  */
+class LegacyExtJsonSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.GraftSession.builder("4").getOrCreate()
+
+  private val oid = "6692b4a31ede014d28852865"
+
+  test("ObjectId wrapper passes through unchanged") {
+    assert(LegacyExtJson.convert(s"""{"$$oid": "$oid"}""") ===
+      s"""{"$$oid": "$oid"}""")
+  }
+
+  test("canonical $date {$numberLong} becomes legacy integer millis") {
+    assert(LegacyExtJson.convert(
+      """{"when": {"$date": {"$numberLong": "1720890531823"}}}""") ===
+      """{"when": {"$date": 1720890531823}}""")
+  }
+
+  test("relaxed $date ISO-8601 string becomes legacy integer millis") {
+    // 2024-07-13T17:08:51.823Z == 1720890531823 ms (the insert
+    // fixture's wallTime, events.py:22-26)
+    assert(LegacyExtJson.convert(
+      """{"when": {"$date": "2024-07-13T17:08:51.823Z"}}""") ===
+      """{"when": {"$date": 1720890531823}}""")
+  }
+
+  test("already-legacy input is a fixed point (idempotent codec)") {
+    val legacy =
+      s"""{"_id": {"$$oid": "$oid"}, "a": 1, "when": {"$$date": 1720890531823}, """ +
+        """"ts": {"$timestamp": {"t": 1720890531, "i": 1}}}"""
+    assert(LegacyExtJson.convert(legacy) === legacy)
+  }
+
+  test("$timestamp normalizes to json_util's {t, i} member order") {
+    assert(LegacyExtJson.convert(
+      """{"ts": {"$timestamp": {"i": 2, "t": 1720890718}}}""") ===
+      """{"ts": {"$timestamp": {"t": 1720890718, "i": 2}}}""")
+  }
+
+  test("canonical $binary becomes legacy {$binary, $type}") {
+    assert(LegacyExtJson.convert(
+      """{"b": {"$binary": {"base64": "Zm9vYmFy", "subType": "00"}}}""") ===
+      """{"b": {"$binary": "Zm9vYmFy", "$type": "00"}}""")
+  }
+
+  test("canonical number wrappers inline as bare tokens") {
+    assert(LegacyExtJson.convert(
+      """{"l": {"$numberLong": "9007199254740993"}, "i": {"$numberInt": "-7"}, """ +
+        """"d": {"$numberDouble": "3.5"}}""") ===
+      """{"l": 9007199254740993, "i": -7, "d": 3.5}""")
+  }
+
+  test("$numberDouble NaN/Infinity become Python json's bare literals") {
+    assert(LegacyExtJson.convert(
+      """{"a": {"$numberDouble": "NaN"}, "b": {"$numberDouble": "-Infinity"}}""") ===
+      """{"a": NaN, "b": -Infinity}""")
+  }
+
+  test("canonical $regularExpression becomes legacy {$regex, $options}") {
+    assert(LegacyExtJson.convert(
+      """{"r": {"$regularExpression": {"pattern": "^a.*b$", "options": "i"}}}""") ===
+      """{"r": {"$regex": "^a.*b$", "$options": "i"}}""")
+  }
+
+  test("ensure_ascii: non-ASCII escapes as \\uXXXX like json.dumps") {
+    assert(LegacyExtJson.convert("{\"s\": \"héllo — 日本\"}")
+      === "{\"s\": \"h\\u00e9llo \\u2014 \\u65e5\\u672c\"}")
+    // surrogate pair escapes per UTF-16 unit, exactly like CPython
+    assert(LegacyExtJson.convert("{\"s\": \"🚀\"}") ===
+      "{\"s\": \"\\ud83d\\ude80\"}")
+  }
+
+  test("separators and nesting match json.dumps defaults") {
+    assert(LegacyExtJson.convert("""{"a":[1,{"b":true,"c":null}],"d":"x"}""") ===
+      """{"a": [1, {"b": true, "c": null}], "d": "x"}""")
+  }
+
+  test("malformed JSON throws, never nulls a change event away") {
+    intercept[IllegalArgumentException] {
+      LegacyExtJson.convert("""{"a": """)
+    }
+  }
+
+  test("expression matches direct convert under codegen and interpreted eval") {
+    import spark.implicits._
+    val in = s"""{"_id": {"$$oid": "$oid"}, "when": {"$$date": {"$$numberLong": "1720890531823"}}}"""
+    val df = Seq(in).toDF("j")
+    val viaExpr = df.select(LegacyExtJsonCol(col("j"))).head().getString(0)
+    assert(viaExpr === LegacyExtJson.convert(in))
+    // interpreted path (codegen disabled) must agree
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = df.select(LegacyExtJsonCol(col("j"))).head().getString(0)
+      assert(interp === viaExpr)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
+  test("canonical-mode update fixture converts to the exact legacy envelope bytes") {
+    import spark.implicits._
+    // The update() golden event (events.py:30-60) as a canonical-mode
+    // connector would carry it: $numberInt-wrapped ints. The legacy
+    // envelope must come out byte-identical to the splice-verbatim
+    // legacy fixture (EnvelopeTransformSpec's pinned bytes).
+    def canonDoc(a: Int) =
+      s"""{"_id": {"$$oid": "$oid"}, "a": {"$$numberInt": "$a"}}"""
+    val ev = ChangeEvents.goldenEvents(1).copy(
+      documentKey = Some(s"""{"_id": {"$$oid": "$oid"}}"""),
+      fullDocument = Some(canonDoc(2)),
+      fullDocumentBeforeChange = Some(canonDoc(1)),
+      updateDescription = Some(UpdateDescription(
+        """{"a": {"$numberInt": "2"}}""", Seq.empty, Seq.empty)))
+    val df = spark.createDataFrame(Seq(ev).toDF().rdd, ChangeEvents.schema)
+    val row = EnvelopeTransform(df, "test", legacyDialect = true).head()
+    assert(row.getString(1) === ChangeEvents.docKeyJson) // key via codec
+    assert(row.getString(2) ===
+      s"""{"before": {"_id": {"$$oid": "$oid"}, "a": 1}, """ +
+      """"updateDescription": {"removedFields": [], "truncatedArrays": [], "updatedFields": {"a": 2}}, """ +
+      s""""after": {"_id": {"$$oid": "$oid"}, "a": 2}, "op": "u"}""")
+  }
+
+  test("legacy-dialect transform is a no-op on already-legacy fixtures") {
+    val plain = EnvelopeTransform(ChangeEvents.golden(spark), "test").collect()
+    val legacy = EnvelopeTransform(ChangeEvents.golden(spark), "test",
+      legacyDialect = true).collect()
+    assert(legacy.map(_.getString(2)).toSeq ===
+      plain.map(_.getString(2)).toSeq)
+    assert(legacy.map(_.getString(1)).toSeq ===
+      plain.map(_.getString(1)).toSeq)
+  }
+}

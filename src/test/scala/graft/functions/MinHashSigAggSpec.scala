@@ -48,6 +48,38 @@ class MinHashSigAggSpec extends AnyFunSuite {
     assert(got.forall(v => v >= 0 && v < P))
   }
 
+  test("negative inputs land in [0, P) via floorMod, not negative residues") {
+    // signed % would hand a negative bigint a negative residue that
+    // beats every legitimate minimum and silently corrupts the whole
+    // signature; floorMod keeps any input in-range
+    import spark.implicits._
+    val vals = Seq(-1L, Long.MinValue, -987654321987L, 42L)
+    val got = vals.toDF("h")
+      .agg(MinHashSig(col("h"), K, P, As, Bs).alias("sig"))
+      .head().getSeq[Long](0)
+    assert(got === ref(vals.map(x => java.lang.Math.floorMod(x, P))))
+    assert(got.forall(v => v >= 0 && v < P))
+  }
+
+  test("non-bigint input fails analysis (or widens) instead of runtime CCE") {
+    import spark.implicits._
+    // int widens via the implicit cast — must produce the same result
+    // as the pre-widened long input
+    val got = Seq(4, 99).toDF("h")
+      .agg(MinHashSig(col("h"), K, P, As, Bs).alias("sig"))
+      .head().getSeq[Long](0)
+    assert(got === ref(Seq(4L, 99L)))
+    // an array column is not coercible to bigint: analysis must reject
+    // it with an AnalysisException, not a ClassCastException mid-job
+    val ex = intercept[Exception] {
+      Seq(Seq(1L)).toDF("h")
+        .agg(MinHashSig(col("h"), K, P, As, Bs).alias("sig"))
+        .collect()
+    }
+    assert(ex.isInstanceOf[org.apache.spark.sql.AnalysisException],
+      s"expected AnalysisException, got ${ex.getClass}: ${ex.getMessage}")
+  }
+
   test("grouped signatures match per-group reference across partitions") {
     import spark.implicits._
     val data = (0L until 1000L).map(x => (x % 7, x * 31 % P))
