@@ -31,6 +31,10 @@ object StreamingNearDup {
   case class Doc(doc_id: Long, text: String)
   case class Banded(band: Int, key: String, doc_id: Long, sig: Array[Long])
   case class Pair(ida: Long, idb: Long, agree: Int)
+  /** Event-time variants: `ts` drives the watermark + bucket TTL. */
+  case class TimedDoc(doc_id: Long, text: String, ts: java.sql.Timestamp)
+  case class TimedBanded(band: Int, key: String, doc_id: Long,
+    sig: Array[Long], ts: java.sql.Timestamp)
 
   /** 60-bit md5 hash, mod P — the per-shingle hash `h60(x) % P`. The
     * digest instance is passed in: getInstance does a provider lookup
@@ -75,6 +79,30 @@ object StreamingNearDup {
     (0 until RowsPerBand)
       .map(r => sig(band * RowsPerBand + r)).mkString("_")
 
+  /** Smallest band index where the two signatures collide (agree on
+    * every row of the band). A pair meeting in bucket (band, key)
+    * shares at least that band, so this is ≤ the current band; the
+    * pair is emitted only by its minimum shared band's bucket — one
+    * emission per pair even when several bands collide. Pure function
+    * of the two signatures: every bucket computes the same answer
+    * with no coordination.
+    */
+  private[streaming] def minSharedBand(a: Array[Long], b: Array[Long]): Int = {
+    var band = 0
+    while (band < Bands) {
+      var r = 0
+      var same = true
+      while (same && r < RowsPerBand) {
+        val i = band * RowsPerBand + r
+        if (a(i) != b(i)) same = false
+        r += 1
+      }
+      if (same) return band
+      band += 1
+    }
+    Bands // unreachable for pairs that met in a bucket
+  }
+
   /** docs → LSH-banded rows (one per band). */
   def banded(docs: Dataset[Doc]): Dataset[Banded] = {
     implicit val enc = Encoders.product[Banded]
@@ -92,9 +120,13 @@ object StreamingNearDup {
     * against them and pairs with signature agreement ≥ `minAgree`
     * are emitted (ida < idb, dedup-ordered).
     */
-  /** A pair surfacing in several bands is emitted once per band —
-    * dedup downstream (a second stateful operator in the same query
-    * would chain stateful stages; sinks or a batch pass handle it).
+  /** A pair sharing several bands is emitted exactly once — by the
+    * bucket of its minimum shared band (`minSharedBand`), which every
+    * colliding bucket computes identically from the two signatures.
+    * (Corner: if FIFO eviction removed one doc from the minimum band's
+    * bucket before the pair could meet there, that emission is skipped
+    * rather than duplicated — both docs band at the same arrival, so
+    * bucket contents only diverge under cap pressure.)
     *
     * State boundedness has TWO dimensions: `maxPerBucket` caps one
     * bucket's entries, and `bucketTtl` evicts buckets idle longer than
@@ -120,6 +152,38 @@ object StreamingNearDup {
         matchBucket(minAgree, maxPerBucket, bucketTtl))
   }
 
+  /** Shared bucket-update core: compare arrivals to retained state,
+    * emit qualifying pairs if this bucket's band is the pair's minimum
+    * shared band, append to bounded FIFO state. Returns (emissions,
+    * new state).
+    */
+  private def matchCore(
+      band: Int, minAgree: Int, maxPerBucket: Int,
+      held0: List[(Long, Array[Long])],
+      arrivals: Iterator[(Long, Array[Long])])
+      : (List[Pair], List[(Long, Array[Long])]) = {
+    var held = held0
+    val out = scala.collection.mutable.ListBuffer.empty[Pair]
+    arrivals.foreach { case (id, sig) =>
+      if (!held.exists(_._1 == id)) {
+        held.foreach { case (otherId, otherSig) =>
+          var agree = 0
+          var j = 0
+          while (j < K) {
+            if (otherSig(j) == sig(j)) agree += 1
+            j += 1
+          }
+          if (agree >= minAgree && minSharedBand(sig, otherSig) == band) {
+            out += (if (otherId < id) Pair(otherId, id, agree)
+              else Pair(id, otherId, agree))
+          }
+        }
+        held = ((id, sig) :: held).take(maxPerBucket)
+      }
+    }
+    (out.toList, held)
+  }
+
   /** One bucket's update: compare arrivals to retained state, emit
     * qualifying pairs, append to bounded FIFO state. A timeout firing
     * for an idle bucket drops its state.
@@ -133,27 +197,79 @@ object StreamingNearDup {
       state.remove()
       return Iterator.empty
     }
-    var held = state.getOption.getOrElse(Nil)
-    val out = scala.collection.mutable.ArrayBuffer.empty[Pair]
-    rows.foreach { b =>
-      if (!held.exists(_._1 == b.doc_id)) {
-        held.foreach { case (otherId, otherSig) =>
-          var agree = 0
-          var j = 0
-          while (j < K) {
-            if (otherSig(j) == b.sig(j)) agree += 1
-            j += 1
-          }
-          if (agree >= minAgree) {
-            out += (if (otherId < b.doc_id) Pair(otherId, b.doc_id, agree)
-              else Pair(b.doc_id, otherId, agree))
-          }
-        }
-        held = ((b.doc_id, b.sig) :: held).take(maxPerBucket)
-      }
-    }
+    val (out, held) = matchCore(key._1, minAgree, maxPerBucket,
+      state.getOption.getOrElse(Nil), rows.map(b => (b.doc_id, b.sig)))
     state.update(held)
     bucketTtl.foreach(state.setTimeoutDuration)
+    out.iterator
+  }
+
+  // ----------------------------------------------------------------
+  // Event-time variant: the TTL rides the watermark, so bucket
+  // eviction is driven by the data's own clock (reprocessing a
+  // backlog evicts identically), matching the rest of the event-time
+  // operator surface — processing-time TTL ages state by wall clock
+  // even during catch-up.
+  // ----------------------------------------------------------------
+
+  /** docs → LSH-banded rows carrying the event time. */
+  def bandedTimed(docs: Dataset[TimedDoc]): Dataset[TimedBanded] = {
+    implicit val enc = Encoders.product[TimedBanded]
+    docs.flatMap { doc =>
+      signature(doc.text) match {
+        case Some(sig) =>
+          (0 until Bands).map(b =>
+            TimedBanded(b, bandKey(sig, b), doc.doc_id, sig, doc.ts))
+        case None => Seq.empty
+      }
+    }
+  }
+
+  /** Event-time twin of `candidatePairs`: buckets idle past
+    * `bucketTtl` *in event time* (watermarked by `watermarkDelay`)
+    * are dropped. Same pairing/emission semantics.
+    */
+  def candidatePairsEventTime(
+      docs: Dataset[TimedDoc],
+      minAgree: Int = 4,
+      maxPerBucket: Int = 64,
+      bucketTtlMs: Long = 3600L * 1000,
+      watermarkDelay: String = "10 minutes"): Dataset[Pair] = {
+    import docs.sparkSession.implicits._
+    bandedTimed(docs)
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(b => (b.band, b.key))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        matchBucketEventTime(minAgree, maxPerBucket, bucketTtlMs))
+  }
+
+  /** Event-time bucket update: state times out when the watermark
+    * passes (newest event seen by this bucket) + TTL.
+    */
+  def matchBucketEventTime(minAgree: Int, maxPerBucket: Int,
+      bucketTtlMs: Long)(
+      key: (Int, String),
+      rows: Iterator[TimedBanded],
+      state: GroupState[List[(Long, Array[Long])]]): Iterator[Pair] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
+    var maxTs = Long.MinValue
+    val arrivals = rows.map { b =>
+      if (b.ts.getTime > maxTs) maxTs = b.ts.getTime
+      (b.doc_id, b.sig)
+    }
+    val (out, held) = matchCore(key._1, minAgree, maxPerBucket,
+      state.getOption.getOrElse(Nil), arrivals)
+    state.update(held)
+    // arrivals is lazy: maxTs is valid only after matchCore consumed
+    // it. Never set a timeout at/below the current watermark (Spark
+    // rejects it): a late straggler extends from the watermark instead.
+    val floor = state.getCurrentWatermarkMs() + 1
+    if (maxTs != Long.MinValue)
+      state.setTimeoutTimestamp(math.max(maxTs + bucketTtlMs, floor))
     out.iterator
   }
 }

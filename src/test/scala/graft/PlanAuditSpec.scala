@@ -12,19 +12,30 @@ import org.scalatest.funsuite.AnyFunSuite
   *    non-equi predicate;
   *  - Exchange SinglePartition only for final one-row aggregates —
   *    never as a data-path stage (the global-window trap).
+  *
+  * Audited at BOTH sf0.001 and the bench scale sf0.1: broadcast
+  * thresholds and AQE decisions are statistics-driven, so a plan that
+  * is clean at the small factor can regress at the larger one (the
+  * exact blind spot a fixed-sf audit would have).
   */
 class PlanAuditSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = graft.GraftSession.builder("4").getOrCreate()
-  private val sf = "/root/testdata/sf0.001"
+
+  // override with SPARK_GRAFT_AUDIT_SFS=/path1,/path2 if needed
+  private val sfs: Seq[String] = sys.env.get("SPARK_GRAFT_AUDIT_SFS")
+    .map(_.split(",").toSeq)
+    .getOrElse(Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1"))
 
   // formatted mode: scan blocks print complete (untruncated)
   // ReadSchema/PushedFilters lines
-  private lazy val plans: Map[String, String] =
-    SparkEntry.queries.map { case (n, f) =>
-      n -> f(spark, sf).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
-    }
+  private lazy val plans: Seq[(String, String, String)] =
+    for {
+      sf <- sfs
+      (n, f) <- SparkEntry.queries.toSeq
+    } yield (sf, n,
+      f(spark, sf).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
 
   // Queries whose RESULT is a single row (global scalar aggregate):
   // the one-partition final exchange is inherent and carries one row.
@@ -39,25 +50,26 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_lsh_bucket", "sim_lsh_ann", "sim_ivf_ann", "dd_embed_cosine")
 
   test("no query plan contains a CartesianProduct") {
-    plans.foreach { case (n, p) =>
-      assert(!p.contains("CartesianProduct"), s"$n has a cartesian product")
+    plans.foreach { case (sf, n, p) =>
+      assert(!p.contains("CartesianProduct"),
+        s"$n has a cartesian product at $sf")
     }
   }
 
   test("single-partition exchanges only in one-row scalar aggregates") {
-    plans.foreach { case (n, p) =>
+    plans.foreach { case (sf, n, p) =>
       if (!singleRowAggregates(n)) {
         assert(!p.contains("SinglePartition"),
-          s"$n funnels data through one partition")
+          s"$n funnels data through one partition at $sf")
       }
     }
   }
 
   test("nested-loop joins only where a tiny side is deliberately broadcast") {
-    plans.foreach { case (n, p) =>
+    plans.foreach { case (sf, n, p) =>
       if (!broadcastNonEqui(n)) {
         assert(!p.contains("BroadcastNestedLoopJoin"),
-          s"$n has an unexpected nested-loop join")
+          s"$n has an unexpected nested-loop join at $sf")
       }
     }
   }
@@ -68,15 +80,17 @@ class PlanAuditSpec extends AnyFunSuite {
     // regressed (e.g. the full documents `text` payload dragged along).
     val wideTables = Seq("events", "documents", "orders", "lineitem",
       "customer")
-    val tableCols: Map[String, Seq[String]] = wideTables.map(t =>
-      t -> Tables.load(spark, sf, t).schema.fieldNames.toSeq).toMap
-    val readSchemas = plans.toSeq.flatMap { case (n, p) =>
-      "ReadSchema: struct<([^\n]*)".r.findAllMatchIn(p)
-        .map(m => (n, m.group(1)))
-    }
-    for ((q, rs) <- readSchemas; (t, cols) <- tableCols) {
-      assert(!cols.forall(c => rs.contains(s"$c:")),
-        s"$q reads every column of $t: $rs")
+    for (sf <- sfs) {
+      val tableCols: Map[String, Seq[String]] = wideTables.map(t =>
+        t -> Tables.load(spark, sf, t).schema.fieldNames.toSeq).toMap
+      val readSchemas = plans.filter(_._1 == sf).flatMap { case (_, n, p) =>
+        "ReadSchema: struct<([^\n]*)".r.findAllMatchIn(p)
+          .map(m => (n, m.group(1)))
+      }
+      for ((q, rs) <- readSchemas; (t, cols) <- tableCols) {
+        assert(!cols.forall(c => rs.contains(s"$c:")),
+          s"$q reads every column of $t at $sf: $rs")
+      }
     }
   }
 }

@@ -90,6 +90,23 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(created.toSeq === Seq("test.test-database.TestCollection"))
   }
 
+  test("TopicEnsurer passes the full creation spec from settings (K4 config parity)") {
+    // The reference creates topics with partitions/replication/config
+    // from NewTopicConfiguration (settings.py:31-34, producer.py:43-64)
+    val spec = TopicSpec(numPartitions = 6, replicationFactor = 3,
+      config = Map("cleanup.policy" -> "compact", "retention.ms" -> "-1"))
+    val created = mutable.ArrayBuffer.empty[(String, TopicSpec)]
+    val ensurer = new TopicEnsurer(
+      (t, s) => created.synchronized { created += ((t, s)) }, spec)
+    val batch = EnvelopeTransform(ChangeEvents.golden(spark), "test")
+    ensurer.ensure(batch)
+    assert(created.toSeq ===
+      Seq(("test.test-database.TestCollection", spec)))
+    // and the spec rides Settings so deployments configure it there
+    val viaSettings = Settings(checkpointLocation = "/tmp/x", newTopic = spec)
+    assert(viaSettings.newTopic === spec)
+  }
+
   test("drop/dropDatabase/invalidate-only input advances offsets with zero rows") {
     // §7.3 hard part 2: token-only heartbeats. A batch of only
     // non-data events must commit offsets (so restart won't rescan)

@@ -72,6 +72,99 @@ class StreamingNearDupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a pair colliding in several bands emits once, from its minimum band") {
+    // identical texts agree on all 32 rows → all 8 bands collide; only
+    // band 0 (the minimum shared band) may emit the pair
+    val sig = signature(base).get
+    def run(band: Int): Seq[Pair] = {
+      val rows = Seq(Banded(band, "k", 1L, sig), Banded(band, "k", 2L, sig))
+      val state = new TestGroupState(List.empty[(Long, Array[Long])])
+      matchBucket(minAgree = 1, maxPerBucket = 8, None)(
+        (band, "k"), rows.iterator, state).toSeq
+    }
+    assert(run(0) === Seq(Pair(1L, 2L, K)))
+    assert(run(3) === Seq.empty, "non-minimum band must suppress")
+    assert(run(7) === Seq.empty)
+  }
+
+  test("streaming end-to-end: multi-band pair appears exactly once in the sink") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Doc]
+    val q = candidatePairs(in.toDS(), minAgree = 16, maxPerBucket = 8,
+      bucketTtl = None)
+      .writeStream.format("memory").queryName("neardup_once")
+      .outputMode("append").start()
+    try {
+      in.addData(Doc(1L, base))
+      q.processAllAvailable()
+      in.addData(Doc(2L, base)) // identical: collides in all 8 bands
+      q.processAllAvailable()
+      val rows = spark.table("neardup_once").collect()
+      assert(rows.length === 1, s"expected a single emission, got ${rows.length}")
+      assert((rows.head.getLong(0), rows.head.getLong(1)) === ((1L, 2L)))
+    } finally q.stop()
+  }
+
+  test("event-time TTL: timeout set from newest event + TTL, state dropped on fire") {
+    val sig = signature(base).get
+    val state = new TestGroupState(List.empty[(Long, Array[Long])])
+    val rows = Seq(
+      TimedBanded(0, "k", 1L, sig, new java.sql.Timestamp(1000L)),
+      TimedBanded(0, "k", 2L, sig, new java.sql.Timestamp(5000L)))
+    val out = matchBucketEventTime(minAgree = 1, maxPerBucket = 8,
+      bucketTtlMs = 60000L)((0, "k"), rows.iterator, state).toSeq
+    assert(out === Seq(Pair(1L, 2L, K)))
+    assert(state.timeoutTimestamps.lastOption === Some(65000L),
+      "TTL must anchor on the newest event time in the bucket")
+    // the watermark passing the deadline drops the bucket
+    val timedOut = new TestGroupState(List((1L, sig)))
+    timedOut.timedOut = true
+    val after = matchBucketEventTime(minAgree = 1, maxPerBucket = 8,
+      bucketTtlMs = 60000L)((0, "k"), Iterator.empty, timedOut).toSeq
+    assert(after.isEmpty)
+    assert(!timedOut.exists)
+  }
+
+  test("event-time variant end-to-end: pairs found; idle buckets evicted by watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // offset from epoch 0: rows at/below the initial watermark (0)
+    // are dropped as late by the stateful operator's late-data filter
+    val t0 = 1000000L
+    def t(ms: Long) = new java.sql.Timestamp(t0 + ms)
+    val in = MemoryStream[TimedDoc]
+    // TTL 1s, watermark delay 0: state older than 1s of EVENT time
+    // evicts as the watermark advances — and unlike processing-time
+    // timeouts, the engine schedules no perpetual timeout batches, so
+    // processAllAvailable quiesces and the path is e2e-testable.
+    val q = candidatePairsEventTime(in.toDS(), minAgree = 16,
+      maxPerBucket = 8, bucketTtlMs = 1000L, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("neardup_et")
+      .outputMode("append").start()
+    try {
+      in.addData(TimedDoc(1L, base, t(0L)))
+      q.processAllAvailable()
+      in.addData(TimedDoc(2L, nearDup, t(500L))) // inside TTL → pairs
+      q.processAllAvailable()
+      assert(spark.table("neardup_et").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+      // advance the watermark far past every bucket's deadline...
+      in.addData(TimedDoc(3L, unrelated, t(100000L)))
+      q.processAllAvailable()
+      // ...let the timeout batch fire, then a fresh near-dup of doc 1
+      // finds its buckets empty: no new pair
+      in.addData(TimedDoc(4L, "mid stream filler text that matches nothing", t(100001L)))
+      q.processAllAvailable()
+      in.addData(TimedDoc(5L, base, t(100002L)))
+      q.processAllAvailable()
+      val pairs = spark.table("neardup_et").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(pairs === Seq((1L, 2L)),
+        s"evicted state must not pair with doc 5, got $pairs")
+    } finally q.stop()
+  }
+
   test("per-bucket state is FIFO-capped") {
     // fill one bucket past the cap with identical docs → state holds
     // at most maxPerBucket entries
@@ -103,6 +196,7 @@ final class TestGroupState[T](init: T)
     extends org.apache.spark.sql.streaming.GroupState[T] {
   private var v: Option[T] = Option(init)
   var timedOut: Boolean = false
+  val timeoutTimestamps = scala.collection.mutable.ArrayBuffer.empty[Long]
   def value: T = v.get
   override def exists: Boolean = v.isDefined
   override def get: T = v.get
@@ -112,7 +206,8 @@ final class TestGroupState[T](init: T)
   override def hasTimedOut: Boolean = timedOut
   override def setTimeoutDuration(durationMs: Long): Unit = ()
   override def setTimeoutDuration(duration: String): Unit = ()
-  override def setTimeoutTimestamp(timestampMs: Long): Unit = ()
+  override def setTimeoutTimestamp(timestampMs: Long): Unit =
+    timeoutTimestamps += timestampMs
   override def setTimeoutTimestamp(timestampMs: Long, additionalDuration: String): Unit = ()
   override def setTimeoutTimestamp(timestamp: java.sql.Date): Unit = ()
   override def setTimeoutTimestamp(timestamp: java.sql.Date, additionalDuration: String): Unit = ()
