@@ -14,18 +14,48 @@ object Bench {
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Per-query watchdog: host contention bursts stretch a ~1 s query
+    // to minutes (observed 174×), and one such sample would eat the
+    // whole sweep budget — starving every later query of its chance at
+    // a calm-window minimum. Past the cap the query's job group is
+    // cancelled and the sample recorded AT the cap (an honest upper
+    // bound that any later clean sweep improves on), so a burst costs
+    // at most capSec, not the budget. Every query here runs ≤ ~5 s
+    // warm on a calm host — the cap only ever fires under contention.
+    val capSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_CAP_SEC", "60").toLong
+
     def run(name: String): Double = {
       // isolate queries: drop caches/broadcasts from earlier queries
       // so measurements don't depend on run order or GC debt
       spark.catalog.clearCache()
+      val group = s"bench-$name-${System.nanoTime()}"
+      spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+      @volatile var capped = false
+      val watchdog = new Thread(() => {
+        try {
+          Thread.sleep(capSec * 1000L)
+          capped = true
+          spark.sparkContext.cancelJobGroup(group)
+        } catch { case _: InterruptedException => () }
+      })
+      watchdog.setDaemon(true)
+      watchdog.start()
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case _: Throwable if capped =>
+          System.err.println(s"[bench] $name capped at ${capSec}s (contention)")
+          capSec.toDouble
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+      } finally {
+        watchdog.interrupt()
+        spark.sparkContext.clearJobGroup()
       }
-      (System.nanoTime() - t0) / 1e9
     }
 
     // Warm the JVM/codegen once on the cheapest query so the first

@@ -129,16 +129,18 @@ object EnvelopeTransform {
         .alias("value"))
 
   /** P4 parity: the reference routes each event to producer
-    * `sum(bytes) mod n` over the documentKey's raw ObjectId bytes
-    * (`change_handler.py:77-81`). Here the byte-sum runs over the
-    * extended-JSON key string (the column this engine carries), so
-    * assignments differ from the reference's numerically — the
-    * guarantee preserved is the one that matters: a deterministic
-    * function of the key, so each key always routes to the same
-    * partition (per-document ordering under n-way parallelism).
+    * `sum(bytes) mod n` over the documentKey ObjectId's 12 raw bytes
+    * (`change_handler.py:77-81`). `OidByteSumMod` parses the `$oid`
+    * hex out of the ext-JSON key this engine carries and sums the
+    * decoded bytes — numerically identical assignments to the
+    * reference for ObjectId keys. Non-ObjectId keys (the reference
+    * crashes on those) fall back to the whole-string byte sum: still
+    * a deterministic function of the key, so each key always routes
+    * to the same partition (per-document ordering under n-way
+    * parallelism).
     */
   def byteSumPartition(keyCol: Column, n: Int): Column =
-    graft.functions.ByteSumMod(keyCol, n)
+    graft.functions.OidByteSumMod(keyCol, n)
 
   def repartitionByKey(df: DataFrame, n: Int): DataFrame =
     df.repartition(n, col("key"))
