@@ -213,6 +213,46 @@ object RelationalQueries {
           (abs(col("ao") - col("ords")).cast("double") / col("ords")
             <= 0.05).alias("ords_within_5pct"))),
 
+    // TPC-H Q14-shaped promo share: lineitem ⋈ broadcast part, monthly
+    // revenue split by a dimension predicate. The share is the one
+    // deterministic double division from exact integer cents.
+    "rel_promo_share" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val p = Tables.part(s, d).select("p_partkey", "p_type")
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .withColumn("rev",
+          cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .groupBy(
+          year(col("l_shipdate")).cast(LongType).alias("yr"),
+          month(col("l_shipdate")).cast(LongType).alias("mo"))
+        .agg(
+          sum(when(col("p_type") === "ECONOMY", col("rev")).otherwise(0L))
+            .alias("promo_cents"),
+          sum(col("rev")).alias("total_cents"))
+        .withColumn("promo_share",
+          col("promo_cents").cast("double") / col("total_cents"))
+        .orderBy("yr", "mo")
+    }),
+
+    // Q5-shaped star join: fact ⋈ three broadcast dimension hops
+    // (supplier → nation → region). The lineitem fact shuffles once —
+    // for the final tiny group-by — because every dimension broadcasts.
+    "rel_star_join" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      val n = Tables.nation(s, d).select("n_nationkey", "n_regionkey")
+      val r = Tables.region(s, d).select("r_regionkey", "r_name")
+      l.join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .alias("revenue_cents"),
+          count(lit(1)).alias("n"))
+        .orderBy("r_name")
+    }),
+
     // Scalar function library over orders: string/date/math.
     "rel_scalar_funcs" -> ((s, d) =>
       Tables.orders(s, d)
@@ -396,6 +436,33 @@ object RelationalQueries {
         |  TRUE AS parts_within_5pct,
         |  TRUE AS ords_within_5pct
         |FROM lineitem""".stripMargin,
+
+    "rel_promo_share" ->
+      """SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+        |  CAST(month(l_shipdate) AS BIGINT) AS mo,
+        |  CAST(sum(CASE WHEN p_type = 'ECONOMY'
+        |    THEN CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0)
+        |         AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_cents,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0)
+        |       AS BIGINT)) AS BIGINT) AS total_cents,
+        |  CAST(sum(CASE WHEN p_type = 'ECONOMY'
+        |    THEN CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0)
+        |         AS BIGINT) ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100,
+        |         0) AS BIGINT)) AS BIGINT) AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin,
+
+    "rel_star_join" ->
+      """SELECT r_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0)
+        |       AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
 
     "rel_scalar_funcs" ->
       """SELECT o_orderkey,
