@@ -173,6 +173,70 @@ object SimilarityQueries {
         .orderBy("qid", "rk")
     }),
 
+    // IVF with LEARNED centroids + multi-probe — the production IVF
+    // shape sim_ivf_ann's comment promises: seed centroids (vectors
+    // 0..7), one Lloyd step (per-cell integer mean, floor-exact and
+    // engine-portable), re-assign against the learned centroids, then
+    // search the probe's 2 nearest cells (multi-probe recovers recall
+    // lost at cell boundaries). Everything before the final top-k is
+    // integer arithmetic, so the DuckDB oracle replays it exactly.
+    // Scale shape: centroid learning is one explode + keyed agg over
+    // (cell, pos) — map-side combining, centroid table stays tiny and
+    // broadcast; the corpus shuffles once per assignment.
+    "sim_ivf_kmeans" -> ((s, d) => {
+      val all = quantized(s, d)
+      def assign(cents: DataFrame): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(col("dist2").asc, col("cid").asc)
+        all.crossJoin(broadcast(cents))
+          .withColumn("dist2",
+            col("n2") + col("cn2") - lit(2L) * dot(col("q"), col("cq")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("cid").alias("cell"), col("q"),
+            col("n2"))
+      }
+      val seeds = all.filter(col("vec_id") < NCentroids)
+        .select(col("vec_id").alias("cid"), col("q").alias("cq"),
+          col("n2").alias("cn2"))
+      // one Lloyd step: element-wise floor(mean) per cell — exact in
+      // both engines (sums stay far below 2^53)
+      val cents1 = assign(seeds)
+        .select(col("cell"), posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(floor(avg(col("v"))).cast(LongType).alias("cv"))
+        .groupBy("cell")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("cv")))),
+          x => x.getField("cv")).alias("cq"))
+        .select(col("cell").alias("cid"), col("cq"),
+          dot(col("cq"), col("cq")).alias("cn2"))
+      val assigned = assign(cents1)
+      // multi-probe: each probe searches its 2 nearest learned cells
+      val wProbe = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("dist2").asc, col("cid").asc)
+      val probeCells = all.filter(col("vec_id") < NQueries)
+        .crossJoin(broadcast(cents1))
+        .withColumn("dist2",
+          col("n2") + col("cn2") - lit(2L) * dot(col("q"), col("cq")))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= 2)
+        .select(col("vec_id").alias("qid"), col("cid").alias("qcell"),
+          col("q").alias("qq"), col("n2").alias("qn2"))
+      val scored = assigned
+        .join(broadcast(probeCells),
+          col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+        .withColumn("cos", cosine(dot(col("qq"), col("q")),
+          col("qn2"), col("n2")))
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+      scored
+        .withColumn("rk", row_number().over(wRank).cast(LongType))
+        .filter(col("rk") <= TopK)
+        .select(col("qid"), col("rk"), col("vec_id"), col("cos"))
+        .orderBy("qid", "rk")
+    }),
+
     // ANN search restricted to the probe's bucket: the end-to-end
     // LSH query shape (candidate generation + exact re-rank inside
     // the bucket).
@@ -293,6 +357,58 @@ object SimilarityQueries {
          |      AS cos
          |  FROM (SELECT * FROM assigned WHERE vec_id < $NQueries) p
          |  JOIN assigned v ON v.cell = p.cell AND v.vec_id <> p.vec_id)
+         |SELECT qid, rk, vec_id, cos FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rk
+         |  FROM scored) t
+         |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin,
+
+    "sim_ivf_kmeans" ->
+      s"""WITH $sqlQuant,
+         |seeds AS (SELECT vec_id AS cid, qv AS cq, n2 AS cn2 FROM qn
+         |          WHERE vec_id < $NCentroids),
+         |a0 AS (
+         |  SELECT vec_id, cell, qv, n2 FROM (
+         |    SELECT v.vec_id, c.cid AS cell, v.qv, v.n2,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY v.n2 + c.cn2 - 2 * ${sqlDot("v.qv", "c.cq")} ASC,
+         |                 c.cid ASC) AS rn
+         |    FROM qn v CROSS JOIN seeds c) t
+         |  WHERE rn = 1),
+         |cents1 AS (
+         |  SELECT cell AS cid, list(cv ORDER BY pos) AS cq FROM (
+         |    SELECT a.cell, t.i AS pos,
+         |      CAST(floor(avg(a.qv[t.i])) AS BIGINT) AS cv
+         |    FROM a0 a, UNNEST(range(1, ${Dim + 1})) t(i)
+         |    GROUP BY a.cell, t.i) s
+         |  GROUP BY cell),
+         |cents AS (SELECT cid, cq,
+         |            list_sum(list_transform(cq, x -> x * x)) AS cn2
+         |          FROM cents1),
+         |a1 AS (
+         |  SELECT vec_id, cell, qv, n2 FROM (
+         |    SELECT v.vec_id, c.cid AS cell, v.qv, v.n2,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY v.n2 + c.cn2 - 2 * ${sqlDot("v.qv", "c.cq")} ASC,
+         |                 c.cid ASC) AS rn
+         |    FROM qn v CROSS JOIN cents c) t
+         |  WHERE rn = 1),
+         |probecells AS (
+         |  SELECT vec_id AS qid, cid AS qcell, qq, qn2 FROM (
+         |    SELECT v.vec_id, c.cid, v.qv AS qq, v.n2 AS qn2,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY v.n2 + c.cn2 - 2 * ${sqlDot("v.qv", "c.cq")} ASC,
+         |                 c.cid ASC) AS rn
+         |    FROM qn v CROSS JOIN cents c
+         |    WHERE v.vec_id < $NQueries) t
+         |  WHERE rn <= 2),
+         |scored AS (
+         |  SELECT p.qid, v.vec_id,
+         |    CAST(${sqlDot("p.qq", "v.qv")} AS BIGINT)
+         |      / (sqrt(CAST(p.qn2 AS DOUBLE)) * sqrt(CAST(v.n2 AS DOUBLE)))
+         |      AS cos
+         |  FROM probecells p
+         |  JOIN a1 v ON v.cell = p.qcell AND v.vec_id <> p.qid)
          |SELECT qid, rk, vec_id, cos FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
          |    ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rk

@@ -47,7 +47,8 @@ class PlanAuditSpec extends AnyFunSuite {
   // centroids, 1-row scalar).
   private val broadcastNonEqui = Set(
     "rel_range_join", "c1_commit_watermark", "sim_cosine_topk",
-    "sim_lsh_bucket", "sim_lsh_ann", "sim_ivf_ann", "dd_embed_cosine")
+    "sim_lsh_bucket", "sim_lsh_ann", "sim_ivf_ann", "sim_ivf_kmeans",
+    "dd_embed_cosine")
 
   test("no query plan contains a CartesianProduct") {
     plans.foreach { case (sf, n, p) =>
