@@ -200,7 +200,42 @@ object DedupQueries {
         pairs.select(col("ida").alias("src"), col("idb").alias("dst")))
         .select(col("id").alias("doc_id"), col("label").alias("cluster_id"))
         .orderBy("doc_id")
+    }),
+
+    // The end-to-end dedup operator a training-data pipeline actually
+    // runs: LSH candidate generation → signature-agreement VERIFY
+    // (est. Jaccard ≥ 31/32 — rejects the weaker collisions) →
+    // connected components over verified edges → a corpus-wide
+    // verdict: every document gets (keeper = its component minimum,
+    // is_dup = would be dropped). Candidate gen + verify + contraction
+    // all touch only the candidate graph; the corpus-wide part is one
+    // left join of ids against the (tiny) label table.
+    "dd_dedup_verdict" -> ((s, d) => {
+      val sig = signatures(s, d)
+      val sigArr = array((0 until K).map(i => col(s"m$i")): _*)
+      val sa = sig.select(col("doc_id").alias("ida"), sigArr.alias("siga"))
+      val sb = sig.select(col("doc_id").alias("idb"), sigArr.alias("sigb"))
+      val edges = candidatePairs(s, d)
+        .join(sa, "ida").join(sb, "idb")
+        .withColumn("agree",
+          size(filter(zip_with(col("siga"), col("sigb"),
+            (x, y) => x === y), b => b)))
+        .filter(col("agree") >= VerifyAgree)
+        .select(col("ida").alias("src"), col("idb").alias("dst"))
+      val labels = connectedComponents(edges)
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(labels, col("doc_id") === col("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).alias("keeper"),
+          (coalesce(col("label"), col("doc_id")) =!= col("doc_id"))
+            .alias("is_dup"))
+        .orderBy("doc_id")
     }))
+
+  /** Verify-stage threshold: signature agreement (of K) at or above
+    * which an LSH candidate pair is accepted as a true near-duplicate.
+    */
+  final val VerifyAgree = 31
 
   /** One large-star step: every node u connects its strictly-larger
     * neighbors to m = min(N(u) ∪ {u}). The per-u minimum is a window
@@ -399,7 +434,7 @@ object DedupQueries {
 
     // Connected components as a recursive transitive closure: correct
     // on the candidate-pair graph at oracle scale (components are
-    // tiny); the engine side uses label propagation, which computes
+    // tiny); the engine side uses star contraction, which computes
     // the same min-reachable-id per node.
     "dd_cluster" ->
       s"""WITH RECURSIVE $sqlCandCtes,
@@ -410,5 +445,30 @@ object DedupQueries {
          |  UNION
          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin)
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    "dd_dedup_verdict" -> {
+      val sigList = (0 until K).map(i => s"m$i").mkString("[", ", ", "]")
+      s"""WITH RECURSIVE $sqlCandCtes,
+         |sigs AS (SELECT doc_id, $sigList AS sig FROM sig),
+         |verified AS (
+         |  SELECT ida, idb FROM cand
+         |  JOIN sigs sa ON cand.ida = sa.doc_id
+         |  JOIN sigs sb ON cand.idb = sb.doc_id
+         |  WHERE len(list_filter(range(1, ${K + 1}),
+         |    i -> sa.sig[i] = sb.sig[i])) >= $VerifyAgree),
+         |edges(a, b) AS (SELECT ida, idb FROM verified
+         |                UNION SELECT idb, ida FROM verified),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |labels AS (SELECT a AS id, least(a, min(b)) AS label
+         |           FROM reach GROUP BY a)
+         |SELECT d.doc_id,
+         |  coalesce(l.label, d.doc_id) AS keeper,
+         |  coalesce(l.label, d.doc_id) <> d.doc_id AS is_dup
+         |FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
+         |ORDER BY d.doc_id""".stripMargin
+    })
 }
