@@ -27,6 +27,21 @@ object TextQueries {
         .select(col("doc_id"), Fingerprint(col("text")).alias("fp"))
         .orderBy("doc_id")),
 
+    // Corpus-level n-gram statistics: top-20 word bigrams by DOCUMENT
+    // frequency (WordShingles de-dups within a doc). Scale shape: one
+    // explode + a map-side-combining count on the bigram key, then a
+    // global top-k — at 100 TB the agg shuffle carries one row per
+    // distinct bigram, and TakeOrderedAndProject keeps the top-k
+    // per-partition before the single final merge (never a full sort).
+    "tx_ngram_topk" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(graft.functions.WordShingles(col("text"), 2))
+          .alias("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).alias("df"))
+        .orderBy(col("df").desc, col("bigram").asc)
+        .limit(20)),
+
     // Token counting: whitespace tokens + chars + mean token length.
     "tx_tokens" -> ((s, d) =>
       Tables.documents(s, d)
@@ -131,6 +146,15 @@ object TextQueries {
         |        x -> CAST(ascii(x) AS BIGINT))),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "tx_ngram_topk" ->
+      """WITH bi AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS bigram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t,
+        |       UNNEST(range(1, len(w))) u(i))
+        |SELECT bigram, CAST(count(*) AS BIGINT) AS df
+        |FROM bi GROUP BY bigram
+        |ORDER BY df DESC, bigram ASC LIMIT 20""".stripMargin,
 
     "tx_tokens" ->
       """SELECT doc_id,
