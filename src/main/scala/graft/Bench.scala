@@ -101,6 +101,12 @@ object Bench {
     val results = names.map(n => n -> best.getOrElse(n, -1.0))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // A query whose BEST sample is still the cap never completed in
+    // any sweep — a real failure signal (regression/hang), not a
+    // timing. Surface it instead of letting capSec read as measured.
+    val cappedFinal = results.collect {
+      case (n, v) if v == capSec.toDouble => "\"" + n + "\""
+    }.mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     // Reference-comparable headline: events/s through the CDC envelope
     // path (filter + envelope + routing — the reference's whole data
@@ -109,7 +115,7 @@ object Bench {
       val n = Tables.events(spark, sfDir).count()
       (n / sec).round
     }.getOrElse(-1L)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"envelope_events_per_sec":$eventsPerSec,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"capped":$cappedFinal,"envelope_events_per_sec":$eventsPerSec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -76,7 +76,14 @@ object LegacyExtJson {
       sb.append(']')
     }
     else if (n.isTextual) writeString(n.asText(), sb)
-    else if (n.isNumber) sb.append(n.asText())
+    else if (n.isNumber) {
+      // floating-point literals re-render in Python repr form (what
+      // json.dumps emits) so Java-driver exponent notation (1.0E10)
+      // and already-legacy Python text (10000000000.0) both normalize
+      // to the reference's bytes; integer literals pass through
+      if (n.isFloatingPointNumber) sb.append(pyFloatRepr(n.asDouble()))
+      else sb.append(n.asText())
+    }
     else if (n.isBoolean) sb.append(if (n.asBoolean()) "true" else "false")
     else sb.append("null") // null node
   }
@@ -155,7 +162,8 @@ object LegacyExtJson {
   }
 
   /** canonical `$numberDouble` payloads are strings; the legacy
-    * dialect inlines them as bare tokens, including Python json's
+    * dialect inlines them as bare tokens in Python float-repr form
+    * (json.dumps delegates to float.__repr__), including the
     * non-standard `NaN`/`Infinity` literals
     */
   private def writeDoubleText(t: String, sb: java.lang.StringBuilder): Unit =
@@ -163,8 +171,59 @@ object LegacyExtJson {
       case "NaN" => sb.append("NaN")
       case "Infinity" => sb.append("Infinity")
       case "-Infinity" => sb.append("-Infinity")
-      case s => sb.append(new java.math.BigDecimal(s).toString)
+      case s => sb.append(pyFloatRepr(java.lang.Double.parseDouble(s)))
     }
+
+  /** CPython float.__repr__: shortest round-trip digits, positional
+    * form while the decimal exponent is in [-4, 16), otherwise
+    * `d.ddde±XX` with a sign-carrying, 2+-digit exponent. Java's
+    * shortest digits are re-formatted under Python's placement rules
+    * — so `1.0E10` becomes `10000000000.0` and `1.5E-5` becomes
+    * `1.5e-05`, byte-matching json_util output. (Residual caveat:
+    * JDK 17's Double.toString can emit one more significand digit
+    * than minimal for rare values; identical otherwise.)
+    */
+  private[functions] def pyFloatRepr(d: Double): String = {
+    if (d.isNaN) return "NaN"
+    if (d == Double.PositiveInfinity) return "Infinity"
+    if (d == Double.NegativeInfinity) return "-Infinity"
+    if (d == 0.0) return if (1.0 / d < 0) "-0.0" else "0.0"
+    val neg = d < 0
+    val abs = math.abs(d)
+    val js = java.lang.Double.toString(abs) // "ddd.ddd" or "d.dddEnn"
+    val eIdx = js.indexOf('E')
+    val (mant, exp) =
+      if (eIdx < 0) (js, 0) else (js.substring(0, eIdx),
+        Integer.parseInt(js.substring(eIdx + 1)))
+    val dot = mant.indexOf('.')
+    val digitsRaw = mant.substring(0, dot) + mant.substring(dot + 1)
+    val lead = digitsRaw.indexWhere(_ != '0')
+    val digits0 = digitsRaw.substring(lead)
+    val trimmed = digits0.reverse.dropWhile(_ == '0').reverse
+    val digits = if (trimmed.isEmpty) "0" else trimmed
+    // value = <first digit>.<rest> × 10^e10
+    val e10 = dot + exp - lead - 1
+    val sb = new StringBuilder
+    if (neg) sb.append('-')
+    if (e10 >= 16 || e10 < -4) {
+      sb.append(digits.charAt(0))
+      if (digits.length > 1) sb.append('.').append(digits.substring(1))
+      sb.append('e').append(if (e10 >= 0) '+' else '-')
+      val ae = math.abs(e10)
+      if (ae < 10) sb.append('0')
+      sb.append(ae)
+    } else if (e10 >= 0) {
+      val ipLen = e10 + 1
+      if (digits.length <= ipLen)
+        sb.append(digits).append("0" * (ipLen - digits.length)).append(".0")
+      else
+        sb.append(digits.substring(0, ipLen)).append('.')
+          .append(digits.substring(ipLen))
+    } else {
+      sb.append("0.").append("0" * (-e10 - 1)).append(digits)
+    }
+    sb.toString
+  }
 
   /** Python json.dumps default escaping: ensure_ascii, named escapes
     * for the C0 controls that have them, `\\uXXXX` for the rest and

@@ -28,6 +28,10 @@ private[queries] object QueryMemo {
 
   def cached(s: SparkSession, key: String, dir: String)(
       build: => DataFrame): DataFrame = {
+    // evict entries of stopped sessions: without this the global map
+    // pins dead sessions (and their plans) for the JVM's lifetime in
+    // any driver that cycles sessions (the test suite does)
+    memo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     val df = memo.getOrElseUpdate((s, key, dir), build)
     if (df.storageLevel == StorageLevel.NONE) df.persist()
     df

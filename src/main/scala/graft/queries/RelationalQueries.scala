@@ -195,10 +195,12 @@ object RelationalQueries {
 
     // HLL sketch values are engine-specific, so the oracle-checkable
     // contract is the sketch's accuracy guarantee: exact counts plus
-    // a boolean per sketch asserting relative error ≤ 5% (default HLL
-    // rsd is 0.05 ⇒ expected error well under that at these
-    // cardinalities). DuckDB emits the exact counts and literal TRUEs;
-    // the row hash-matches iff the engine's sketches are in tolerance.
+    // a boolean per sketch asserting relative error ≤ 15% = 3× the
+    // default rsd (0.05). At 1σ ≈ a third of (column, dataset) draws
+    // would fail a 5% gate on fresh data; 3σ makes a healthy sketch's
+    // pass virtually certain while still catching a broken one.
+    // DuckDB emits the exact counts and literal TRUEs; the row
+    // hash-matches iff the engine's sketches are in tolerance.
     "rel_approx_distinct" -> ((s, d) =>
       Tables.lineitem(s, d)
         .agg(
@@ -209,9 +211,9 @@ object RelationalQueries {
         .select(
           col("parts"), col("ords"),
           (abs(col("ap") - col("parts")).cast("double") / col("parts")
-            <= 0.05).alias("parts_within_5pct"),
+            <= 0.15).alias("parts_within_tol"),
           (abs(col("ao") - col("ords")).cast("double") / col("ords")
-            <= 0.05).alias("ords_within_5pct"))),
+            <= 0.15).alias("ords_within_tol"))),
 
     // TPC-H Q14-shaped promo share: lineitem ⋈ broadcast part, monthly
     // revenue split by a dimension predicate. The share is the one
@@ -433,8 +435,8 @@ object RelationalQueries {
     "rel_approx_distinct" ->
       """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS parts,
         |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS ords,
-        |  TRUE AS parts_within_5pct,
-        |  TRUE AS ords_within_5pct
+        |  TRUE AS parts_within_tol,
+        |  TRUE AS ords_within_tol
         |FROM lineitem""".stripMargin,
 
     "rel_promo_share" ->

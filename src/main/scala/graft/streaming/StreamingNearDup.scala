@@ -120,13 +120,17 @@ object StreamingNearDup {
     * against them and pairs with signature agreement ≥ `minAgree`
     * are emitted (ida < idb, dedup-ordered).
     */
-  /** A pair sharing several bands is emitted exactly once — by the
-    * bucket of its minimum shared band (`minSharedBand`), which every
-    * colliding bucket computes identically from the two signatures.
-    * (Corner: if FIFO eviction removed one doc from the minimum band's
-    * bucket before the pair could meet there, that emission is skipped
-    * rather than duplicated — both docs band at the same arrival, so
-    * bucket contents only diverge under cap pressure.)
+  /** With `emitOncePerPair` (default) a pair sharing several bands is
+    * emitted exactly once — by the bucket of its minimum shared band
+    * (`minSharedBand`), which every colliding bucket computes
+    * identically from the two signatures. The tradeoff, under FIFO
+    * cap pressure only: if eviction removed one doc from the minimum
+    * band's bucket before the pair could meet there, the suppressing
+    * buckets assume an emission that never happened and the pair is
+    * lost. `emitOncePerPair = false` restores emit-in-every-shared-
+    * band (duplicates possible, but any single surviving shared
+    * bucket suffices) — choose it when recall under cap pressure
+    * matters more than unique emissions.
     *
     * State boundedness has TWO dimensions: `maxPerBucket` caps one
     * bucket's entries, and `bucketTtl` evicts buckets idle longer than
@@ -141,7 +145,8 @@ object StreamingNearDup {
       docs: Dataset[Doc],
       minAgree: Int = 4,
       maxPerBucket: Int = 64,
-      bucketTtl: Option[String] = Some("1 hour")): Dataset[Pair] = {
+      bucketTtl: Option[String] = Some("1 hour"),
+      emitOncePerPair: Boolean = true): Dataset[Pair] = {
     import docs.sparkSession.implicits._
     val timeoutConf =
       if (bucketTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
@@ -149,7 +154,7 @@ object StreamingNearDup {
     banded(docs)
       .groupByKey(b => (b.band, b.key))
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
-        matchBucket(minAgree, maxPerBucket, bucketTtl))
+        matchBucket(minAgree, maxPerBucket, bucketTtl, emitOncePerPair))
   }
 
   /** Shared bucket-update core: compare arrivals to retained state,
@@ -158,7 +163,7 @@ object StreamingNearDup {
     * new state).
     */
   private def matchCore(
-      band: Int, minAgree: Int, maxPerBucket: Int,
+      band: Int, minAgree: Int, maxPerBucket: Int, oncePerPair: Boolean,
       held0: List[(Long, Array[Long])],
       arrivals: Iterator[(Long, Array[Long])])
       : (List[Pair], List[(Long, Array[Long])]) = {
@@ -173,7 +178,8 @@ object StreamingNearDup {
             if (otherSig(j) == sig(j)) agree += 1
             j += 1
           }
-          if (agree >= minAgree && minSharedBand(sig, otherSig) == band) {
+          if (agree >= minAgree &&
+              (!oncePerPair || minSharedBand(sig, otherSig) == band)) {
             out += (if (otherId < id) Pair(otherId, id, agree)
               else Pair(id, otherId, agree))
           }
@@ -189,7 +195,7 @@ object StreamingNearDup {
     * for an idle bucket drops its state.
     */
   def matchBucket(minAgree: Int, maxPerBucket: Int,
-      bucketTtl: Option[String])(
+      bucketTtl: Option[String], emitOncePerPair: Boolean = true)(
       key: (Int, String),
       rows: Iterator[Banded],
       state: GroupState[List[(Long, Array[Long])]]): Iterator[Pair] = {
@@ -198,7 +204,8 @@ object StreamingNearDup {
       return Iterator.empty
     }
     val (out, held) = matchCore(key._1, minAgree, maxPerBucket,
-      state.getOption.getOrElse(Nil), rows.map(b => (b.doc_id, b.sig)))
+      emitOncePerPair, state.getOption.getOrElse(Nil),
+      rows.map(b => (b.doc_id, b.sig)))
     state.update(held)
     bucketTtl.foreach(state.setTimeoutDuration)
     out.iterator
@@ -225,6 +232,14 @@ object StreamingNearDup {
     }
   }
 
+  /** Event-time bucket state: held (doc, signature) entries plus the
+    * newest event time the bucket has EVER seen — the TTL anchor must
+    * be the bucket's max, not the current batch's max, or a late
+    * (within-watermark) arrival would move the deadline EARLIER and
+    * prematurely evict state.
+    */
+  case class TimedBucket(held: List[(Long, Array[Long])], maxTs: Long)
+
   /** Event-time twin of `candidatePairs`: buckets idle past
     * `bucketTtl` *in event time* (watermarked by `watermarkDelay`)
     * are dropped. Same pairing/emission semantics.
@@ -234,39 +249,42 @@ object StreamingNearDup {
       minAgree: Int = 4,
       maxPerBucket: Int = 64,
       bucketTtlMs: Long = 3600L * 1000,
-      watermarkDelay: String = "10 minutes"): Dataset[Pair] = {
+      watermarkDelay: String = "10 minutes",
+      emitOncePerPair: Boolean = true): Dataset[Pair] = {
     import docs.sparkSession.implicits._
     bandedTimed(docs)
       .withWatermark("ts", watermarkDelay)
       .groupByKey(b => (b.band, b.key))
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(
-        matchBucketEventTime(minAgree, maxPerBucket, bucketTtlMs))
+        matchBucketEventTime(minAgree, maxPerBucket, bucketTtlMs,
+          emitOncePerPair))
   }
 
   /** Event-time bucket update: state times out when the watermark
-    * passes (newest event seen by this bucket) + TTL.
+    * passes (newest event this bucket has ever seen) + TTL.
     */
   def matchBucketEventTime(minAgree: Int, maxPerBucket: Int,
-      bucketTtlMs: Long)(
+      bucketTtlMs: Long, emitOncePerPair: Boolean = true)(
       key: (Int, String),
       rows: Iterator[TimedBanded],
-      state: GroupState[List[(Long, Array[Long])]]): Iterator[Pair] = {
+      state: GroupState[TimedBucket]): Iterator[Pair] = {
     if (state.hasTimedOut) {
       state.remove()
       return Iterator.empty
     }
-    var maxTs = Long.MinValue
+    val prev = state.getOption.getOrElse(TimedBucket(Nil, Long.MinValue))
+    var maxTs = prev.maxTs
     val arrivals = rows.map { b =>
       if (b.ts.getTime > maxTs) maxTs = b.ts.getTime
       (b.doc_id, b.sig)
     }
     val (out, held) = matchCore(key._1, minAgree, maxPerBucket,
-      state.getOption.getOrElse(Nil), arrivals)
-    state.update(held)
-    // arrivals is lazy: maxTs is valid only after matchCore consumed
-    // it. Never set a timeout at/below the current watermark (Spark
-    // rejects it): a late straggler extends from the watermark instead.
+      emitOncePerPair, prev.held, arrivals)
+    // arrivals is lazy: maxTs is valid only after matchCore consumed it
+    state.update(TimedBucket(held, maxTs))
+    // Never set a timeout at/below the current watermark (Spark
+    // rejects it): an already-expired deadline fires at watermark+1.
     val floor = state.getCurrentWatermarkMs() + 1
     if (maxTs != Long.MinValue)
       state.setTimeoutTimestamp(math.max(maxTs + bucketTtlMs, floor))

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.util.concurrent.atomic.AtomicInteger
 
-import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryException}
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Restart policy for a supervised streaming query — the Spark-native
   * analogue of the reference's exit-and-let-the-supervisor-restart
@@ -51,6 +51,7 @@ final class Supervisor(
   @volatile private var currentQuery: Option[StreamingQuery] = None
   @volatile private var stopping = false
   private val restartCount = new AtomicInteger(0)
+  private val lock = new Object
 
   /** The live query, while one is running. */
   def current: Option[StreamingQuery] = currentQuery
@@ -58,27 +59,38 @@ final class Supervisor(
   /** Total restarts performed (not reset by resetAfterMs). */
   def restarts: Int = restartCount.get
 
-  /** Stop supervision: no further restarts; the live query stops. */
-  def stop(): Unit = {
+  /** Stop supervision: no further restarts; the live query stops.
+    * Synchronized with the build/register window in run() so a stop()
+    * landing between query start and registration still stops the
+    * query (run() re-checks `stopping` under the same lock after
+    * registering).
+    */
+  def stop(): Unit = lock.synchronized {
     stopping = true
     currentQuery.foreach(_.stop())
   }
 
   /** Blocking supervision loop. Throws the last failure once the
-    * consecutive-failure budget is spent.
+    * consecutive-failure budget is spent. Failures *starting* the
+    * query (build() itself — e.g. a transient checkpoint-store read
+    * error) restart like mid-run failures: the reference's supervisor
+    * restarts a worker that dies at any phase.
     */
   def run(): Unit = {
     var consecutive = 0
     while (!stopping) {
-      val q = build()
-      currentQuery = Some(q)
       val startedNs = System.nanoTime()
       try {
+        val q = build()
+        lock.synchronized {
+          currentQuery = Some(q)
+          if (stopping) q.stop()
+        }
         q.awaitTermination()
         // clean termination: stop() was called or the query finished
         stopping = true
       } catch {
-        case e: StreamingQueryException =>
+        case scala.util.control.NonFatal(e) =>
           currentQuery = None
           if (stopping) return
           val ranMs = (System.nanoTime() - startedNs) / 1000000L

@@ -63,6 +63,28 @@ class LegacyExtJsonSpec extends AnyFunSuite {
       """{"l": 9007199254740993, "i": -7, "d": 3.5}""")
   }
 
+  test("doubles render in Python repr form, not Java/BigDecimal notation") {
+    // Java-driver canonical output uses exponent notation; json_util
+    // (Python json.dumps) renders positionally up to 1e16
+    assert(LegacyExtJson.convert("""{"d": {"$numberDouble": "1.0E10"}}""") ===
+      """{"d": 10000000000.0}""")
+    assert(LegacyExtJson.convert("""{"d": {"$numberDouble": "1.23456789E8"}}""") ===
+      """{"d": 123456789.0}""")
+    assert(LegacyExtJson.convert("""{"d": {"$numberDouble": "1.0E16"}}""") ===
+      """{"d": 1e+16}""")
+    assert(LegacyExtJson.convert("""{"d": {"$numberDouble": "1.5E-5"}}""") ===
+      """{"d": 1.5e-05}""")
+    assert(LegacyExtJson.convert("""{"d": {"$numberDouble": "-0.0"}}""") ===
+      """{"d": -0.0}""")
+    // bare floating literals normalize the same way; already-Python
+    // text is a fixed point
+    assert(LegacyExtJson.convert("""{"d": 1.0E10}""") ===
+      """{"d": 10000000000.0}""")
+    assert(LegacyExtJson.convert("""{"d": 10000000000.0}""") ===
+      """{"d": 10000000000.0}""")
+    assert(LegacyExtJson.convert("""{"d": 0.0001}""") === """{"d": 0.0001}""")
+  }
+
   test("$numberDouble NaN/Infinity become Python json's bare literals") {
     assert(LegacyExtJson.convert(
       """{"a": {"$numberDouble": "NaN"}, "b": {"$numberDouble": "-Infinity"}}""") ===

@@ -108,7 +108,7 @@ class StreamingNearDupSpec extends AnyFunSuite {
 
   test("event-time TTL: timeout set from newest event + TTL, state dropped on fire") {
     val sig = signature(base).get
-    val state = new TestGroupState(List.empty[(Long, Array[Long])])
+    val state = new TestGroupState[TimedBucket](null)
     val rows = Seq(
       TimedBanded(0, "k", 1L, sig, new java.sql.Timestamp(1000L)),
       TimedBanded(0, "k", 2L, sig, new java.sql.Timestamp(5000L)))
@@ -117,13 +117,33 @@ class StreamingNearDupSpec extends AnyFunSuite {
     assert(out === Seq(Pair(1L, 2L, K)))
     assert(state.timeoutTimestamps.lastOption === Some(65000L),
       "TTL must anchor on the newest event time in the bucket")
+    // a LATE (within-watermark) arrival must NOT pull the deadline
+    // earlier: the anchor is the bucket's max event time ever seen
+    val late = Seq(TimedBanded(0, "k", 3L, unrelatedSig,
+      new java.sql.Timestamp(1500L)))
+    matchBucketEventTime(minAgree = 1, maxPerBucket = 8,
+      bucketTtlMs = 60000L)((0, "k"), late.iterator, state).toSeq
+    assert(state.timeoutTimestamps.lastOption === Some(65000L),
+      "late arrival moved the TTL deadline earlier")
     // the watermark passing the deadline drops the bucket
-    val timedOut = new TestGroupState(List((1L, sig)))
+    val timedOut = new TestGroupState(TimedBucket(List((1L, sig)), 1000L))
     timedOut.timedOut = true
     val after = matchBucketEventTime(minAgree = 1, maxPerBucket = 8,
       bucketTtlMs = 60000L)((0, "k"), Iterator.empty, timedOut).toSeq
     assert(after.isEmpty)
     assert(!timedOut.exists)
+  }
+
+  private lazy val unrelatedSig = signature(unrelated).get
+
+  test("emitOncePerPair=false restores emit-in-every-shared-band (recall mode)") {
+    val sig = signature(base).get
+    val rows = Seq(Banded(3, "k", 1L, sig), Banded(3, "k", 2L, sig))
+    val state = new TestGroupState(List.empty[(Long, Array[Long])])
+    val out = matchBucket(minAgree = 1, maxPerBucket = 8, None,
+      emitOncePerPair = false)((3, "k"), rows.iterator, state).toSeq
+    assert(out === Seq(Pair(1L, 2L, K)),
+      "recall mode must emit from a non-minimum band")
   }
 
   test("event-time variant end-to-end: pairs found; idle buckets evicted by watermark") {
