@@ -1,6 +1,6 @@
 package graft.functions
 
-import com.fasterxml.jackson.databind.{DeserializationFeature, JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -33,8 +33,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * delegates to): `", "` / `": "` separators, `ensure_ascii` (every
   * non-ASCII UTF-16 unit as `\\uXXXX`), input key order preserved.
   * Already-legacy input passes through unchanged, so the codec is
-  * idempotent. Numeric literals ride through on BigDecimal so the
-  * source's decimal representation (e.g. `3.0`) is preserved.
+  * idempotent. Floating-point literals re-render in CPython
+  * float-repr form (`pyFloatRepr`) — Python-parity output bytes,
+  * regardless of the source's formatting; integer literals pass
+  * through verbatim.
   *
   * Malformed JSON throws — the reference crashes on undumpable input
   * too (`KeyError`/`TypeError`); silently nulling would drop a change
@@ -42,13 +44,12 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object LegacyExtJson {
 
-  private val mapper: ObjectMapper = {
-    val m = new ObjectMapper()
-    // parse floats as BigDecimal: keeps the input's decimal text
-    // (3.0 stays "3.0", not 3.0d's re-rendering)
-    m.configure(DeserializationFeature.USE_BIG_DECIMAL_FOR_FLOATS, true)
-    m
-  }
+  // Floating-point literals (bare or $numberDouble-wrapped) do NOT
+  // preserve source text: they re-render through pyFloatRepr so the
+  // output is exactly what Python's json.dumps would emit for the
+  // same double — the byte-parity contract is with json_util, not
+  // with the input's formatting.
+  private val mapper: ObjectMapper = new ObjectMapper()
 
   def convert(s: String): String = {
     val node =
@@ -176,12 +177,18 @@ object LegacyExtJson {
 
   /** CPython float.__repr__: shortest round-trip digits, positional
     * form while the decimal exponent is in [-4, 16), otherwise
-    * `d.ddde±XX` with a sign-carrying, 2+-digit exponent. Java's
-    * shortest digits are re-formatted under Python's placement rules
-    * — so `1.0E10` becomes `10000000000.0` and `1.5E-5` becomes
-    * `1.5e-05`, byte-matching json_util output. (Residual caveat:
-    * JDK 17's Double.toString can emit one more significand digit
-    * than minimal for rare values; identical otherwise.)
+    * `d.ddde±XX` with a sign-carrying, 2+-digit exponent — so
+    * `1.0E10` becomes `10000000000.0` and `1.5E-5` becomes `1.5e-05`,
+    * byte-matching json_util output.
+    *
+    * The shortest digit string is derived explicitly (smallest
+    * correctly-rounded significand that parses back to the same
+    * double) rather than taken from `Double.toString`: JDK 17's
+    * pre-Ryū algorithm emits non-shortest digits for some values
+    * (e.g. `1e23` → `9.999999999999999E22`, `Double.MIN_VALUE` →
+    * `4.9E-324` where Python prints `1e+23` / `5e-324`). Python's
+    * repr is exactly the shortest correctly-rounded representation,
+    * which is what the %.Ne probe sequence finds.
     */
   private[functions] def pyFloatRepr(d: Double): String = {
     if (d.isNaN) return "NaN"
@@ -190,19 +197,25 @@ object LegacyExtJson {
     if (d == 0.0) return if (1.0 / d < 0) "-0.0" else "0.0"
     val neg = d < 0
     val abs = math.abs(d)
-    val js = java.lang.Double.toString(abs) // "ddd.ddd" or "d.dddEnn"
-    val eIdx = js.indexOf('E')
-    val (mant, exp) =
-      if (eIdx < 0) (js, 0) else (js.substring(0, eIdx),
-        Integer.parseInt(js.substring(eIdx + 1)))
-    val dot = mant.indexOf('.')
-    val digitsRaw = mant.substring(0, dot) + mant.substring(dot + 1)
-    val lead = digitsRaw.indexWhere(_ != '0')
-    val digits0 = digitsRaw.substring(lead)
-    val trimmed = digits0.reverse.dropWhile(_ == '0').reverse
-    val digits = if (trimmed.isEmpty) "0" else trimmed
-    // value = <first digit>.<rest> × 10^e10
-    val e10 = dot + exp - lead - 1
+    // shortest correctly-rounded significand that round-trips; 17
+    // significant digits always round-trip, so the loop terminates
+    var digits = ""
+    var e10 = 0
+    var n = 0
+    var found = false
+    while (!found) {
+      val s = String.format(java.util.Locale.ROOT, "%." + n + "e",
+        java.lang.Double.valueOf(abs))
+      if (n == 16 || java.lang.Double.parseDouble(s) == abs) {
+        val e = s.indexOf('e')
+        val raw = s.substring(0, e).filter(_ != '.')
+        val t = raw.reverse.dropWhile(_ == '0').reverse
+        digits = if (t.isEmpty) "0" else t
+        e10 = Integer.parseInt(s.substring(e + 1))
+        found = true
+      }
+      n += 1
+    }
     val sb = new StringBuilder
     if (neg) sb.append('-')
     if (e10 >= 16 || e10 < -4) {

@@ -237,6 +237,12 @@ object StreamingNearDup {
     * be the bucket's max, not the current batch's max, or a late
     * (within-watermark) arrival would move the deadline EARLIER and
     * prematurely evict state.
+    *
+    * State-schema note: changing this class's shape breaks
+    * restart-from-checkpoint for running `candidatePairsEventTime`
+    * streams (Spark's state schema check rejects the mismatch at
+    * start). Evolve it only with a fresh checkpoint dir, or behind a
+    * versioned state wrapper.
     */
   case class TimedBucket(held: List[(Long, Array[Long])], maxTs: Long)
 

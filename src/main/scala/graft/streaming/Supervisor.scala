@@ -91,8 +91,12 @@ final class Supervisor(
         stopping = true
       } catch {
         case scala.util.control.NonFatal(e) =>
+          // Shutdown path: propagate instead of returning "clean" —
+          // if q.stop() timed out (spark.sql.streaming.stopTimeout)
+          // the query may still be running, and the caller needs both
+          // the failure and the retained `current` handle to act.
+          if (stopping) throw e
           currentQuery = None
-          if (stopping) return
           val ranMs = (System.nanoTime() - startedNs) / 1000000L
           if (ranMs >= policy.resetAfterMs) consecutive = 0
           consecutive += 1

@@ -85,6 +85,24 @@ class LegacyExtJsonSpec extends AnyFunSuite {
     assert(LegacyExtJson.convert("""{"d": 0.0001}""") === """{"d": 0.0001}""")
   }
 
+  test("shortest-digit derivation beats JDK 17's non-shortest Double.toString") {
+    // JDK 17's pre-Ryū toString renders these with excess digits
+    // (1e23 → "9.999999999999999E22", MIN_VALUE → "4.9E-324");
+    // CPython repr — and therefore json.dumps — uses the shortest
+    // correctly-rounded form. The codec must match Python.
+    assert(LegacyExtJson.pyFloatRepr(1e23) === "1e+23")
+    assert(LegacyExtJson.pyFloatRepr(java.lang.Double.MIN_VALUE) === "5e-324")
+    assert(LegacyExtJson.pyFloatRepr(1.716943642359572e17) ===
+      "1.716943642359572e+17")
+    assert(LegacyExtJson.pyFloatRepr(9.5) === "9.5")
+    assert(LegacyExtJson.pyFloatRepr(java.lang.Double.MAX_VALUE) ===
+      "1.7976931348623157e+308")
+    // full-17-digit fallback still renders and round-trips
+    val awkward = java.lang.Double.parseDouble("1.2345678901234567")
+    assert(java.lang.Double.parseDouble(
+      LegacyExtJson.pyFloatRepr(awkward)) === awkward)
+  }
+
   test("$numberDouble NaN/Infinity become Python json's bare literals") {
     assert(LegacyExtJson.convert(
       """{"a": {"$numberDouble": "NaN"}, "b": {"$numberDouble": "-Infinity"}}""") ===
