@@ -64,24 +64,29 @@ object SimilarityQueries {
         .withColumn("n2", dot(col("q"), col("q")))
     }
 
+  /** Brute-force cosine top-k for a broadcast probe set — the exact
+    * baseline (and the ground truth `sim_recall_at_k` scores ANN
+    * variants against).
+    */
+  private def cosineTopK(s: SparkSession, d: String): DataFrame = {
+    val all = quantized(s, d)
+    val probes = all.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").alias("qid"), col("q").alias("qq"),
+        col("n2").alias("qn2"))
+    val scored = all.join(broadcast(probes), col("vec_id") =!= col("qid"))
+      .withColumn("dp", dot(col("qq"), col("q")))
+      .withColumn("cos", cosine(col("dp"), col("qn2"), col("n2")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    scored
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= TopK)
+      .select(col("qid"), col("rk"), col("vec_id"), col("dp"), col("cos"))
+      .orderBy("qid", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Brute-force cosine top-k for a broadcast probe set.
-    "sim_cosine_topk" -> ((s, d) => {
-      val all = quantized(s, d)
-      val probes = all.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").alias("qid"), col("q").alias("qq"),
-          col("n2").alias("qn2"))
-      val scored = all.join(broadcast(probes), col("vec_id") =!= col("qid"))
-        .withColumn("dp", dot(col("qq"), col("q")))
-        .withColumn("cos", cosine(col("dp"), col("qn2"), col("n2")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
-      scored
-        .withColumn("rk", row_number().over(w).cast(LongType))
-        .filter(col("rk") <= TopK)
-        .select(col("qid"), col("rk"), col("vec_id"), col("dp"), col("cos"))
-        .orderBy("qid", "rk")
-    }),
+    "sim_cosine_topk" -> (cosineTopK(_, _)),
 
     // Hyperplane-LSH buckets: sign of dot(v, plane_s) for 6 shared
     // hyperplanes (planes = quantized vectors 0..5 — deterministic,
@@ -183,8 +188,28 @@ object SimilarityQueries {
     // Scale shape: centroid learning is one explode + keyed agg over
     // (cell, pos) — map-side combining, centroid table stays tiny and
     // broadcast; the corpus shuffles once per assignment.
-    "sim_ivf_kmeans" -> ((s, d) => {
-      val all = quantized(s, d)
+    "sim_ivf_kmeans" -> (ivfKmeans(_, _)),
+
+    // Measure, don't guess: recall@k of the learned-centroid IVF
+    // against the exact brute-force top-k — the quality gate an ANN
+    // deployment watches. Both sides are deterministic pipelines, so
+    // even the recall numbers are oracle-checkable.
+    "sim_recall_at_k" -> ((s, d) => {
+      val exact = cosineTopK(s, d).select(col("qid"), col("vec_id"))
+      val approx = ivfKmeans(s, d)
+        .select(col("qid").alias("aq"), col("vec_id").alias("av"))
+      exact.join(broadcast(approx),
+          col("qid") === col("aq") && col("vec_id") === col("av"), "left")
+        .groupBy("qid")
+        .agg(count(col("av")).alias("hits"))
+        .withColumn("recall", col("hits").cast("double") / lit(TopK))
+        .orderBy("qid")
+    }),
+
+    "sim_lsh_ann" -> (lshAnn(_, _)))
+
+  private def ivfKmeans(s: SparkSession, d: String): DataFrame = {
+    val all = quantized(s, d)
       def assign(cents: DataFrame): DataFrame = {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("vec_id").orderBy(col("dist2").asc, col("cid").asc)
@@ -231,17 +256,17 @@ object SimilarityQueries {
       val wRank = org.apache.spark.sql.expressions.Window
         .partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
       scored
-        .withColumn("rk", row_number().over(wRank).cast(LongType))
-        .filter(col("rk") <= TopK)
-        .select(col("qid"), col("rk"), col("vec_id"), col("cos"))
-        .orderBy("qid", "rk")
-    }),
+      .withColumn("rk", row_number().over(wRank).cast(LongType))
+      .filter(col("rk") <= TopK)
+      .select(col("qid"), col("rk"), col("vec_id"), col("cos"))
+      .orderBy("qid", "rk")
+  }
 
-    // ANN search restricted to the probe's bucket: the end-to-end
-    // LSH query shape (candidate generation + exact re-rank inside
-    // the bucket).
-    "sim_lsh_ann" -> ((s, d) => {
-      val all = quantized(s, d)
+  // ANN search restricted to the probe's bucket: the end-to-end
+  // LSH query shape (candidate generation + exact re-rank inside
+  // the bucket).
+  private def lshAnn(s: SparkSession, d: String): DataFrame = {
+    val all = quantized(s, d)
       val planes = all.filter(col("vec_id") < NPlanes)
         .select(col("vec_id").alias("pid"), col("q").alias("pq"))
       val withBucket = all.crossJoin(broadcast(planes))
@@ -266,7 +291,7 @@ object SimilarityQueries {
         .filter(col("rk") <= TopK)
         .select(col("qid"), col("rk"), col("vec_id"), col("cos"))
         .orderBy("qid", "rk")
-    }))
+  }
 
   // ----------------------------------------------------------------
   // DuckDB oracles: same integer quantization; dot products via
@@ -285,8 +310,7 @@ object SimilarityQueries {
   private def sqlDot(a: String, b: String) =
     s"list_sum(list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i]))"
 
-  val oracles: Map[String, String] = Map(
-    "sim_cosine_topk" ->
+  private lazy val sqlCosineTopk: String =
       s"""WITH $sqlQuant,
          |scored AS (
          |  SELECT p.vec_id AS qid, v.vec_id AS vec_id,
@@ -300,7 +324,74 @@ object SimilarityQueries {
          |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
          |    ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rk
          |  FROM scored) t
-         |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin,
+         |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin
+
+  private lazy val sqlIvfKmeans: String =
+      s"""WITH $sqlQuant,
+         |seeds AS (SELECT vec_id AS cid, qv AS cq, n2 AS cn2 FROM qn
+         |          WHERE vec_id < $NCentroids),
+         |a0 AS (
+         |  SELECT vec_id, cell, qv, n2 FROM (
+         |    SELECT v.vec_id, c.cid AS cell, v.qv, v.n2,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY v.n2 + c.cn2 - 2 * ${sqlDot("v.qv", "c.cq")} ASC,
+         |                 c.cid ASC) AS rn
+         |    FROM qn v CROSS JOIN seeds c) t
+         |  WHERE rn = 1),
+         |cents1 AS (
+         |  SELECT cell AS cid, list(cv ORDER BY pos) AS cq FROM (
+         |    SELECT a.cell, t.i AS pos,
+         |      CAST(floor(avg(a.qv[t.i])) AS BIGINT) AS cv
+         |    FROM a0 a, UNNEST(range(1, ${Dim + 1})) t(i)
+         |    GROUP BY a.cell, t.i) s
+         |  GROUP BY cell),
+         |cents AS (SELECT cid, cq,
+         |            list_sum(list_transform(cq, x -> x * x)) AS cn2
+         |          FROM cents1),
+         |a1 AS (
+         |  SELECT vec_id, cell, qv, n2 FROM (
+         |    SELECT v.vec_id, c.cid AS cell, v.qv, v.n2,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY v.n2 + c.cn2 - 2 * ${sqlDot("v.qv", "c.cq")} ASC,
+         |                 c.cid ASC) AS rn
+         |    FROM qn v CROSS JOIN cents c) t
+         |  WHERE rn = 1),
+         |probecells AS (
+         |  SELECT vec_id AS qid, cid AS qcell, qq, qn2 FROM (
+         |    SELECT v.vec_id, c.cid, v.qv AS qq, v.n2 AS qn2,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY v.n2 + c.cn2 - 2 * ${sqlDot("v.qv", "c.cq")} ASC,
+         |                 c.cid ASC) AS rn
+         |    FROM qn v CROSS JOIN cents c
+         |    WHERE v.vec_id < $NQueries) t
+         |  WHERE rn <= 2),
+         |scored AS (
+         |  SELECT p.qid, v.vec_id,
+         |    CAST(${sqlDot("p.qq", "v.qv")} AS BIGINT)
+         |      / (sqrt(CAST(p.qn2 AS DOUBLE)) * sqrt(CAST(v.n2 AS DOUBLE)))
+         |      AS cos
+         |  FROM probecells p
+         |  JOIN a1 v ON v.cell = p.qcell AND v.vec_id <> p.qid)
+         |SELECT qid, rk, vec_id, cos FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rk
+         |  FROM scored) t
+         |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "sim_cosine_topk" -> sqlCosineTopk,
+    "sim_ivf_kmeans" -> sqlIvfKmeans,
+
+    // recall@k: exact top-k LEFT JOIN the IVF top-k; hits per probe.
+    // Both sub-pipelines are the (deterministic) oracles above, so
+    // the recall fractions themselves hash-compare.
+    "sim_recall_at_k" ->
+      s"""SELECT e.qid, CAST(count(a.vec_id) AS BIGINT) AS hits,
+         |  CAST(count(a.vec_id) AS DOUBLE) / $TopK AS recall
+         |FROM ($sqlCosineTopk) e
+         |LEFT JOIN ($sqlIvfKmeans) a
+         |  ON e.qid = a.qid AND e.vec_id = a.vec_id
+         |GROUP BY e.qid ORDER BY e.qid""".stripMargin,
 
     "sim_lsh_bucket" ->
       s"""WITH $sqlQuant,
@@ -363,57 +454,6 @@ object SimilarityQueries {
          |  FROM scored) t
          |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin,
 
-    "sim_ivf_kmeans" ->
-      s"""WITH $sqlQuant,
-         |seeds AS (SELECT vec_id AS cid, qv AS cq, n2 AS cn2 FROM qn
-         |          WHERE vec_id < $NCentroids),
-         |a0 AS (
-         |  SELECT vec_id, cell, qv, n2 FROM (
-         |    SELECT v.vec_id, c.cid AS cell, v.qv, v.n2,
-         |      row_number() OVER (PARTITION BY v.vec_id
-         |        ORDER BY v.n2 + c.cn2 - 2 * ${sqlDot("v.qv", "c.cq")} ASC,
-         |                 c.cid ASC) AS rn
-         |    FROM qn v CROSS JOIN seeds c) t
-         |  WHERE rn = 1),
-         |cents1 AS (
-         |  SELECT cell AS cid, list(cv ORDER BY pos) AS cq FROM (
-         |    SELECT a.cell, t.i AS pos,
-         |      CAST(floor(avg(a.qv[t.i])) AS BIGINT) AS cv
-         |    FROM a0 a, UNNEST(range(1, ${Dim + 1})) t(i)
-         |    GROUP BY a.cell, t.i) s
-         |  GROUP BY cell),
-         |cents AS (SELECT cid, cq,
-         |            list_sum(list_transform(cq, x -> x * x)) AS cn2
-         |          FROM cents1),
-         |a1 AS (
-         |  SELECT vec_id, cell, qv, n2 FROM (
-         |    SELECT v.vec_id, c.cid AS cell, v.qv, v.n2,
-         |      row_number() OVER (PARTITION BY v.vec_id
-         |        ORDER BY v.n2 + c.cn2 - 2 * ${sqlDot("v.qv", "c.cq")} ASC,
-         |                 c.cid ASC) AS rn
-         |    FROM qn v CROSS JOIN cents c) t
-         |  WHERE rn = 1),
-         |probecells AS (
-         |  SELECT vec_id AS qid, cid AS qcell, qq, qn2 FROM (
-         |    SELECT v.vec_id, c.cid, v.qv AS qq, v.n2 AS qn2,
-         |      row_number() OVER (PARTITION BY v.vec_id
-         |        ORDER BY v.n2 + c.cn2 - 2 * ${sqlDot("v.qv", "c.cq")} ASC,
-         |                 c.cid ASC) AS rn
-         |    FROM qn v CROSS JOIN cents c
-         |    WHERE v.vec_id < $NQueries) t
-         |  WHERE rn <= 2),
-         |scored AS (
-         |  SELECT p.qid, v.vec_id,
-         |    CAST(${sqlDot("p.qq", "v.qv")} AS BIGINT)
-         |      / (sqrt(CAST(p.qn2 AS DOUBLE)) * sqrt(CAST(v.n2 AS DOUBLE)))
-         |      AS cos
-         |  FROM probecells p
-         |  JOIN a1 v ON v.cell = p.qcell AND v.vec_id <> p.qid)
-         |SELECT qid, rk, vec_id, cos FROM (
-         |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
-         |    ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rk
-         |  FROM scored) t
-         |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin,
 
     "sim_lsh_ann" ->
       s"""WITH $sqlQuant,

@@ -48,6 +48,7 @@ class PlanAuditSpec extends AnyFunSuite {
   private val broadcastNonEqui = Set(
     "rel_range_join", "c1_commit_watermark", "sim_cosine_topk",
     "sim_lsh_bucket", "sim_lsh_ann", "sim_ivf_ann", "sim_ivf_kmeans",
+    "sim_recall_at_k", // inherits its sub-pipelines' centroid/probe broadcasts
     "dd_embed_cosine")
 
   test("no query plan contains a CartesianProduct") {
