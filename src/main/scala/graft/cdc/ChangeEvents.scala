@@ -32,7 +32,8 @@ object ChangeEvents {
   val updateDescriptionType: StructType = StructType(Seq(
     StructField("updatedFields", StringType),          // ext-JSON doc
     StructField("removedFields", ArrayType(StringType)),
-    StructField("truncatedArrays", ArrayType(StringType))))
+    StructField("truncatedArrays", ArrayType(StringType)),
+    StructField("raw", StringType)))                   // verbatim ext-JSON
 
   /** Envelope schema of one change-stream event (SURVEY §1.1, §1.4). */
   val schema: StructType = StructType(Seq(

@@ -91,11 +91,20 @@ object EnvelopeTransform {
     val updFields = when(col("updateDescription.updatedFields").isNotNull,
       concat(lit("\"updatedFields\": "),
         codec(col("updateDescription.updatedFields"))))
+    // Live-order parity: when the source carries the sub-document as
+    // one verbatim ext-JSON string (`updateDescription.raw`), splice it
+    // untouched — the reference's own move
+    // (`change_event_handler.py:104-105` dumps the live dict, so the
+    // server's key order, commonly updatedFields first, survives).
+    // The typed rebuild is the fallback for pre-parsed sources.
     val updDesc = when(col("updateDescription").isNotNull,
-      concat(
+      when(col("updateDescription.raw").isNotNull,
+        concat(lit("\"updateDescription\": "),
+          codec(col("updateDescription.raw"))))
+      .otherwise(concat(
         lit("\"updateDescription\": {"),
         concat_ws(", ", remFields, truncArrs, updFields),
-        lit("}")))
+        lit("}"))))
     val after = when(col("fullDocument").isNotNull,
       concat(lit("\"after\": "), codec(col("fullDocument"))))
     val op = concat(lit("\"op\": \""), opCode, lit("\""))

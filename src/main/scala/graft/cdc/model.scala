@@ -10,10 +10,19 @@ case class ResumeToken(_data: String)
 
 case class Ns(db: String, coll: String)
 
+/** `raw`, when present, is the live event's entire updateDescription
+  * sub-document as one verbatim ext-JSON string — the reference splices
+  * it into the envelope untouched (`producing/change_event_handler
+  * .py:104-105`), so whatever key order the server emitted (commonly
+  * `updatedFields` first) survives byte-for-byte. The typed fields
+  * remain for sources that deliver the sub-document pre-parsed; the
+  * envelope prefers `raw` when both are set.
+  */
 case class UpdateDescription(
     updatedFields: String,
     removedFields: Seq[String],
-    truncatedArrays: Seq[String])
+    truncatedArrays: Seq[String],
+    raw: String = null)
 
 case class ChangeEventRow(
     _id: ResumeToken,

@@ -97,6 +97,44 @@ class EnvelopeTransformSpec extends AnyFunSuite {
     assert(v.contains(""""updateDescription": {}"""), s"got: $v")
   }
 
+  test("raw updateDescription splices verbatim — updatedFields-first live order (P1)") {
+    // Real change streams commonly emit updatedFields FIRST; the
+    // reference dumps the live dict as-is (change_event_handler
+    // .py:104-105), so the envelope must reproduce that exact byte
+    // sequence, not the golden fixture's removedFields-first order.
+    import spark.implicits._
+    val liveRaw =
+      """{"updatedFields": {"a": 2}, "removedFields": ["gone"], "truncatedArrays": []}"""
+    val ev = ChangeEvents.goldenEvents(1).copy(
+      updateDescription = Some(UpdateDescription(
+        // typed fields deliberately disagree with raw's order/content —
+        // raw must win
+        """{"a": 999}""", Seq.empty, Seq.empty, raw = liveRaw)))
+    val df = spark.createDataFrame(Seq(ev).toDF().rdd, ChangeEvents.schema)
+    val v = EnvelopeTransform(df, "test").head().getString(2)
+    assert(v ===
+      """{"before": {"_id": {"$oid": "6692b4a31ede014d28852865"}, "a": 1}, """ +
+      s""""updateDescription": $liveRaw, """ +
+      """"after": {"_id": {"$oid": "6692b4a31ede014d28852865"}, "a": 2}, "op": "u"}""")
+  }
+
+  test("raw updateDescription runs through the legacy codec when asked (P1+E3)") {
+    // A connector configured for canonical output carries canonical
+    // ext-JSON inside the raw sub-document; legacyDialect must convert
+    // it while preserving the live key order.
+    import spark.implicits._
+    val canonicalRaw =
+      """{"updatedFields": {"n": {"$numberInt": "7"}}, "removedFields": []}"""
+    val ev = ChangeEvents.goldenEvents(1).copy(
+      updateDescription = Some(UpdateDescription(null, null, null, canonicalRaw)))
+    val df = spark.createDataFrame(Seq(ev).toDF().rdd, ChangeEvents.schema)
+    val v = EnvelopeTransform(df, "test", legacyDialect = true)
+      .head().getString(2)
+    assert(v.contains(
+      """"updateDescription": {"updatedFields": {"n": 7}, "removedFields": []}"""),
+      s"got: $v")
+  }
+
   test("byte-sum routing: one shared documentKey → one partition (P4)") {
     // Reference smoke: with 2 producers all 4 data events land in
     // queue 1 (`test_application.py:24-26`).
