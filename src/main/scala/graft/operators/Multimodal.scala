@@ -39,6 +39,14 @@ object Multimodal {
     */
   trait MediaDecoder extends Serializable {
     def dims(kind: String, content: Array[Byte]): (Long, Long)
+
+    /** Downsample a payload by `stride`. The default keeps every
+      * `stride`-th byte — the deterministic stub shape the oracle
+      * replays; a real codec overrides with decode→scale→re-encode.
+      */
+    def downscale(kind: String, content: Array[Byte], stride: Int)
+        : Array[Byte] =
+      Array.range(0, content.length, stride).map(i => content(i))
   }
 
   /** Deterministic stand-in for a real codec: dims derived from the
@@ -51,6 +59,52 @@ object Multimodal {
       val b1 = if (content.length > 1) content(1) & 0xff else 0
       (1L + b0 % 64, 1L + b1 % 64)
     }
+  }
+
+  /** Real image codec over the JDK's javax.imageio — no external
+    * dependency. `dims` decodes the actual image header; `downscale`
+    * decodes, scales both dimensions by 1/stride (floor, min 1), and
+    * re-encodes as PNG. Runs through exactly the same mapPartitions
+    * plumbing as the stub; select it per session with
+    * `graft.media.decoder=imageio` (the oracle queries keep the stub —
+    * the synthetic corpus carries text payloads, not image bytes).
+    */
+  object ImageIoDecoder extends MediaDecoder {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    private def decode(content: Array[Byte]): BufferedImage = {
+      val img = ImageIO.read(new ByteArrayInputStream(content))
+      require(img != null, "payload is not a decodable image")
+      img
+    }
+
+    override def dims(kind: String, content: Array[Byte]): (Long, Long) = {
+      val img = decode(content)
+      (img.getWidth.toLong, img.getHeight.toLong)
+    }
+
+    override def downscale(kind: String, content: Array[Byte], stride: Int)
+        : Array[Byte] = {
+      val img = decode(content)
+      val w = math.max(1, img.getWidth / stride)
+      val h = math.max(1, img.getHeight / stride)
+      val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try g.drawImage(img, 0, 0, w, h, null) finally g.dispose()
+      val baos = new ByteArrayOutputStream()
+      ImageIO.write(out, "png", baos)
+      baos.toByteArray
+    }
+  }
+
+  /** Config-selected decoder (`graft.media.decoder`): "imageio" → the
+    * real JDK codec, anything else → the deterministic stub.
+    */
+  def decoderFor(name: String): MediaDecoder = name match {
+    case "imageio" => ImageIoDecoder
+    case _ => StubDecoder
   }
 
   /** Same fold as graft.functions.FingerprintExpr — portable payload
@@ -116,10 +170,10 @@ object Multimodal {
       width: Long,
       height: Long)
 
-  /** Resize/downsample: keep every `stride`-th payload byte and
-    * re-extract features from the reduced payload — the plumbing shape
-    * of image downscaling (payload in, smaller payload + metadata
-    * out), stride-deterministic so the oracle can replay it.
+  /** Resize/downsample through the decoder's `downscale` — payload in,
+    * smaller payload + metadata out. With the stub that's the
+    * stride-deterministic byte thinning the oracle replays; with
+    * ImageIoDecoder it's a real decode→scale→re-encode.
     */
   def resize(media: Dataset[MediaRow], stride: Int, decoder: MediaDecoder)
       : Dataset[ResizedMedia] = {
@@ -127,8 +181,7 @@ object Multimodal {
     require(stride >= 1)
     media.mapPartitions { it =>
       it.map { m =>
-        val out = Array.range(0, m.content.length, stride)
-          .map(i => m.content(i))
+        val out = decoder.downscale(m.kind, m.content, stride)
         val (w, h) = decoder.dims(m.kind, out)
         ResizedMedia(m.media_id, m.content.length.toLong,
           out.length.toLong, rollingHash(out), w, h)

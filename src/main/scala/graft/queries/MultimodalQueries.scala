@@ -13,11 +13,18 @@ import graft.operators.Multimodal
   */
 object MultimodalQueries {
 
+  /** Session-selected codec (`graft.media.decoder`, default stub —
+    * the oracle replays the stub's arithmetic; a deployment with real
+    * image payloads sets `imageio`).
+    */
+  private def decoder(s: SparkSession): Multimodal.MediaDecoder =
+    Multimodal.decoderFor(s.conf.get("graft.media.decoder", "stub"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> ((s, d) =>
       Multimodal.extractFeatures(
         Multimodal.asMedia(s, Tables.documents(s, d)),
-        Multimodal.StubDecoder)
+        decoder(s))
         .toDF()
         .orderBy("media_id")),
 
@@ -31,7 +38,7 @@ object MultimodalQueries {
     "mm_resize" -> ((s, d) =>
       Multimodal.resize(
         Multimodal.asMedia(s, Tables.documents(s, d)),
-        stride = 4, Multimodal.StubDecoder)
+        stride = 4, decoder(s))
         .toDF()
         .orderBy("media_id")))
 
