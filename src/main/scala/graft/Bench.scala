@@ -19,6 +19,8 @@ object BenchExpect {
     "c1_commit_watermark" -> 0.3,
     "c2_commit_batches" -> 0.3,
     "dd_cluster" -> 2.3,
+    "dd_cross_dedup" -> 1.5,
+    "dd_decontaminate" -> 1.5,
     "dd_dedup_verdict" -> 3.0,
     "dd_embed_cosine" -> 0.7,
     "dd_exact" -> 0.5,
@@ -68,6 +70,7 @@ object BenchExpect {
     "tx_ngram_topk" -> 0.4,
     "tx_normalize" -> 0.5,
     "tx_quality" -> 0.3,
+    "tx_repetition" -> 1.0,
     "tx_sample" -> 0.5,
     "tx_tokens" -> 0.3,
   )

@@ -88,34 +88,50 @@ object DedupQueries {
     */
   private def signatures(s: SparkSession, d: String): DataFrame =
     StagedIndex.orStage(s, s"dd_signatures_v1_$StageFp", d, docsInput(d)) {
-      val hashed = shingled(s, d)
-        .select(col("doc_id"), explode(col("sh")).alias("shingle"))
-        .select(col("doc_id"), pmod(h60(col("shingle")), lit(P)).alias("h"))
-      val agg = hashed.groupBy("doc_id")
-        .agg(graft.functions.MinHashSig(col("h"), K, P, As, Bs).alias("sig"))
-      val cols =
-        (0 until K).map(i => element_at(col("sig"), i + 1).alias(s"m$i"))
-      agg.select(col("doc_id") +: cols: _*)
+      sigFromShingles(shingled(s, d))
     }
 
-  /** LSH candidate pairs (ida < idb): band the cached signatures, join
-    * docs sharing any band bucket. Shared by dd_minhash_lsh (verify
-    * stage) and dd_cluster (connected components).
+  /** (doc_id, sh) shingle rows → m0..m{K-1} signature columns; the one
+    * definition both the staged query path and the spec-facing
+    * `signaturesOf` share.
     */
-  private def candidatePairs(s: SparkSession, d: String): DataFrame = {
-    val sig = signatures(s, d)
+  private def sigFromShingles(sh: DataFrame): DataFrame = {
+    val hashed = sh
+      .select(col("doc_id"), explode(col("sh")).alias("shingle"))
+      .select(col("doc_id"), pmod(h60(col("shingle")), lit(P)).alias("h"))
+    val agg = hashed.groupBy("doc_id")
+      .agg(graft.functions.MinHashSig(col("h"), K, P, As, Bs).alias("sig"))
+    val cols =
+      (0 until K).map(i => element_at(col("sig"), i + 1).alias(s"m$i"))
+    agg.select(col("doc_id") +: cols: _*)
+  }
+
+  /** (doc_id, band, key) LSH band rows over a signature table — the
+    * index every LSH consumer equi-joins on.
+    */
+  private[queries] def bandedOf(sig: DataFrame): DataFrame = {
     val bandCols = (0 until Bands).map { bnd =>
       val parts = (0 until RowsPerBand)
         .map(r => col(s"m${bnd * RowsPerBand + r}"))
       struct(lit(bnd).alias("band"),
         concat_ws("_", parts: _*).alias("key"))
     }
-    val banded = sig.select(col("doc_id"),
-        explode(array(bandCols: _*)).alias("bk"))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).alias("bk"))
       .select(col("doc_id"), col("bk.band").alias("band"),
         col("bk.key").alias("key"))
-    val a = banded.alias("a")
-    val b = banded.alias("b")
+  }
+
+  private def banded(s: SparkSession, d: String): DataFrame =
+    bandedOf(signatures(s, d))
+
+  /** LSH candidate pairs (ida < idb): join docs sharing any band
+    * bucket. Shared by dd_minhash_lsh (verify stage) and dd_cluster
+    * (connected components).
+    */
+  private def candidatePairs(s: SparkSession, d: String): DataFrame = {
+    val bd = banded(s, d)
+    val a = bd.alias("a")
+    val b = bd.alias("b")
     a.join(b,
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -216,6 +232,42 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Eval-set decontamination: flag every training document sharing
+    // any word-8-gram with the benchmark probe set (here: doc_id ≡ 0
+    // mod 7 plays the held-out benchmark). The canonical
+    // pre-training hygiene op. Scale shape: the probe side reduces to
+    // a distinct set of 8-byte gram hashes — benchmark suites are
+    // tiny, so it broadcasts; the training side streams at scan
+    // speed through the hash join, and the per-doc count is a
+    // map-side-combining agg. No corpus self-join, no corpus shuffle
+    // beyond the doc-keyed count.
+    "dd_decontaminate" -> ((s, d) => {
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.functions.WordShingles(col("text"), 8)).alias("g"))
+        .select(col("doc_id"), h60(col("g")).alias("gh"))
+      val probe = grams.filter(col("doc_id") % 7 === 0)
+        .select(col("gh")).distinct()
+      grams.filter(col("doc_id") % 7 =!= 0)
+        .join(broadcast(probe), "gh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).alias("n_shared"))
+        .orderBy("doc_id")
+    }),
+
+    // Incremental cross-snapshot dedup: dedupe a NEW crawl snapshot
+    // (odd doc_ids) against the EXISTING corpus (even doc_ids) —
+    // the recurring production job (each crawl dedupes against
+    // everything already kept, not against itself). Exact tier:
+    // byte-identical content hash. Near tier: LSH band-key join
+    // new→old, signature-agreement verify (≥31/32). Verdict per new
+    // doc: 'exact' | 'near' | 'keep'. Scale shape: both tiers are
+    // hash-partitioned equi-joins; the old side never re-shuffles
+    // per snapshot when its band index is staged (it is — the sig
+    // argument reads the staged signature parquet).
+    "dd_cross_dedup" -> ((s, d) =>
+      crossDedup(Tables.documents(s, d), signatures(s, d))),
+
     // The end-to-end dedup operator a training-data pipeline actually
     // runs: LSH candidate generation → signature-agreement VERIFY
     // (est. Jaccard ≥ 31/32 — rejects the weaker collisions) →
@@ -250,6 +302,50 @@ object DedupQueries {
     * which an LSH candidate pair is accepted as a true near-duplicate.
     */
   final val VerifyAgree = 31
+
+  /** MinHash signatures computed directly from a documents frame —
+    * the unstaged pipeline behind `signatures` (specs drive it on
+    * synthetic corpora; the query path stages its result to parquet).
+    */
+  private[queries] def signaturesOf(docs: DataFrame): DataFrame =
+    sigFromShingles(docs.select(col("doc_id"),
+      graft.functions.WordShingles(col("text"), 3).alias("sh")))
+
+  /** Cross-snapshot dedup core (see the `dd_cross_dedup` entry): NEW
+    * snapshot = odd doc_ids, EXISTING corpus = even. Exact tier joins
+    * on the full content hash; near tier joins band keys new→old and
+    * verifies by signature agreement. One verdict row per new doc.
+    */
+  private[queries] def crossDedup(docs: DataFrame, sig: DataFrame)
+      : DataFrame = {
+    val keyed = docs.select(col("doc_id"), md5(col("text")).alias("k"))
+    val exactHits = keyed.filter(col("doc_id") % 2 === 1)
+      .join(keyed.filter(col("doc_id") % 2 === 0).select(col("k")).distinct(),
+        Seq("k"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val bd = bandedOf(sig)
+    val sigArr = array((0 until K).map(i => col(s"m$i")): _*)
+    val sa = sig.select(col("doc_id").alias("ida"), sigArr.alias("siga"))
+    val sb = sig.select(col("doc_id").alias("idb"), sigArr.alias("sigb"))
+    val nearHits = bd.filter(col("doc_id") % 2 === 1).alias("a")
+      .join(bd.filter(col("doc_id") % 2 === 0).alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .select(col("a.doc_id").alias("ida"), col("b.doc_id").alias("idb"))
+      .distinct()
+      .join(sa, "ida").join(sb, "idb")
+      .filter(size(filter(zip_with(col("siga"), col("sigb"),
+        (x, y) => x === y), bb => bb)) >= VerifyAgree)
+      .select(col("ida").alias("doc_id")).distinct()
+    docs.select(col("doc_id"))
+      .filter(col("doc_id") % 2 === 1)
+      .join(exactHits.withColumn("is_exact", lit(true)), Seq("doc_id"), "left")
+      .join(nearHits.withColumn("is_near", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_exact"), "exact")
+          .when(col("is_near"), "near")
+          .otherwise("keep").alias("verdict"))
+      .orderBy("doc_id")
+  }
 
   /** One large-star step: every node u connects its strictly-larger
     * neighbors to m = min(N(u) ∪ {u}). The per-u minimum is a window
@@ -370,10 +466,10 @@ object DedupQueries {
        |  FROM hashes)""".stripMargin
   }
 
-  /** docs → signatures → band keys → distinct candidate pairs, as SQL
-    * CTEs (the oracle twin of `candidatePairs`).
+  /** docs → signatures → band keys, as SQL CTEs (the oracle twin of
+    * `banded`).
     */
-  private val sqlCandCtes: String = {
+  private val sqlBandedCtes: String = {
     val bandKeys = (0 until Bands).map { bnd =>
       val parts = (0 until RowsPerBand)
         .map(r => s"m${bnd * RowsPerBand + r}")
@@ -381,12 +477,18 @@ object DedupQueries {
     }.mkString("\n UNION ALL ")
     s"""docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |$sqlSignature,
-       |banded AS ($bandKeys),
+       |banded AS ($bandKeys)""".stripMargin
+  }
+
+  /** …plus distinct candidate pairs (the oracle twin of
+    * `candidatePairs`).
+    */
+  private val sqlCandCtes: String =
+    s"""$sqlBandedCtes,
        |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
        |         FROM banded a JOIN banded b
        |           ON a.band = b.band AND a.key = b.key
        |              AND a.doc_id < b.doc_id)""".stripMargin
-  }
 
   val oracles: Map[String, String] = Map(
     "dd_exact" ->
@@ -460,6 +562,47 @@ object DedupQueries {
          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    "dd_decontaminate" ->
+      s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w
+         |             FROM documents),
+         |gr AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS s
+         |       FROM docs, UNNEST(range(1, len(w) - 6)) t(i)
+         |       WHERE len(w) >= 8),
+         |gh AS (SELECT doc_id, ${SqlH60("s")} AS ghash FROM gr),
+         |probe AS (SELECT DISTINCT ghash FROM gh WHERE doc_id % 7 = 0),
+         |train AS (SELECT doc_id, ghash FROM gh WHERE doc_id % 7 <> 0)
+         |SELECT train.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM train JOIN probe ON train.ghash = probe.ghash
+         |GROUP BY train.doc_id ORDER BY doc_id""".stripMargin,
+
+    "dd_cross_dedup" -> {
+      val sigList = (0 until K).map(i => s"m$i").mkString("[", ", ", "]")
+      s"""WITH $sqlBandedCtes,
+         |sigs AS (SELECT doc_id, $sigList AS sig FROM sig),
+         |kk AS (SELECT doc_id, md5(text) AS k FROM documents),
+         |exact_hits AS (
+         |  SELECT DISTINCT n.doc_id FROM kk n JOIN kk o ON n.k = o.k
+         |  WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0),
+         |near_hits AS (
+         |  SELECT DISTINCT a.doc_id
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.key = b.key
+         |  JOIN sigs sa ON sa.doc_id = a.doc_id
+         |  JOIN sigs sb ON sb.doc_id = b.doc_id
+         |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+         |    AND len(list_filter(range(1, ${K + 1}),
+         |          i -> sa.sig[i] = sb.sig[i])) >= $VerifyAgree)
+         |SELECT d.doc_id,
+         |  CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+         |       WHEN nh.doc_id IS NOT NULL THEN 'near'
+         |       ELSE 'keep' END AS verdict
+         |FROM documents d
+         |LEFT JOIN exact_hits e ON d.doc_id = e.doc_id
+         |LEFT JOIN near_hits nh ON d.doc_id = nh.doc_id
+         |WHERE d.doc_id % 2 = 1
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     "dd_dedup_verdict" -> {
       val sigList = (0 until K).map(i => s"m$i").mkString("[", ", ", "]")

@@ -116,6 +116,35 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Gopher-style repetition quality gate (Rae et al. 2021 repetition
+    // rules, engine-portable): per doc the most-frequent-word mass
+    // fraction and the duplicate-3-gram fraction, plus the keep/drop
+    // verdict. Scale shape: one map-side-combining count on
+    // (doc_id, word), a per-doc re-agg, and a doc-keyed join against a
+    // scan-speed projection — no corpus-wide state anywhere.
+    "tx_repetition" -> ((s, d) => {
+      val wc = Tables.documents(s, d)
+        .select(col("doc_id"), explode(w).alias("wd"))
+        .groupBy("doc_id", "wd")
+        .agg(count(lit(1)).alias("n"))
+      val top = wc.groupBy("doc_id")
+        .agg(max(col("n")).alias("maxn"), sum(col("n")).alias("nw"))
+      val tri = Tables.documents(s, d)
+        .select(col("doc_id"),
+          greatest(size(w) - 2, lit(0)).cast(LongType).alias("tot3"),
+          size(graft.functions.WordShingles(col("text"), 3))
+            .cast(LongType).alias("d3"))
+      val topFrac = col("maxn").cast("double") / col("nw")
+      val dupFrac = when(col("tot3") > 0,
+        lit(1.0) - col("d3").cast("double") / col("tot3")).otherwise(0.0)
+      top.join(tri, "doc_id")
+        .select(col("doc_id"), col("maxn"), col("nw").cast(LongType).alias("nw"),
+          topFrac.alias("top_frac"), col("tot3"), col("d3"),
+          dupFrac.alias("dup3_frac"),
+          (topFrac <= 0.15 && dupFrac <= 0.02).alias("keep"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic stratified sampling: rank docs inside each lang
     // stratum by a content hash and keep the top ceil(10%) — the
     // reproducible downsampling a training-data pipeline needs (same
@@ -211,6 +240,31 @@ object TextQueries {
         |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
         |    ' +', ' ', 'g')), ' ')) AS BIGINT) AS n_norm_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "tx_repetition" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w
+        |             FROM documents),
+        |wc AS (SELECT doc_id, wd, CAST(count(*) AS BIGINT) AS n
+        |       FROM (SELECT doc_id, unnest(w) AS wd FROM docs) t
+        |       GROUP BY doc_id, wd),
+        |top AS (SELECT doc_id, max(n) AS maxn, CAST(sum(n) AS BIGINT) AS nw
+        |        FROM wc GROUP BY doc_id),
+        |tri AS (SELECT doc_id,
+        |          CAST(greatest(len(w) - 2, 0) AS BIGINT) AS tot3,
+        |          CAST(CASE WHEN len(w) >= 3 THEN
+        |            len(list_distinct([array_to_string(w[i:i+2], ' ')
+        |                               for i in range(1, len(w) - 1)]))
+        |            ELSE 0 END AS BIGINT) AS d3
+        |        FROM docs)
+        |SELECT top.doc_id, maxn, nw,
+        |  CAST(maxn AS DOUBLE) / nw AS top_frac, tot3, d3,
+        |  CASE WHEN tot3 > 0 THEN 1.0 - CAST(d3 AS DOUBLE) / tot3
+        |       ELSE 0.0 END AS dup3_frac,
+        |  (CAST(maxn AS DOUBLE) / nw <= CAST(0.15 AS DOUBLE) AND
+        |   (CASE WHEN tot3 > 0 THEN 1.0 - CAST(d3 AS DOUBLE) / tot3
+        |         ELSE 0.0 END) <= CAST(0.02 AS DOUBLE)) AS keep
+        |FROM top JOIN tri ON top.doc_id = tri.doc_id
+        |ORDER BY top.doc_id""".stripMargin,
 
     "tx_sample" ->
       """WITH hashed AS (
