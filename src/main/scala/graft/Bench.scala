@@ -26,6 +26,7 @@ object BenchExpect {
     "dd_exact" -> 0.5,
     "dd_minhash_lsh" -> 0.8,
     "dd_ngram_jaccard" -> 2.3,
+    "dd_semdedup" -> 1.5,
     "dd_simhash" -> 0.8,
     "f1_optype_filter" -> 0.3,
     "mm_features" -> 0.3,
@@ -69,6 +70,8 @@ object BenchExpect {
     "tx_langid" -> 0.3,
     "tx_ngram_topk" -> 0.4,
     "tx_normalize" -> 0.5,
+    "tx_pii" -> 0.5,
+    "tx_tfidf" -> 1.0,
     "tx_quality" -> 0.3,
     "tx_repetition" -> 1.0,
     "tx_sample" -> 0.5,

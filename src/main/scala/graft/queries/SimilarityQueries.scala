@@ -206,7 +206,42 @@ object SimilarityQueries {
         .orderBy("qid")
     }),
 
-    "sim_lsh_ann" -> (lshAnn(_, _)))
+    "sim_lsh_ann" -> (lshAnn(_, _)),
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    // deduplication — k-means-cluster the embedding space, then call a
+    // vector a duplicate when a lower-id member of the SAME cluster is
+    // within cosine >= SemThresh; the keeper is the smallest such
+    // neighbor. The pairwise scan never leaves a cell, so the cost is
+    // sum(|cell|^2), not N^2 — the same partition-once-search-locally
+    // shape as IVF, and at 100 TB the cell count scales with the
+    // corpus so cells stay bounded. One corpus-wide verdict row per
+    // vector (vec_id, cell, keeper, is_dup).
+    "dd_semdedup" -> ((s, d) => {
+      val assigned = kmeansAssign(s, d)
+      val a = assigned.select(col("cell"), col("vec_id"),
+        col("q"), col("n2"))
+      val b = assigned.select(col("cell"), col("vec_id").alias("idb"),
+        col("q").alias("qb"), col("n2").alias("nb"))
+      val keepers = a.join(b, Seq("cell"))
+        .filter(col("idb") < col("vec_id"))
+        .filter(cosine(dot(col("q"), col("qb")), col("n2"), col("nb"))
+          >= SemThresh)
+        .groupBy("vec_id")
+        .agg(min(col("idb")).alias("kmin"))
+      assigned.select(col("vec_id"), col("cell"))
+        .join(keepers, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          coalesce(col("kmin"), col("vec_id")).alias("keeper"),
+          col("kmin").isNotNull.alias("is_dup"))
+        .orderBy("vec_id")
+    }))
+
+  /** SemDeDup duplicate threshold: within-cluster cosine at or above
+    * which the later vector defers to the earlier keeper. 0.35 matches
+    * dd_embed_cosine's near-duplicate bar on this corpus.
+    */
+  final val SemThresh = 0.35
 
   /** Multi-probe width: how many nearest cells each probe searches.
     * Session-configurable (`graft.ivf.probes`); the default 2 is what
@@ -217,35 +252,49 @@ object SimilarityQueries {
   private def probeCount(s: SparkSession): Int =
     s.conf.get("graft.ivf.probes", "2").toInt
 
+  /** Learned centroids (seed with vectors 0..7, one floor-exact Lloyd
+    * step) and the corpus assigned to them — the shared k-means core
+    * behind `sim_ivf_kmeans` and `dd_semdedup`. Returns
+    * (centroids (cid, cq, cn2), assigned (vec_id, cell, q, n2)).
+    */
+  private def kmeansCore(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val all = quantized(s, d)
+    def assign(cents: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("dist2").asc, col("cid").asc)
+      all.crossJoin(broadcast(cents))
+        .withColumn("dist2",
+          col("n2") + col("cn2") - lit(2L) * dot(col("q"), col("cq")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid").alias("cell"), col("q"),
+          col("n2"))
+    }
+    val seeds = all.filter(col("vec_id") < NCentroids)
+      .select(col("vec_id").alias("cid"), col("q").alias("cq"),
+        col("n2").alias("cn2"))
+    // one Lloyd step: element-wise floor(mean) per cell — exact in
+    // both engines (sums stay far below 2^53)
+    val cents1 = assign(seeds)
+      .select(col("cell"), posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy("cell", "pos")
+      .agg(floor(avg(col("v"))).cast(LongType).alias("cv"))
+      .groupBy("cell")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("cv")))),
+        x => x.getField("cv")).alias("cq"))
+      .select(col("cell").alias("cid"), col("cq"),
+        dot(col("cq"), col("cq")).alias("cn2"))
+    (cents1, assign(cents1))
+  }
+
+  private def kmeansAssign(s: SparkSession, d: String): DataFrame =
+    kmeansCore(s, d)._2
+
   private def ivfKmeans(s: SparkSession, d: String): DataFrame = {
     val all = quantized(s, d)
-      def assign(cents: DataFrame): DataFrame = {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("vec_id").orderBy(col("dist2").asc, col("cid").asc)
-        all.crossJoin(broadcast(cents))
-          .withColumn("dist2",
-            col("n2") + col("cn2") - lit(2L) * dot(col("q"), col("cq")))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("cid").alias("cell"), col("q"),
-            col("n2"))
-      }
-      val seeds = all.filter(col("vec_id") < NCentroids)
-        .select(col("vec_id").alias("cid"), col("q").alias("cq"),
-          col("n2").alias("cn2"))
-      // one Lloyd step: element-wise floor(mean) per cell — exact in
-      // both engines (sums stay far below 2^53)
-      val cents1 = assign(seeds)
-        .select(col("cell"), posexplode(col("q")).as(Seq("pos", "v")))
-        .groupBy("cell", "pos")
-        .agg(floor(avg(col("v"))).cast(LongType).alias("cv"))
-        .groupBy("cell")
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("cv")))),
-          x => x.getField("cv")).alias("cq"))
-        .select(col("cell").alias("cid"), col("cq"),
-          dot(col("cq"), col("cq")).alias("cn2"))
-      val assigned = assign(cents1)
+      val (cents1, assigned) = kmeansCore(s, d)
       // multi-probe: each probe searches its 2 nearest learned cells
       val wProbe = org.apache.spark.sql.expressions.Window
         .partitionBy("vec_id").orderBy(col("dist2").asc, col("cid").asc)
@@ -335,8 +384,12 @@ object SimilarityQueries {
          |  FROM scored) t
          |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin
 
-  private lazy val sqlIvfKmeans: String =
-      s"""WITH $sqlQuant,
+  /** Shared CTE chain: quantize → seed → one Lloyd step → assign to
+    * learned centroids (mirrors kmeansCore). Ends with `a1 (vec_id,
+    * cell, qv, n2)`; callers append their own CTEs/SELECT.
+    */
+  private lazy val sqlKmeansAssign: String =
+      s"""$sqlQuant,
          |seeds AS (SELECT vec_id AS cid, qv AS cq, n2 AS cn2 FROM qn
          |          WHERE vec_id < $NCentroids),
          |a0 AS (
@@ -364,7 +417,10 @@ object SimilarityQueries {
          |        ORDER BY v.n2 + c.cn2 - 2 * ${sqlDot("v.qv", "c.cq")} ASC,
          |                 c.cid ASC) AS rn
          |    FROM qn v CROSS JOIN cents c) t
-         |  WHERE rn = 1),
+         |  WHERE rn = 1)""".stripMargin
+
+  private lazy val sqlIvfKmeans: String =
+      s"""WITH $sqlKmeansAssign,
          |probecells AS (
          |  SELECT vec_id AS qid, cid AS qcell, qq, qn2 FROM (
          |    SELECT v.vec_id, c.cid, v.qv AS qq, v.n2 AS qn2,
@@ -390,6 +446,24 @@ object SimilarityQueries {
   val oracles: Map[String, String] = Map(
     "sim_cosine_topk" -> sqlCosineTopk,
     "sim_ivf_kmeans" -> sqlIvfKmeans,
+
+    // SemDeDup verdict: within-cell pairs under the learned k-means
+    // assignment, keeper = min earlier neighbor with cos >= SemThresh.
+    "dd_semdedup" ->
+      s"""WITH $sqlKmeansAssign,
+         |keepers AS (
+         |  SELECT a.vec_id, min(b.vec_id) AS kmin
+         |  FROM a1 a JOIN a1 b
+         |    ON b.cell = a.cell AND b.vec_id < a.vec_id
+         |  WHERE CAST(${sqlDot("a.qv", "b.qv")} AS BIGINT)
+         |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+         |      >= $SemThresh
+         |  GROUP BY a.vec_id)
+         |SELECT a1.vec_id, a1.cell,
+         |  coalesce(k.kmin, a1.vec_id) AS keeper,
+         |  k.kmin IS NOT NULL AS is_dup
+         |FROM a1 LEFT JOIN keepers k ON a1.vec_id = k.vec_id
+         |ORDER BY a1.vec_id""".stripMargin,
 
     // recall@k: exact top-k LEFT JOIN the IVF top-k; hits per probe.
     // Both sub-pipelines are the (deterministic) oracles above, so

@@ -20,6 +20,55 @@ object TextQueries {
 
   private def w: Column = split(col("text"), " ")
 
+  /** PII patterns — RE2-compatible (no backrefs/lookaround) so the
+    * same source strings drive Spark (java.util.regex) and the DuckDB
+    * oracle identically.
+    */
+  final val PiiEmail = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  final val PiiPhone = "\\b[0-9]{3}-[0-9]{4}\\b"
+  final val PiiIp =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** TF-IDF core behind `tx_tfidf` (specs drive it on synthetic
+    * frames): per-(doc, term) counts, vocabulary-sized df table
+    * broadcast back, idf as the exact rational N/df (one double
+    * division — no transcendental, engines agree bit-for-bit),
+    * per-doc top-3 terms by score = tf*N/df.
+    */
+  private[queries] def tfidfTopK(docs: DataFrame): DataFrame = {
+    val wc = docs
+      .select(col("doc_id"), explode(w).alias("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).alias("tf"))
+    val df = wc.groupBy("term").agg(count(lit(1)).alias("df"))
+    val n = docs.agg(count(lit(1)).alias("n"))
+    val scored = wc
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * col("n")).cast("double") / col("df"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    scored
+      .withColumn("rk", row_number().over(win).cast(LongType))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"),
+        col("df"), col("score"))
+      .orderBy("doc_id", "rk")
+  }
+
+  /** Redaction order is part of the contract: email first (its
+    * char-class would otherwise eat pieces of a following tag), then
+    * IPv4, then phone.
+    */
+  private[queries] def redact(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, PiiEmail, "<EMAIL>"),
+        PiiIp, "<IP>"),
+      PiiPhone, "<PHONE>")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Rolling-hash document fingerprint (custom codegen expression).
     "tx_fingerprint" -> ((s, d) =>
@@ -145,6 +194,45 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // PII detection + redaction: email / phone / IPv4 regex hits and
+    // the redacted text — the privacy-scrubbing pass every training
+    // corpus gets. The synthetic corpus carries no PII, so the query
+    // demonstrates the shape on a deterministically-synthesized
+    // contact suffix (both engines build the same string, so the
+    // regexes genuinely fire and the hash check is substantive);
+    // PiiSpec pins the semantics on realistic text. Pure per-row
+    // expressions — scan speed, zero shuffle.
+    "tx_pii" -> ((s, d) => {
+      val withPii = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com call 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+        lit("."), (col("doc_id") % 100).cast("string"))
+      Tables.documents(s, d)
+        .withColumn("pt", withPii)
+        .select(
+          col("doc_id"),
+          regexp_count(col("pt"), lit(PiiEmail)).cast(LongType)
+            .alias("n_email"),
+          regexp_count(col("pt"), lit(PiiPhone)).cast(LongType)
+            .alias("n_phone"),
+          regexp_count(col("pt"), lit(PiiIp)).cast(LongType).alias("n_ip"),
+          redact(col("pt")).alias("redacted"))
+        .withColumn("has_pii",
+          col("n_email") + col("n_phone") + col("n_ip") > 0)
+        .orderBy("doc_id")
+    }),
+
+    // Corpus TF-IDF: document frequency per term (one map-side
+    // combining agg over the (doc, term) counts), idf as the exact
+    // rational N/df (single double division — no transcendental, so
+    // engines agree bit-for-bit), per-doc top-3 terms by
+    // score = tf*N/df. Scale shape: the df table is vocabulary-sized
+    // (tiny vs the corpus) and broadcasts back onto the term counts;
+    // the only corpus-scale shuffles are the (doc, term) agg and the
+    // per-doc top-k window.
+    "tx_tfidf" -> ((s, d) => tfidfTopK(Tables.documents(s, d))),
+
     // Deterministic stratified sampling: rank docs inside each lang
     // stratum by a content hash and keep the top ceil(10%) — the
     // reproducible downsampling a training-data pipeline needs (same
@@ -265,6 +353,50 @@ object TextQueries {
         |         ELSE 0.0 END) <= CAST(0.02 AS DOUBLE)) AS keep
         |FROM top JOIN tri ON top.doc_id = tri.doc_id
         |ORDER BY top.doc_id""".stripMargin,
+
+    "tx_pii" ->
+      s"""WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id ||
+        |    '@example.com call 555-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |    ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+        |    CAST(doc_id % 100 AS VARCHAR) AS pt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(pt, '$PiiEmail')) AS BIGINT)
+        |    AS n_email,
+        |  CAST(len(regexp_extract_all(pt, '$PiiPhone')) AS BIGINT)
+        |    AS n_phone,
+        |  CAST(len(regexp_extract_all(pt, '$PiiIp')) AS BIGINT) AS n_ip,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(pt, '$PiiEmail', '<EMAIL>', 'g'),
+        |      '$PiiIp', '<IP>', 'g'),
+        |    '$PiiPhone', '<PHONE>', 'g') AS redacted,
+        |  len(regexp_extract_all(pt, '$PiiEmail')) +
+        |  len(regexp_extract_all(pt, '$PiiPhone')) +
+        |  len(regexp_extract_all(pt, '$PiiIp')) > 0 AS has_pii
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "tx_tfidf" ->
+      """WITH wc AS (
+        |  SELECT doc_id, wd AS term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+        |        FROM documents) t
+        |  GROUP BY doc_id, wd),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |       FROM wc GROUP BY term),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |scored AS (
+        |  SELECT wc.doc_id, wc.term, wc.tf, df.df,
+        |    CAST(wc.tf * n.n AS DOUBLE) / df.df AS score
+        |  FROM wc JOIN df ON wc.term = df.term CROSS JOIN n)
+        |SELECT doc_id, rk, term, tf, df, score FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term ASC) AS BIGINT) AS rk
+        |  FROM scored) t
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
 
     "tx_sample" ->
       """WITH hashed AS (

@@ -39,8 +39,12 @@ class PlanAuditSpec extends AnyFunSuite {
 
   // Queries whose RESULT is a single row (global scalar aggregate):
   // the one-partition final exchange is inherent and carries one row.
+  // tx_tfidf's result is per-doc, but it embeds one such aggregate —
+  // the corpus count N (one long per partition into one row, then
+  // broadcast); the document-scale path never funnels.
   private val singleRowAggregates =
-    Set("c1_commit_watermark", "rel_approx_distinct", "rel_distinct")
+    Set("c1_commit_watermark", "rel_approx_distinct", "rel_distinct",
+      "tx_tfidf")
 
   // Queries that intentionally broadcast a tiny build side against a
   // non-equi / cross predicate (band dim, probe rows, hyperplanes,
@@ -49,7 +53,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "rel_range_join", "c1_commit_watermark", "sim_cosine_topk",
     "sim_lsh_bucket", "sim_lsh_ann", "sim_ivf_ann", "sim_ivf_kmeans",
     "sim_recall_at_k", // inherits its sub-pipelines' centroid/probe broadcasts
-    "dd_embed_cosine")
+    "dd_embed_cosine",
+    "dd_semdedup", // centroid table broadcast against every vector
+    "tx_tfidf") // 1-row corpus-count scalar broadcast
 
   test("no query plan contains a CartesianProduct") {
     plans.foreach { case (sf, n, p) =>
