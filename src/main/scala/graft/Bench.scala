@@ -31,6 +31,7 @@ object BenchExpect {
     "f1_optype_filter" -> 0.3,
     "mm_features" -> 0.3,
     "mm_frames" -> 0.3,
+    "mm_phash" -> 0.8,
     "mm_resize" -> 0.3,
     "p1_cdc_envelope" -> 0.4,
     "p3_topic_route" -> 0.3,
@@ -63,6 +64,7 @@ object BenchExpect {
     "sim_ivf_ann" -> 0.7,
     "sim_ivf_kmeans" -> 1.3,
     "sim_lsh_ann" -> 0.7,
+    "sim_pq_ann" -> 1.0,
     "sim_lsh_bucket" -> 0.6,
     "sim_recall_at_k" -> 1.5,
     "tx_bpe_tokens" -> 0.4,

@@ -47,6 +47,17 @@ object Multimodal {
     def downscale(kind: String, content: Array[Byte], stride: Int)
         : Array[Byte] =
       Array.range(0, content.length, stride).map(i => content(i))
+
+    /** `n` evenly-spaced luminance samples in [0, 255] — the input to
+      * the perceptual hash. The default samples raw payload bytes at
+      * floor(i·len/n) (the deterministic stub shape the oracle
+      * replays); a real codec overrides with decode → n-pixel
+      * grayscale resample.
+      */
+    def luma(kind: String, content: Array[Byte], n: Int): Array[Int] =
+      if (content.isEmpty) Array.fill(n)(0)
+      else Array.tabulate(n)(i =>
+        content((i.toLong * content.length / n).toInt) & 0xff)
   }
 
   /** Deterministic stand-in for a real codec: dims derived from the
@@ -97,6 +108,18 @@ object Multimodal {
       ImageIO.write(out, "png", baos)
       baos.toByteArray
     }
+
+    /** Real aHash front-end: decode, resample to an n×1 grayscale
+      * strip, return the pixel row.
+      */
+    override def luma(kind: String, content: Array[Byte], n: Int)
+        : Array[Int] = {
+      val img = decode(content)
+      val strip = new BufferedImage(n, 1, BufferedImage.TYPE_BYTE_GRAY)
+      val g = strip.createGraphics()
+      try g.drawImage(img, 0, 0, n, 1, null) finally g.dispose()
+      Array.tabulate(n)(i => strip.getRaster.getSample(i, 0, 0))
+    }
   }
 
   /** Config-selected decoder (`graft.media.decoder`): "imageio" → the
@@ -115,6 +138,44 @@ object Multimodal {
     var i = 0
     while (i < bytes.length) { h = (h * 31L + (bytes(i) & 0xff)) % 1000000007L; i += 1 }
     h
+  }
+
+  /** Perceptual-hash bit width. 60 (not 64) keeps every band and the
+    * full hash in positive BIGINT range in both engines — no
+    * sign-bit/overflow divergence between Spark longs and the oracle.
+    */
+  final val PHashBits = 60
+
+  /** Average hash over a luminance strip: bit i set when sample i is
+    * strictly above the mean (exact rational compare v·n > Σv — no
+    * division, engine-portable).
+    */
+  def aHash(luma: Array[Int]): Long = {
+    val n = luma.length
+    var sum = 0L
+    var i = 0
+    while (i < n) { sum += luma(i); i += 1 }
+    var h = 0L
+    i = 0
+    while (i < n) {
+      if (luma(i).toLong * n > sum) h |= 1L << i
+      i += 1
+    }
+    h
+  }
+
+  case class MediaHash(media_id: Long, phash: Long)
+
+  /** Decode → perceptual hash, one row per media item. Same
+    * iterator-to-iterator plumbing as extractFeatures.
+    */
+  def perceptualHash(media: Dataset[MediaRow], decoder: MediaDecoder)
+      : Dataset[MediaHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map(m =>
+        MediaHash(m.media_id, aHash(decoder.luma(m.kind, m.content, PHashBits))))
+    }
   }
 
   /** The documents table as a stand-in media corpus: text payload as

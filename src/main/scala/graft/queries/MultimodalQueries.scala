@@ -40,7 +40,40 @@ object MultimodalQueries {
         Multimodal.asMedia(s, Tables.documents(s, d)),
         stride = 4, decoder(s))
         .toDF()
-        .orderBy("media_id")))
+        .orderBy("media_id")),
+
+    // Perceptual-hash near-duplicate candidates: aHash every payload
+    // through the decoder seam (stub: sampled bytes; imageio: real
+    // grayscale resample), band the 60-bit hash into 4×15-bit keys,
+    // equi-join band collisions, report exact Hamming distance per
+    // candidate pair — image-dedup's MinHash-LSH analogue. Scale
+    // shape: hash is one decoder pass at scan speed; the pair scan
+    // only ever meets inside a band bucket (never all-pairs), and the
+    // Hamming rerank is two integer ops per candidate.
+    "mm_phash" -> ((s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val ph = Multimodal.perceptualHash(
+        Multimodal.asMedia(s, Tables.documents(s, d)), decoder(s)).toDF()
+      val bands = ph.select(col("media_id"), col("phash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).alias("b"),
+            shiftright(col("phash"), b * 15).bitwiseAND(0x7fff)
+              .alias("key"))): _*)).alias("bk"))
+        .select(col("media_id"), col("phash"),
+          col("bk.b").alias("b"), col("bk.key").alias("key"))
+      val a = bands.select(col("b"), col("key"),
+        col("media_id").alias("ida"), col("phash").alias("pha"))
+      val bb = bands.select(col("b"), col("key"),
+        col("media_id").alias("idb"), col("phash").alias("phb"))
+      a.join(bb, Seq("b", "key"))
+        .filter(col("ida") < col("idb"))
+        .select(col("ida"), col("idb"), col("pha"), col("phb"))
+        .distinct()
+        .select(col("ida"), col("idb"),
+          bit_count(col("pha").bitwiseXOR(col("phb"))).cast(LongType)
+            .alias("hamming"))
+        .orderBy("ida", "idb")
+    }))
 
   private val fpSql = (e: String) =>
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -88,5 +121,35 @@ object MultimodalQueries {
          |  ${fpSql("r")} AS fp,
          |  CAST(1 + ascii(substr(r, 1, 1)) % 64 AS BIGINT) AS width,
          |  CAST(1 + ascii(substr(r, 2, 1)) % 64 AS BIGINT) AS height
-         |FROM resized ORDER BY media_id""".stripMargin)
+         |FROM resized ORDER BY media_id""".stripMargin,
+
+    // stub luma = byte at floor(i·len/60); bit i when v·60 > Σv;
+    // 4×15-bit band join; Hamming via bit_count(xor).
+    "mm_phash" ->
+      s"""WITH vals AS (
+         |  SELECT doc_id AS media_id,
+         |    list_transform(range(0, 60), i ->
+         |      CAST(ascii(substr(text,
+         |        CAST((i * length(text)) // 60 AS INTEGER) + 1, 1))
+         |        AS BIGINT)) AS v
+         |  FROM documents),
+         |ph AS (
+         |  SELECT media_id,
+         |    list_sum(list_transform(range(0, 60), i ->
+         |      CASE WHEN v[CAST(i AS INTEGER) + 1] * 60 > list_sum(v)
+         |        THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT)
+         |      END)) AS phash
+         |  FROM vals),
+         |bands AS (
+         |  SELECT media_id, phash, t.b,
+         |    (phash >> CAST(t.b * 15 AS INTEGER)) & 32767 AS key
+         |  FROM ph, UNNEST(range(0, 4)) t(b)),
+         |pairs AS (
+         |  SELECT DISTINCT a.media_id AS ida, b.media_id AS idb,
+         |    a.phash AS pha, b.phash AS phb
+         |  FROM bands a JOIN bands b
+         |    ON a.b = b.b AND a.key = b.key AND a.media_id < b.media_id)
+         |SELECT ida, idb,
+         |  CAST(bit_count(xor(pha, phb)) AS BIGINT) AS hamming
+         |FROM pairs ORDER BY ida, idb""".stripMargin)
 }

@@ -208,6 +208,20 @@ object SimilarityQueries {
 
     "sim_lsh_ann" -> (lshAnn(_, _)),
 
+    // Product quantization (Jégou et al. 2011, "Product Quantization
+    // for Nearest Neighbor Search"): split dim-64 vectors into 4
+    // 16-dim subspaces, encode each sub-vector as its nearest
+    // sub-centroid id (codebook = the seed vectors' sub-vectors), and
+    // answer probes by asymmetric distance computation — the probe's
+    // EXACT sub-vector dotted against each sub-centroid once (a
+    // 5×4×8-row lookup table), then approx_dot(v) = Σ_m LUT[m,
+    // code_m(v)]. The memory-compression scale path: at 100 TB each
+    // vector is 4 bytes of codes instead of 256 bytes of floats, the
+    // codebook + LUT broadcast, and scoring is one map-side-combining
+    // sum over (probe, vector) — all integer arithmetic, so the
+    // oracle replays it exactly.
+    "sim_pq_ann" -> (pqAnn(_, _)),
+
     // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     // deduplication — k-means-cluster the embedding space, then call a
     // vector a duplicate when a lower-id member of the SAME cluster is
@@ -242,6 +256,54 @@ object SimilarityQueries {
     * dd_embed_cosine's near-duplicate bar on this corpus.
     */
   final val SemThresh = 0.35
+
+  /** PQ geometry: 4 subspaces × 16 dims; codebook entries per
+    * subspace = NCentroids.
+    */
+  final val PqM = 4
+  final val PqSubDim = Dim / PqM
+
+  private def pqAnn(s: SparkSession, d: String): DataFrame = {
+    val all = quantized(s, d)
+    // one row per (vector, subspace): the sub-vector
+    val sub = all.select(col("vec_id"),
+      explode(array((0 until PqM).map(m =>
+        struct(lit(m).alias("m"),
+          slice(col("q"), m * PqSubDim + 1, PqSubDim).alias("sv"))): _*))
+        .alias("x"))
+      .select(col("vec_id"), col("x.m").alias("m"), col("x.sv").alias("sv"))
+    val cb = sub.filter(col("vec_id") < NCentroids)
+      .select(col("m"), col("vec_id").alias("cid"), col("sv").alias("cq"))
+      .withColumn("cn2", dot(col("cq"), col("cq")))
+    // encode: nearest sub-centroid per (vector, subspace) — the codes
+    val wEnc = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id", "m").orderBy(col("dist2").asc, col("cid").asc)
+    val codes = sub
+      .withColumn("sn2", dot(col("sv"), col("sv")))
+      .join(broadcast(cb), Seq("m"))
+      .withColumn("dist2",
+        col("sn2") + col("cn2") - lit(2L) * dot(col("sv"), col("cq")))
+      .withColumn("rn", row_number().over(wEnc))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("cid"))
+    // ADC lookup table: exact probe sub-vector · every sub-centroid
+    val lut = sub.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").alias("qid"), col("m"), col("sv").alias("qsv"))
+      .join(cb, Seq("m"))
+      .select(col("qid"), col("m"), col("cid"),
+        dot(col("qsv"), col("cq")).alias("pdot"))
+    val scored = codes.join(broadcast(lut), Seq("m", "cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("pdot")).alias("approx_dot"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("approx_dot").desc, col("vec_id").asc)
+    scored
+      .withColumn("rk", row_number().over(wRank).cast(LongType))
+      .filter(col("rk") <= TopK)
+      .select(col("qid"), col("rk"), col("vec_id"), col("approx_dot"))
+      .orderBy("qid", "rk")
+  }
 
   /** Multi-probe width: how many nearest cells each probe searches.
     * Session-configurable (`graft.ivf.probes`); the default 2 is what
@@ -368,6 +430,9 @@ object SimilarityQueries {
   private def sqlDot(a: String, b: String) =
     s"list_sum(list_transform(range(1, ${Dim + 1}), i -> $a[i] * $b[i]))"
 
+  private def sqlDotSub(a: String, b: String) =
+    s"list_sum(list_transform(range(1, ${PqSubDim + 1}), i -> $a[i] * $b[i]))"
+
   private lazy val sqlCosineTopk: String =
       s"""WITH $sqlQuant,
          |scored AS (
@@ -446,6 +511,43 @@ object SimilarityQueries {
   val oracles: Map[String, String] = Map(
     "sim_cosine_topk" -> sqlCosineTopk,
     "sim_ivf_kmeans" -> sqlIvfKmeans,
+
+    // PQ/ADC: encode per (vector, subspace), LUT = probe sub-vector ·
+    // sub-centroid, approx_dot = Σ over subspaces.
+    "sim_pq_ann" ->
+      s"""WITH $sqlQuant,
+         |sub AS (
+         |  SELECT vec_id, t.m,
+         |    qv[CAST(t.m * $PqSubDim + 1 AS INTEGER):
+         |       CAST((t.m + 1) * $PqSubDim AS INTEGER)] AS sv
+         |  FROM qn, UNNEST(range(0, $PqM)) t(m)),
+         |cb AS (
+         |  SELECT m, vec_id AS cid, sv AS cq,
+         |    list_sum(list_transform(sv, x -> x * x)) AS cn2
+         |  FROM sub WHERE vec_id < $NCentroids),
+         |codes AS (
+         |  SELECT vec_id, m, cid FROM (
+         |    SELECT s.vec_id, s.m, c.cid,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.m
+         |        ORDER BY list_sum(list_transform(s.sv, x -> x * x)) + c.cn2
+         |          - 2 * ${sqlDotSub("s.sv", "c.cq")} ASC, c.cid ASC) AS rn
+         |    FROM sub s JOIN cb c ON s.m = c.m) t
+         |  WHERE rn = 1),
+         |lut AS (
+         |  SELECT s.vec_id AS qid, s.m, c.cid,
+         |    ${sqlDotSub("s.sv", "c.cq")} AS pdot
+         |  FROM sub s JOIN cb c ON s.m = c.m
+         |  WHERE s.vec_id < $NQueries),
+         |scored AS (
+         |  SELECT l.qid, co.vec_id, CAST(sum(l.pdot) AS BIGINT) AS approx_dot
+         |  FROM codes co JOIN lut l ON co.m = l.m AND co.cid = l.cid
+         |  WHERE co.vec_id <> l.qid
+         |  GROUP BY l.qid, co.vec_id)
+         |SELECT qid, rk, vec_id, approx_dot FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY approx_dot DESC, vec_id ASC) AS BIGINT) AS rk
+         |  FROM scored) t
+         |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin,
 
     // SemDeDup verdict: within-cell pairs under the learned k-means
     // assignment, keeper = min earlier neighbor with cos >= SemThresh.

@@ -91,4 +91,59 @@ class MultimodalSpec extends AnyFunSuite {
     val out = StubDecoder.downscale("img/x", content, 4)
     assert(out.toSeq === content.indices.filter(_ % 4 == 0).map(content(_)))
   }
+
+  test("aHash sets exactly the above-mean bits (oracle arithmetic)") {
+    // samples 0,0,...,0,100: mean > 0 only the last bit qualifies
+    val luma = Array.fill(PHashBits)(0)
+    luma(PHashBits - 1) = 100
+    assert(aHash(luma) === (1L << (PHashBits - 1)))
+    // uniform strip: nothing is strictly above the mean
+    assert(aHash(Array.fill(PHashBits)(7)) === 0L)
+  }
+
+  test("stub luma samples bytes at floor(i*len/n) (oracle arithmetic)") {
+    val content = (0 until 90).map(_.toByte).toArray
+    val luma = StubDecoder.luma("img/x", content, 60)
+    assert(luma.toSeq === (0 until 60).map(i => (i * 90 / 60) & 0xff))
+    // payload shorter than the sample count: positions repeat, never
+    // run off the end
+    val short = Array[Byte](5, 9)
+    assert(StubDecoder.luma("img/x", short, 60).toSeq ===
+      (0 until 60).map(i => if (i * 2 / 60 == 0) 5 else 9))
+  }
+
+  test("perceptual hash: near-identical real images collide, differing ones differ") {
+    import spark.implicits._
+    // img2 = img1 with a tiny corner tweak; img3 = inverted gradient
+    val img1 = realPng(32, 20)
+    val img3 = {
+      import java.awt.image.BufferedImage
+      val img = new BufferedImage(32, 20, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 32; y <- 0 until 20)
+        img.setRGB(x, y, ((255 - x * 8) << 16) | ((255 - y * 12) << 8))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val img2 = {
+      import java.awt.image.BufferedImage
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(img1))
+      img.setRGB(0, 0, 0xffffff)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val media = Seq(
+      MediaRow(1L, "img/png", img1),
+      MediaRow(2L, "img/png", img2),
+      MediaRow(3L, "img/png", img3)).toDS()
+    val hashes = perceptualHash(media, ImageIoDecoder)
+      .collect().map(h => h.media_id -> h.phash).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // one tweaked pixel barely moves the 60-sample average hash...
+    assert(hamming(hashes(1L), hashes(2L)) <= 4)
+    // ...an inverted gradient moves most of it
+    assert(hamming(hashes(1L), hashes(3L)) > 15)
+  }
 }
