@@ -209,17 +209,20 @@ object SimilarityQueries {
     "sim_lsh_ann" -> (lshAnn(_, _)),
 
     // Product quantization (Jégou et al. 2011, "Product Quantization
-    // for Nearest Neighbor Search"): split dim-64 vectors into 4
-    // 16-dim subspaces, encode each sub-vector as its nearest
-    // sub-centroid id (codebook = the seed vectors' sub-vectors), and
-    // answer probes by asymmetric distance computation — the probe's
-    // EXACT sub-vector dotted against each sub-centroid once (a
-    // 5×4×8-row lookup table), then approx_dot(v) = Σ_m LUT[m,
-    // code_m(v)]. The memory-compression scale path: at 100 TB each
-    // vector is 4 bytes of codes instead of 256 bytes of floats, the
-    // codebook + LUT broadcast, and scoring is one map-side-combining
-    // sum over (probe, vector) — all integer arithmetic, so the
-    // oracle replays it exactly.
+    // for Nearest Neighbor Search"), production shape: split dim-64
+    // vectors into 4 16-dim subspaces, encode each sub-vector as its
+    // nearest sub-centroid id (codebook = the seed vectors'
+    // sub-vectors), score probes by asymmetric distance computation —
+    // probe sub-vector · sub-centroid once (a 5×4×8-row LUT), then
+    // approx_dot(v) = Σ_m LUT[m, code_m(v)] — and exact-rerank the
+    // ADC top-`graft.pq.shortlist` shortlist to the final top-k (the
+    // IVF-PQ deployment pattern: codes give a cheap shortlist, full
+    // vectors are only touched for shortlist members). The
+    // memory-compression scale path: at 100 TB each vector is 4 bytes
+    // of codes instead of 256 bytes of floats; codebook, LUT, and
+    // shortlist all broadcast; the full-vector table is only probed
+    // by the (tiny) shortlist join. All integer arithmetic until the
+    // final cosine, so the oracle replays it exactly.
     "sim_pq_ann" -> (pqAnn(_, _)),
 
     // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
@@ -263,6 +266,14 @@ object SimilarityQueries {
   final val PqM = 4
   final val PqSubDim = Dim / PqM
 
+  /** ADC shortlist width ahead of the exact rerank.
+    * Session-configurable (`graft.pq.shortlist`); the default 50 is
+    * what the oracle replays — raising it trades rerank compute for
+    * recall (PqRecallSpec pins the floor and the monotonicity).
+    */
+  private def pqShortlist(s: SparkSession): Int =
+    s.conf.get("graft.pq.shortlist", "50").toInt
+
   private def pqAnn(s: SparkSession, d: String): DataFrame = {
     val all = quantized(s, d)
     // one row per (vector, subspace): the sub-vector
@@ -296,12 +307,29 @@ object SimilarityQueries {
       .filter(col("vec_id") =!= col("qid"))
       .groupBy("qid", "vec_id")
       .agg(sum(col("pdot")).alias("approx_dot"))
-    val wRank = org.apache.spark.sql.expressions.Window
+    // ADC shortlist: top-R per probe by approximate dot
+    val wAdc = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("approx_dot").desc, col("vec_id").asc)
-    scored
+    val shortlist = scored
+      .withColumn("adc_rk", row_number().over(wAdc))
+      .filter(col("adc_rk") <= pqShortlist(s))
+      .select(col("qid"), col("vec_id"), col("approx_dot"))
+    // exact rerank: full vectors touched ONLY for shortlist members
+    val probes = all.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").alias("qid"), col("q").alias("qq"),
+        col("n2").alias("qn2"))
+    val reranked = all
+      .join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(probes), Seq("qid"))
+      .withColumn("cos", cosine(dot(col("qq"), col("q")),
+        col("qn2"), col("n2")))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    reranked
       .withColumn("rk", row_number().over(wRank).cast(LongType))
       .filter(col("rk") <= TopK)
-      .select(col("qid"), col("rk"), col("vec_id"), col("approx_dot"))
+      .select(col("qid"), col("rk"), col("vec_id"), col("approx_dot"),
+        col("cos"))
       .orderBy("qid", "rk")
   }
 
@@ -513,7 +541,8 @@ object SimilarityQueries {
     "sim_ivf_kmeans" -> sqlIvfKmeans,
 
     // PQ/ADC: encode per (vector, subspace), LUT = probe sub-vector ·
-    // sub-centroid, approx_dot = Σ over subspaces.
+    // sub-centroid, approx_dot = Σ over subspaces, ADC top-50
+    // shortlist, exact-cosine rerank to top-k.
     "sim_pq_ann" ->
       s"""WITH $sqlQuant,
          |sub AS (
@@ -542,11 +571,25 @@ object SimilarityQueries {
          |  SELECT l.qid, co.vec_id, CAST(sum(l.pdot) AS BIGINT) AS approx_dot
          |  FROM codes co JOIN lut l ON co.m = l.m AND co.cid = l.cid
          |  WHERE co.vec_id <> l.qid
-         |  GROUP BY l.qid, co.vec_id)
-         |SELECT qid, rk, vec_id, approx_dot FROM (
+         |  GROUP BY l.qid, co.vec_id),
+         |shortlist AS (
+         |  SELECT qid, vec_id, approx_dot FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY approx_dot DESC, vec_id ASC) AS adc_rk
+         |    FROM scored) t
+         |  WHERE adc_rk <= 50),
+         |reranked AS (
+         |  SELECT sl.qid, sl.vec_id, sl.approx_dot,
+         |    CAST(${sqlDot("p.qv", "v.qv")} AS BIGINT)
+         |      / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(v.n2 AS DOUBLE)))
+         |      AS cos
+         |  FROM shortlist sl
+         |  JOIN qn v ON v.vec_id = sl.vec_id
+         |  JOIN qn p ON p.vec_id = sl.qid)
+         |SELECT qid, rk, vec_id, approx_dot, cos FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
-         |    ORDER BY approx_dot DESC, vec_id ASC) AS BIGINT) AS rk
-         |  FROM scored) t
+         |    ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rk
+         |  FROM reranked) t
          |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin,
 
     // SemDeDup verdict: within-cell pairs under the learned k-means
