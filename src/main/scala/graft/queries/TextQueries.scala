@@ -20,6 +20,10 @@ object TextQueries {
 
   private def w: Column = split(col("text"), " ")
 
+  /** Count-min sketch geometry: 4 seeded hash rows × 1024 buckets. */
+  final val CmsDepth = 4
+  final val CmsWidth = 1024
+
   /** PII patterns — RE2-compatible (no backrefs/lookaround) so the
     * same source strings drive Spark (java.util.regex) and the DuckDB
     * oracle identically.
@@ -233,6 +237,93 @@ object TextQueries {
     // per-doc top-k window.
     "tx_tfidf" -> ((s, d) => tfidfTopK(Tables.documents(s, d))),
 
+    // The composite quality gate a training pipeline actually runs:
+    // every per-doc signal (length, type-token ratio, stopword ratio,
+    // top-word mass, duplicate-3-gram mass) folded into one keep/drop
+    // verdict, with a fail bitmask naming every rule a document
+    // broke (bit 0 length, 1 ttr, 2 stopword, 3 repetition, 4
+    // dup-3-gram). Same scale shape as tx_repetition: one
+    // map-side-combining (doc, word) count, a per-doc re-agg, one
+    // doc-keyed join against a scan-speed projection.
+    "tx_filter_verdict" -> ((s, d) => {
+      val wc = Tables.documents(s, d)
+        .select(col("doc_id"), explode(w).alias("wd"))
+        .groupBy("doc_id", "wd")
+        .agg(count(lit(1)).alias("n"))
+      val top = wc.groupBy("doc_id")
+        .agg(max(col("n")).alias("maxn"), sum(col("n")).alias("nw"))
+      val scan = Tables.documents(s, d).select(
+        col("doc_id"),
+        size(w).cast(LongType).alias("n_tokens"),
+        size(array_distinct(w)).cast(LongType).alias("uniq_n"),
+        size(filter(w, x => x.isin("the", "a"))).cast(LongType)
+          .alias("stop_n"),
+        greatest(size(w) - 2, lit(0)).cast(LongType).alias("tot3"),
+        size(graft.functions.WordShingles(col("text"), 3))
+          .cast(LongType).alias("d3"))
+      val ttr = col("uniq_n").cast("double") / col("n_tokens")
+      val stopR = col("stop_n").cast("double") / col("n_tokens")
+      val topFrac = col("maxn").cast("double") / col("nw")
+      val dupFrac = when(col("tot3") > 0,
+        lit(1.0) - col("d3").cast("double") / col("tot3")).otherwise(0.0)
+      val mask =
+        when(col("n_tokens") < 50, 1L).otherwise(0L) +
+        when(ttr < 0.3, 2L).otherwise(0L) +
+        when(stopR < 0.01, 4L).otherwise(0L) +
+        when(topFrac > 0.15, 8L).otherwise(0L) +
+        when(dupFrac > 0.02, 16L).otherwise(0L)
+      scan.join(top, "doc_id")
+        .select(col("doc_id"), col("n_tokens"),
+          ttr.alias("ttr"), stopR.alias("stop_ratio"),
+          topFrac.alias("top_frac"), dupFrac.alias("dup3_frac"),
+          mask.alias("fail_mask"),
+          (mask === 0L).alias("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // Count-min sketch (Cormode & Muthukrishnan 2005): estimate
+    // bigram document frequencies through a 4×1024 sketch and report,
+    // for the top-20 true heavy hitters, the true df, the CMS
+    // estimate (min over the 4 seeded-hash rows), and the
+    // overcount — the one-sided error the sketch guarantees (the
+    // ~3.6k-bigram vocabulary genuinely collides in 1024 buckets, so
+    // the error is visible and still oracle-exact: every hash is
+    // md5-based and deterministic). Scale shape: the sketch build is
+    // one map-side-combining agg to ≤4096 rows no matter the corpus
+    // size (the point of a sketch); the top-k is
+    // TakeOrderedAndProject; estimates join the tiny sketch broadcast.
+    "tx_cms_topk" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(graft.functions.WordShingles(col("text"), 2))
+          .alias("wd"))
+      def bucket(j: Int): Column =
+        pmod(conv(substring(md5(concat(lit(s"$j:"), col("wd"))), 1, 15),
+          16, 10).cast(LongType), lit(CmsWidth))
+      val sketch = words
+        .select(explode(array((0 until CmsDepth).map(j =>
+          struct(lit(j).alias("j"), bucket(j).alias("bkt"))): _*))
+          .alias("jb"))
+        .groupBy(col("jb.j").alias("j"), col("jb.bkt").alias("bkt"))
+        .agg(count(lit(1)).alias("cnt"))
+      val top = words.groupBy("wd")
+        .agg(count(lit(1)).alias("true_n"))
+        .orderBy(col("true_n").desc, col("wd").asc)
+        .limit(20)
+      val est = top
+        .select(col("wd"), col("true_n"),
+          explode(array((0 until CmsDepth).map(j =>
+            struct(lit(j).alias("j"), bucket(j).alias("bkt"))): _*))
+            .alias("jb"))
+        .select(col("wd"), col("true_n"),
+          col("jb.j").alias("j"), col("jb.bkt").alias("bkt"))
+        .join(broadcast(sketch), Seq("j", "bkt"))
+        .groupBy("wd", "true_n")
+        .agg(min(col("cnt")).alias("est_n"))
+      est.select(col("wd"), col("true_n"), col("est_n"),
+          (col("est_n") - col("true_n")).alias("overcount"))
+        .orderBy(col("true_n").desc, col("wd").asc)
+    }),
+
     // Deterministic stratified sampling: rank docs inside each lang
     // stratum by a content hash and keep the top ceil(10%) — the
     // reproducible downsampling a training-data pipeline needs (same
@@ -397,6 +488,74 @@ object TextQueries {
         |    ORDER BY score DESC, term ASC) AS BIGINT) AS rk
         |  FROM scored) t
         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    "tx_cms_topk" ->
+      s"""WITH words AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS wd
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |        FROM documents) t,
+        |       UNNEST(range(1, len(w))) u(i)),
+        |jb AS (
+        |  SELECT wd, t.j,
+        |    CAST(('0x' || substr(md5(CAST(t.j AS VARCHAR) || ':' || wd),
+        |      1, 15)) AS BIGINT) % $CmsWidth AS bkt
+        |  FROM words CROSS JOIN UNNEST(range(0, $CmsDepth)) t(j)),
+        |sketch AS (
+        |  SELECT j, bkt, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM jb GROUP BY j, bkt),
+        |top AS (
+        |  SELECT wd, CAST(count(*) AS BIGINT) AS true_n
+        |  FROM words GROUP BY wd
+        |  ORDER BY true_n DESC, wd ASC LIMIT 20),
+        |probe AS (
+        |  SELECT top.wd, top.true_n, t.j,
+        |    CAST(('0x' || substr(md5(CAST(t.j AS VARCHAR) || ':' || top.wd),
+        |      1, 15)) AS BIGINT) % $CmsWidth AS bkt
+        |  FROM top CROSS JOIN UNNEST(range(0, $CmsDepth)) t(j)),
+        |est AS (
+        |  SELECT p.wd, p.true_n, min(s.cnt) AS est_n
+        |  FROM probe p JOIN sketch s ON s.j = p.j AND s.bkt = p.bkt
+        |  GROUP BY p.wd, p.true_n)
+        |SELECT wd, true_n, est_n, est_n - true_n AS overcount
+        |FROM est ORDER BY true_n DESC, wd ASC""".stripMargin,
+
+    "tx_filter_verdict" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w
+        |             FROM documents),
+        |wc AS (SELECT doc_id, wd, CAST(count(*) AS BIGINT) AS n
+        |       FROM (SELECT doc_id, unnest(w) AS wd FROM docs) t
+        |       GROUP BY doc_id, wd),
+        |top AS (SELECT doc_id, max(n) AS maxn, CAST(sum(n) AS BIGINT) AS nw
+        |        FROM wc GROUP BY doc_id),
+        |scan AS (SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(w)) AS BIGINT) AS uniq_n,
+        |    CAST(len(list_filter(w, x -> x IN ('the','a'))) AS BIGINT)
+        |      AS stop_n,
+        |    CAST(greatest(len(w) - 2, 0) AS BIGINT) AS tot3,
+        |    CAST(CASE WHEN len(w) >= 3 THEN
+        |      len(list_distinct([array_to_string(w[i:i+2], ' ')
+        |                         for i in range(1, len(w) - 1)]))
+        |      ELSE 0 END AS BIGINT) AS d3
+        |  FROM docs),
+        |m AS (SELECT scan.doc_id, n_tokens,
+        |    CAST(uniq_n AS DOUBLE) / n_tokens AS ttr,
+        |    CAST(stop_n AS DOUBLE) / n_tokens AS stop_ratio,
+        |    CAST(maxn AS DOUBLE) / nw AS top_frac,
+        |    CASE WHEN tot3 > 0 THEN 1.0 - CAST(d3 AS DOUBLE) / tot3
+        |         ELSE 0.0 END AS dup3_frac
+        |  FROM scan JOIN top ON scan.doc_id = top.doc_id),
+        |v AS (SELECT *,
+        |    CAST(CASE WHEN n_tokens < 50 THEN 1 ELSE 0 END
+        |      + CASE WHEN ttr < CAST(0.3 AS DOUBLE) THEN 2 ELSE 0 END
+        |      + CASE WHEN stop_ratio < CAST(0.01 AS DOUBLE) THEN 4 ELSE 0 END
+        |      + CASE WHEN top_frac > CAST(0.15 AS DOUBLE) THEN 8 ELSE 0 END
+        |      + CASE WHEN dup3_frac > CAST(0.02 AS DOUBLE) THEN 16 ELSE 0 END
+        |      AS BIGINT) AS fail_mask
+        |  FROM m)
+        |SELECT doc_id, n_tokens, ttr, stop_ratio, top_frac, dup3_frac,
+        |  fail_mask, fail_mask = 0 AS keep
+        |FROM v ORDER BY doc_id""".stripMargin,
 
     "tx_sample" ->
       """WITH hashed AS (
