@@ -74,6 +74,7 @@ object BenchExpect {
     "tx_langid" -> 0.3,
     "tx_ngram_topk" -> 0.4,
     "tx_normalize" -> 0.5,
+    "tx_pack" -> 0.5,
     "tx_pii" -> 0.5,
     "tx_tfidf" -> 1.0,
     "tx_quality" -> 0.3,

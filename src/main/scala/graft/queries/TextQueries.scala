@@ -24,6 +24,9 @@ object TextQueries {
   final val CmsDepth = 4
   final val CmsWidth = 1024
 
+  /** Sequence-packing context length (tokens per training row). */
+  final val PackLen = 2048
+
   /** PII patterns — RE2-compatible (no backrefs/lookaround) so the
     * same source strings drive Spark (java.util.regex) and the DuckDB
     * oracle identically.
@@ -324,6 +327,29 @@ object TextQueries {
         .orderBy(col("true_n").desc, col("wd").asc)
     }),
 
+    // Sequence packing for training batches: lay documents head-to-
+    // tail inside each lang shard (deterministic doc_id order) and
+    // assign every document the context-window bin its first token
+    // lands in (PackLen-token bins) plus its offset in that bin — the
+    // batch-prep pass that turns a filtered corpus into fixed-length
+    // training rows. Scale shape: ONE window shuffle keyed by the
+    // shard (never a global cumsum — a total-order window would
+    // funnel the corpus through one partition; sharding is how
+    // production packing parallelizes).
+    "tx_pack" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val win = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(w).cast(LongType).alias("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(win))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          expr(s"(cum - n_tokens) div $PackLen").alias("bin"),
+          ((col("cum") - col("n_tokens")) % PackLen).alias("offset"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic stratified sampling: rank docs inside each lang
     // stratum by a content hash and keep the top ceil(10%) — the
     // reproducible downsampling a training-data pipeline needs (same
@@ -556,6 +582,22 @@ object TextQueries {
         |SELECT doc_id, n_tokens, ttr, stop_ratio, top_frac, dup3_frac,
         |  fail_mask, fail_mask = 0 AS keep
         |FROM v ORDER BY doc_id""".stripMargin,
+
+    "tx_pack" ->
+      s"""WITH sized AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |packed AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM sized)
+        |SELECT doc_id, lang, n_tokens,
+        |  (cum - n_tokens) // $PackLen AS bin,
+        |  (cum - n_tokens) % $PackLen AS offset
+        |FROM packed ORDER BY doc_id""".stripMargin,
 
     "tx_sample" ->
       """WITH hashed AS (
