@@ -287,25 +287,26 @@ object TextQueries {
     // Count-min sketch (Cormode & Muthukrishnan 2005): estimate
     // bigram document frequencies through a 4×1024 sketch and report,
     // for the top-20 true heavy hitters, the true df, the CMS
-    // estimate (min over the 4 seeded-hash rows), and the
-    // overcount — the one-sided error the sketch guarantees (the
-    // ~3.6k-bigram vocabulary genuinely collides in 1024 buckets, so
-    // the error is visible and still oracle-exact: every hash is
-    // md5-based and deterministic). Scale shape: the sketch build is
-    // one map-side-combining agg to ≤4096 rows no matter the corpus
-    // size (the point of a sketch); the top-k is
+    // estimate (min over the 4 hash rows), and the overcount — the
+    // one-sided error the sketch guarantees (the ~3.6k-bigram
+    // vocabulary genuinely collides in 1024 buckets, so the error is
+    // visible and still oracle-exact). Row hashes: ONE 60-bit md5 per
+    // occurrence, sliced into four disjoint 15-bit bucket keys — a
+    // quarter of the digest work of per-row seeded hashing, which is
+    // the dominant cost of a sketch build at corpus scale. Scale
+    // shape: the build is one map-side-combining agg to ≤4096 rows no
+    // matter the corpus size (the point of a sketch); the top-k is
     // TakeOrderedAndProject; estimates join the tiny sketch broadcast.
     "tx_cms_topk" -> ((s, d) => {
       val words = Tables.documents(s, d)
         .select(explode(graft.functions.WordShingles(col("text"), 2))
           .alias("wd"))
-      def bucket(j: Int): Column =
-        pmod(conv(substring(md5(concat(lit(s"$j:"), col("wd"))), 1, 15),
-          16, 10).cast(LongType), lit(CmsWidth))
+      def buckets(h: Column): Seq[Column] = (0 until CmsDepth).map(j =>
+        struct(lit(j).alias("j"),
+          shiftright(h, j * 15).bitwiseAND(CmsWidth - 1).alias("bkt")))
       val sketch = words
-        .select(explode(array((0 until CmsDepth).map(j =>
-          struct(lit(j).alias("j"), bucket(j).alias("bkt"))): _*))
-          .alias("jb"))
+        .withColumn("h", DedupQueries.h60(col("wd")))
+        .select(explode(array(buckets(col("h")): _*)).alias("jb"))
         .groupBy(col("jb.j").alias("j"), col("jb.bkt").alias("bkt"))
         .agg(count(lit(1)).alias("cnt"))
       val top = words.groupBy("wd")
@@ -313,10 +314,9 @@ object TextQueries {
         .orderBy(col("true_n").desc, col("wd").asc)
         .limit(20)
       val est = top
+        .withColumn("h", DedupQueries.h60(col("wd")))
         .select(col("wd"), col("true_n"),
-          explode(array((0 until CmsDepth).map(j =>
-            struct(lit(j).alias("j"), bucket(j).alias("bkt"))): _*))
-            .alias("jb"))
+          explode(array(buckets(col("h")): _*)).alias("jb"))
         .select(col("wd"), col("true_n"),
           col("jb.j").alias("j"), col("jb.bkt").alias("bkt"))
         .join(broadcast(sketch), Seq("j", "bkt"))
@@ -523,8 +523,8 @@ object TextQueries {
         |       UNNEST(range(1, len(w))) u(i)),
         |jb AS (
         |  SELECT wd, t.j,
-        |    CAST(('0x' || substr(md5(CAST(t.j AS VARCHAR) || ':' || wd),
-        |      1, 15)) AS BIGINT) % $CmsWidth AS bkt
+        |    (${DedupQueries.SqlH60("wd")} >> CAST(t.j * 15 AS INTEGER))
+        |      & ${CmsWidth - 1} AS bkt
         |  FROM words CROSS JOIN UNNEST(range(0, $CmsDepth)) t(j)),
         |sketch AS (
         |  SELECT j, bkt, CAST(count(*) AS BIGINT) AS cnt
@@ -535,8 +535,8 @@ object TextQueries {
         |  ORDER BY true_n DESC, wd ASC LIMIT 20),
         |probe AS (
         |  SELECT top.wd, top.true_n, t.j,
-        |    CAST(('0x' || substr(md5(CAST(t.j AS VARCHAR) || ':' || top.wd),
-        |      1, 15)) AS BIGINT) % $CmsWidth AS bkt
+        |    (${DedupQueries.SqlH60("top.wd")} >> CAST(t.j * 15 AS INTEGER))
+        |      & ${CmsWidth - 1} AS bkt
         |  FROM top CROSS JOIN UNNEST(range(0, $CmsDepth)) t(j)),
         |est AS (
         |  SELECT p.wd, p.true_n, min(s.cnt) AS est_n
