@@ -61,6 +61,7 @@ object BenchExpect {
     "s6_sequence" -> 0.5,
     "s7_sessions" -> 0.8,
     "sim_cosine_topk" -> 0.5,
+    "sim_filtered_ann" -> 0.6,
     "sim_ivf_ann" -> 0.7,
     "sim_ivf_kmeans" -> 1.3,
     "sim_lsh_ann" -> 0.7,

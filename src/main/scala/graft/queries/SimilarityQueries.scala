@@ -225,6 +225,36 @@ object SimilarityQueries {
     // final cosine, so the oracle replays it exactly.
     "sim_pq_ann" -> (pqAnn(_, _)),
 
+    // Filtered (hybrid) vector search — the vector-DB pattern where a
+    // metadata predicate and a similarity query compose: top-k ONLY
+    // over vectors whose document passes the filter (here lang='en').
+    // Post-filtering a plain ANN top-k under-returns when the
+    // predicate is selective; filtering BEFORE the search is the
+    // correct semantics and the scale shape is unchanged — the
+    // predicate side reduces to a key list that equi-joins the vector
+    // table (colocatable on the shared id at 100 TB), probes stay
+    // broadcast.
+    "sim_filtered_ann" -> ((s, d) => {
+      val all = quantized(s, d)
+      val keep = Tables.documents(s, d)
+        .filter(col("lang") === "en")
+        .select(col("doc_id").alias("vec_id"))
+      val probes = all.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").alias("qid"), col("q").alias("qq"),
+          col("n2").alias("qn2"))
+      val scored = all.join(keep, "vec_id")
+        .join(broadcast(probes), col("vec_id") =!= col("qid"))
+        .withColumn("cos", cosine(dot(col("qq"), col("q")),
+          col("qn2"), col("n2")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+      scored
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .filter(col("rk") <= TopK)
+        .select(col("qid"), col("rk"), col("vec_id"), col("cos"))
+        .orderBy("qid", "rk")
+    }),
+
     // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     // deduplication — k-means-cluster the embedding space, then call a
     // vector a duplicate when a lower-id member of the SAME cluster is
@@ -539,6 +569,26 @@ object SimilarityQueries {
   val oracles: Map[String, String] = Map(
     "sim_cosine_topk" -> sqlCosineTopk,
     "sim_ivf_kmeans" -> sqlIvfKmeans,
+
+    // filtered search: predicate applied BEFORE the top-k
+    "sim_filtered_ann" ->
+      s"""WITH $sqlQuant,
+         |keep AS (SELECT doc_id AS vec_id FROM documents
+         |         WHERE lang = 'en'),
+         |scored AS (
+         |  SELECT p.vec_id AS qid, v.vec_id AS vec_id,
+         |    CAST(${sqlDot("p.qv", "v.qv")} AS BIGINT)
+         |      / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(v.n2 AS DOUBLE)))
+         |      AS cos
+         |  FROM qn p
+         |  JOIN (SELECT qn.* FROM qn JOIN keep ON qn.vec_id = keep.vec_id) v
+         |    ON v.vec_id <> p.vec_id
+         |  WHERE p.vec_id < $NQueries)
+         |SELECT qid, rk, vec_id, cos FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rk
+         |  FROM scored) t
+         |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin,
 
     // PQ/ADC: encode per (vector, subspace), LUT = probe sub-vector ·
     // sub-centroid, approx_dot = Σ over subspaces, ADC top-50

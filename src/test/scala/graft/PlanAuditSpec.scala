@@ -55,6 +55,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_recall_at_k", // inherits its sub-pipelines' centroid/probe broadcasts
     "dd_embed_cosine",
     "dd_semdedup", // centroid table broadcast against every vector
+    "sim_filtered_ann", // broadcast probe rows against the filtered corpus
     "tx_tfidf") // 1-row corpus-count scalar broadcast
 
   test("no query plan contains a CartesianProduct") {
