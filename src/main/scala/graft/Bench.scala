@@ -69,7 +69,7 @@ object BenchExpect {
     "sim_lsh_bucket" -> 0.6,
     "sim_recall_at_k" -> 1.5,
     "tx_bpe_tokens" -> 0.4,
-    "tx_cms_topk" -> 1.5,
+    "tx_cms_topk" -> 1.0,
     "tx_filter_verdict" -> 1.0,
     "tx_fingerprint" -> 0.3,
     "tx_langid" -> 0.3,
