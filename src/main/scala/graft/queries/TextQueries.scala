@@ -36,6 +36,64 @@ object TextQueries {
   final val PiiIp =
     "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
+  /** Sequence-packing core behind `tx_pack` (specs drive it on
+    * synthetic frames): head-to-tail layout per lang shard, PackLen-
+    * token bins, per-doc (bin, offset) of its first token.
+    */
+  private[queries] def packOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), col("lang"),
+        size(w).cast(LongType).alias("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(win))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $PackLen").alias("bin"),
+        ((col("cum") - col("n_tokens")) % PackLen).alias("offset"))
+      .orderBy("doc_id")
+  }
+
+  /** Composite-gate core behind `tx_filter_verdict` (specs drive it
+    * on synthetic frames): all five rules, fail bitmask, keep
+    * verdict.
+    */
+  private[queries] def filterVerdictOf(docs: DataFrame): DataFrame = {
+    val wc = docs
+      .select(col("doc_id"), explode(w).alias("wd"))
+      .groupBy("doc_id", "wd")
+      .agg(count(lit(1)).alias("n"))
+    val top = wc.groupBy("doc_id")
+      .agg(max(col("n")).alias("maxn"), sum(col("n")).alias("nw"))
+    val scan = docs.select(
+      col("doc_id"),
+      size(w).cast(LongType).alias("n_tokens"),
+      size(array_distinct(w)).cast(LongType).alias("uniq_n"),
+      size(filter(w, x => x.isin("the", "a"))).cast(LongType)
+        .alias("stop_n"),
+      greatest(size(w) - 2, lit(0)).cast(LongType).alias("tot3"),
+      size(graft.functions.WordShingles(col("text"), 3))
+        .cast(LongType).alias("d3"))
+    val ttr = col("uniq_n").cast("double") / col("n_tokens")
+    val stopR = col("stop_n").cast("double") / col("n_tokens")
+    val topFrac = col("maxn").cast("double") / col("nw")
+    val dupFrac = when(col("tot3") > 0,
+      lit(1.0) - col("d3").cast("double") / col("tot3")).otherwise(0.0)
+    val mask =
+      when(col("n_tokens") < 50, 1L).otherwise(0L) +
+      when(ttr < 0.3, 2L).otherwise(0L) +
+      when(stopR < 0.01, 4L).otherwise(0L) +
+      when(topFrac > 0.15, 8L).otherwise(0L) +
+      when(dupFrac > 0.02, 16L).otherwise(0L)
+    scan.join(top, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        ttr.alias("ttr"), stopR.alias("stop_ratio"),
+        topFrac.alias("top_frac"), dupFrac.alias("dup3_frac"),
+        mask.alias("fail_mask"),
+        (mask === 0L).alias("keep"))
+      .orderBy("doc_id")
+  }
+
   /** TF-IDF core behind `tx_tfidf` (specs drive it on synthetic
     * frames): per-(doc, term) counts, vocabulary-sized df table
     * broadcast back, idf as the exact rational N/df (one double
@@ -248,41 +306,8 @@ object TextQueries {
     // dup-3-gram). Same scale shape as tx_repetition: one
     // map-side-combining (doc, word) count, a per-doc re-agg, one
     // doc-keyed join against a scan-speed projection.
-    "tx_filter_verdict" -> ((s, d) => {
-      val wc = Tables.documents(s, d)
-        .select(col("doc_id"), explode(w).alias("wd"))
-        .groupBy("doc_id", "wd")
-        .agg(count(lit(1)).alias("n"))
-      val top = wc.groupBy("doc_id")
-        .agg(max(col("n")).alias("maxn"), sum(col("n")).alias("nw"))
-      val scan = Tables.documents(s, d).select(
-        col("doc_id"),
-        size(w).cast(LongType).alias("n_tokens"),
-        size(array_distinct(w)).cast(LongType).alias("uniq_n"),
-        size(filter(w, x => x.isin("the", "a"))).cast(LongType)
-          .alias("stop_n"),
-        greatest(size(w) - 2, lit(0)).cast(LongType).alias("tot3"),
-        size(graft.functions.WordShingles(col("text"), 3))
-          .cast(LongType).alias("d3"))
-      val ttr = col("uniq_n").cast("double") / col("n_tokens")
-      val stopR = col("stop_n").cast("double") / col("n_tokens")
-      val topFrac = col("maxn").cast("double") / col("nw")
-      val dupFrac = when(col("tot3") > 0,
-        lit(1.0) - col("d3").cast("double") / col("tot3")).otherwise(0.0)
-      val mask =
-        when(col("n_tokens") < 50, 1L).otherwise(0L) +
-        when(ttr < 0.3, 2L).otherwise(0L) +
-        when(stopR < 0.01, 4L).otherwise(0L) +
-        when(topFrac > 0.15, 8L).otherwise(0L) +
-        when(dupFrac > 0.02, 16L).otherwise(0L)
-      scan.join(top, "doc_id")
-        .select(col("doc_id"), col("n_tokens"),
-          ttr.alias("ttr"), stopR.alias("stop_ratio"),
-          topFrac.alias("top_frac"), dupFrac.alias("dup3_frac"),
-          mask.alias("fail_mask"),
-          (mask === 0L).alias("keep"))
-        .orderBy("doc_id")
-    }),
+    "tx_filter_verdict" -> ((s, d) =>
+      filterVerdictOf(Tables.documents(s, d))),
 
     // Count-min sketch (Cormode & Muthukrishnan 2005): estimate
     // bigram document frequencies through a 4×1024 sketch and report,
@@ -336,19 +361,7 @@ object TextQueries {
     // shard (never a global cumsum — a total-order window would
     // funnel the corpus through one partition; sharding is how
     // production packing parallelizes).
-    "tx_pack" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val win = Window.partitionBy("lang").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          size(w).cast(LongType).alias("n_tokens"))
-        .withColumn("cum", sum(col("n_tokens")).over(win))
-        .select(col("doc_id"), col("lang"), col("n_tokens"),
-          expr(s"(cum - n_tokens) div $PackLen").alias("bin"),
-          ((col("cum") - col("n_tokens")) % PackLen).alias("offset"))
-        .orderBy("doc_id")
-    }),
+    "tx_pack" -> ((s, d) => packOf(Tables.documents(s, d))),
 
     // Deterministic stratified sampling: rank docs inside each lang
     // stratum by a content hash and keep the top ceil(10%) — the
