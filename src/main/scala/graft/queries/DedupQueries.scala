@@ -241,6 +241,45 @@ object DedupQueries {
     // speed through the hash join, and the per-doc count is a
     // map-side-combining agg. No corpus self-join, no corpus shuffle
     // beyond the doc-keyed count.
+    // Substring-level duplication measurement (Lee et al. 2022,
+    // "Deduplicating Training Data Makes Language Models Better",
+    // arXiv:2107.06499 — the ExactSubstr idea at word-16-gram
+    // granularity, re-expressed relationally instead of via a suffix
+    // array): a span is duplicated when its 16-gram appears in ≥2
+    // documents; per doc report total spans, duplicated spans, and
+    // the duplicated fraction — the signal used to cut boilerplate
+    // and templated text. Scale shape: one explode + a
+    // map-side-combining df count per distinct gram hash (one 8-byte
+    // row per gram crosses the shuffle), one equi-join back, one
+    // doc-keyed agg; docs shorter than 16 words take the zero-span
+    // left-join branch.
+    "dd_span_dedup" -> ((s, d) => {
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.functions.WordShingles(col("text"), 16)).alias("g"))
+        .select(col("doc_id"), h60(col("g")).alias("gh"))
+      val dup = grams.groupBy("gh")
+        .agg(count(lit(1)).alias("df"))
+        .filter(col("df") >= 2)
+        .select(col("gh"))
+      val perDoc = grams.groupBy("doc_id")
+        .agg(count(lit(1)).alias("n_spans"))
+      val dupPerDoc = grams.join(dup, "gh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).alias("n_dup_spans"))
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .join(dupPerDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_spans"), lit(0L)).alias("n_spans"),
+          coalesce(col("n_dup_spans"), lit(0L)).alias("n_dup_spans"))
+        .withColumn("dup_frac",
+          when(col("n_spans") > 0,
+            col("n_dup_spans").cast("double") / col("n_spans"))
+            .otherwise(0.0))
+        .orderBy("doc_id")
+    }),
+
     "dd_decontaminate" -> ((s, d) => {
       val grams = Tables.documents(s, d)
         .select(col("doc_id"),
@@ -562,6 +601,33 @@ object DedupQueries {
          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    "dd_span_dedup" ->
+      s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w
+         |             FROM documents),
+         |gr AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+15], ' ') AS s
+         |       FROM docs, UNNEST(range(1, len(w) - 14)) t(i)
+         |       WHERE len(w) >= 16),
+         |gh AS (SELECT doc_id, ${SqlH60("s")} AS ghash FROM gr),
+         |dup AS (SELECT ghash FROM gh GROUP BY ghash
+         |        HAVING count(*) >= 2),
+         |per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+         |            FROM gh GROUP BY doc_id),
+         |dup_per_doc AS (
+         |  SELECT gh.doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans
+         |  FROM gh JOIN dup ON gh.ghash = dup.ghash
+         |  GROUP BY gh.doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(p.n_spans, 0) AS n_spans,
+         |  coalesce(dp.n_dup_spans, 0) AS n_dup_spans,
+         |  CASE WHEN coalesce(p.n_spans, 0) > 0
+         |    THEN CAST(coalesce(dp.n_dup_spans, 0) AS DOUBLE)
+         |      / coalesce(p.n_spans, 0)
+         |    ELSE 0.0 END AS dup_frac
+         |FROM documents d
+         |LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+         |LEFT JOIN dup_per_doc dp ON d.doc_id = dp.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "dd_decontaminate" ->
       s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w
