@@ -28,7 +28,7 @@ object BenchExpect {
     "dd_ngram_jaccard" -> 2.3,
     "dd_semdedup" -> 1.5,
     "dd_simhash" -> 0.8,
-    "dd_span_dedup" -> 0.8,
+    "dd_span_dedup" -> 1.9,
     "f1_optype_filter" -> 0.3,
     "mm_features" -> 0.3,
     "mm_frames" -> 0.3,
