@@ -35,6 +35,7 @@ object BenchExpect {
     "mm_phash" -> 0.8,
     "mm_resize" -> 0.3,
     "p1_cdc_envelope" -> 0.4,
+    "pipe_curate" -> 3.0,
     "p3_topic_route" -> 0.3,
     "p4_hash_route" -> 0.3,
     "rel_approx_distinct" -> 1.5,
@@ -57,6 +58,7 @@ object BenchExpect {
     "rel_skew_agg" -> 0.7,
     "rel_star_join" -> 0.8,
     "rel_topk" -> 0.8,
+    "rel_window_nav" -> 0.9,
     "rel_window_running" -> 0.9,
     "s1_scan_pushdown" -> 0.3,
     "s6_sequence" -> 0.5,

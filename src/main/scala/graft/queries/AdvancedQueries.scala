@@ -39,6 +39,35 @@ object AdvancedQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // The capstone: one end-to-end curation verdict per document,
+    // composed from three independently-oracle-checked operators —
+    // the quality gate (tx_filter_verdict), the text near-dup verdict
+    // (dd_dedup_verdict), and the semantic near-dup verdict
+    // (dd_semdedup, joined on the shared doc/vec id, left join
+    // because embeddings may cover only a corpus prefix). kept =
+    // passes quality AND is no one's text dup AND no one's semantic
+    // dup — exactly the decision a training-data pipeline materializes
+    // before packing. Scale shape: three doc-keyed equi-joins of
+    // per-doc verdict tables, each of which already has a bounded
+    // plan; nothing new shuffles beyond the id joins.
+    "pipe_curate" -> ((s, d) => {
+      val quality = TextQueries.filterVerdictOf(Tables.documents(s, d))
+        .select(col("doc_id"), col("keep").alias("keep_quality"))
+      val textDup = DedupQueries.queries("dd_dedup_verdict")(s, d)
+        .select(col("doc_id"), col("is_dup").alias("is_dup_text"))
+      val semDup = SimilarityQueries.queries("dd_semdedup")(s, d)
+        .select(col("vec_id").alias("doc_id"),
+          col("is_dup").alias("is_dup_sem"))
+      quality
+        .join(textDup, "doc_id")
+        .join(semDup, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("keep_quality"), col("is_dup_text"),
+          coalesce(col("is_dup_sem"), lit(false)).alias("is_dup_sem"))
+        .withColumn("kept",
+          col("keep_quality") && !col("is_dup_text") && !col("is_dup_sem"))
+        .orderBy("doc_id")
+    }),
+
     // As-of join: for every event, the most recent order of the same
     // user at-or-before the event time. Implemented as union + window
     // carry-forward (last non-null order column per user in time
@@ -144,6 +173,21 @@ object AdvancedQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // composition of the three components' own oracles (each a full
+    // SELECT usable as a derived table), joined on the shared id
+    "pipe_curate" ->
+      s"""SELECT fv.doc_id, fv.keep AS keep_quality,
+         |  dv.is_dup AS is_dup_text,
+         |  coalesce(sd.is_dup, false) AS is_dup_sem,
+         |  fv.keep AND NOT dv.is_dup AND NOT coalesce(sd.is_dup, false)
+         |    AS kept
+         |FROM (${TextQueries.oracles("tx_filter_verdict")}) fv
+         |JOIN (${DedupQueries.oracles("dd_dedup_verdict")}) dv
+         |  ON fv.doc_id = dv.doc_id
+         |LEFT JOIN (${SimilarityQueries.oracles("dd_semdedup")}) sd
+         |  ON fv.doc_id = sd.vec_id
+         |ORDER BY fv.doc_id""".stripMargin,
+
     "rel_asof_join" ->
       """WITH u AS (
         |  SELECT o_custkey AS user_id, epoch_ms(o_orderdate) AS ms,

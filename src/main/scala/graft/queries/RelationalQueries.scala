@@ -274,6 +274,26 @@ object RelationalQueries {
         .orderBy("o_orderkey")),
 
     // Analytic window functions: running sum, lag, lead, rank.
+    // Window navigation beyond running sums: quartile assignment
+    // (ntile), percent_rank, cume_dist — the ranking statistics an
+    // analytics surface owes its users, pinned deterministic by the
+    // (cents desc, key asc) total order. One window shuffle on the
+    // priority key; the rn <= 100 cut keeps the result bounded while
+    // the statistics are computed over the FULL partition.
+    "rel_window_nav" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("cents").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          cents(col("o_totalprice")).alias("cents"))
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .withColumn("quartile", ntile(4).over(w).cast(LongType))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .filter(col("rn") <= 100)
+        .orderBy("o_orderpriority", "rn")
+    }),
+
     "rel_window_running" -> ((s, d) => {
       val priceCents = cents(col("o_totalprice"))
       val w = Window.partitionBy("o_custkey")
@@ -479,6 +499,22 @@ object RelationalQueries {
         |  abs(CAST(round(o_totalprice * 100, 0) AS BIGINT) - 1000000)
         |    AS cents_off
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "rel_window_nav" ->
+      """SELECT o_orderkey, o_orderpriority, cents, rn, quartile,
+        |  pct_rank, cume
+        |FROM (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+        |    CAST(row_number() OVER w AS BIGINT) AS rn,
+        |    CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |    percent_rank() OVER w AS pct_rank,
+        |    cume_dist() OVER w AS cume
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority
+        |    ORDER BY CAST(round(o_totalprice * 100, 0) AS BIGINT) DESC,
+        |             o_orderkey ASC)) t
+        |WHERE rn <= 100 ORDER BY o_orderpriority, rn""".stripMargin,
 
     "rel_window_running" ->
       """SELECT o_custkey, o_orderkey, cents,

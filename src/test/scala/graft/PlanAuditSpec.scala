@@ -56,6 +56,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "dd_embed_cosine",
     "dd_semdedup", // centroid table broadcast against every vector
     "sim_filtered_ann", // broadcast probe rows against the filtered corpus
+    "pipe_curate", // inherits dd_semdedup's centroid broadcast
     "tx_tfidf") // 1-row corpus-count scalar broadcast
 
   test("no query plan contains a CartesianProduct") {
