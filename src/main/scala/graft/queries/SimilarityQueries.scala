@@ -372,9 +372,22 @@ object SimilarityQueries {
   private def probeCount(s: SparkSession): Int =
     s.conf.get("graft.ivf.probes", "2").toInt
 
-  /** Learned centroids (seed with vectors 0..7, one floor-exact Lloyd
-    * step) and the corpus assigned to them — the shared k-means core
-    * behind `sim_ivf_kmeans` and `dd_semdedup`. Returns
+  /** Cell count for the learned-k-means operators
+    * (`graft.kmeans.cells`, default NCentroids — what the oracle
+    * replays). THE scale knob: sum(|cell|²) bounds the semantic-dedup
+    * pair scan and |cell| bounds an IVF probe, so a 1000× corpus
+    * wants ~1000× more cells, not bigger ones; raising this leaves
+    * every plan shape unchanged (the centroid table stays broadcast —
+    * even 1M centroids ≈ 512 MB is routinely broadcastable at that
+    * scale, and the Lloyd step is the same keyed agg).
+    */
+  private def kmeansCells(s: SparkSession): Int =
+    s.conf.get("graft.kmeans.cells", NCentroids.toString).toInt
+
+  /** Learned centroids (seed with the first `graft.kmeans.cells`
+    * vectors, one floor-exact Lloyd step) and the corpus assigned to
+    * them — the shared k-means core behind `sim_ivf_kmeans` and
+    * `dd_semdedup`. Returns
     * (centroids (cid, cq, cn2), assigned (vec_id, cell, q, n2)).
     */
   private def kmeansCore(s: SparkSession, d: String)
@@ -391,7 +404,7 @@ object SimilarityQueries {
         .select(col("vec_id"), col("cid").alias("cell"), col("q"),
           col("n2"))
     }
-    val seeds = all.filter(col("vec_id") < NCentroids)
+    val seeds = all.filter(col("vec_id") < kmeansCells(s))
       .select(col("vec_id").alias("cid"), col("q").alias("cq"),
         col("n2").alias("cn2"))
     // one Lloyd step: element-wise floor(mean) per cell — exact in

@@ -76,4 +76,21 @@ class SemDedupSpec extends AnyFunSuite {
       .toSeq
     assert(got === expected)
   }
+
+  test("graft.kmeans.cells scales the cell count without breaking invariants") {
+    spark.conf.set("graft.kmeans.cells", "16")
+    try {
+      val rows = graft.SparkEntry.queries("dd_semdedup")(spark, sfDir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3)))
+      // more seeds → more (and therefore smaller) cells: the knob that
+      // keeps sum(|cell|^2) bounded as the corpus grows
+      assert(rows.map(_._2).distinct.length > 8)
+      rows.foreach { case (id, _, keeper, isDup) =>
+        assert(keeper <= id)
+        assert(isDup === (keeper != id))
+      }
+    } finally spark.conf.unset("graft.kmeans.cells")
+  }
 }
