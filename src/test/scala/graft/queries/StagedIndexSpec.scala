@@ -1,0 +1,83 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the write-once staging contract: build exactly once per
+  * (input content, name), serve scans after that, restage when the
+  * input dataset is rewritten, and honor the `off` fallback. The
+  * staleness rule — a stale stage can never serve a new input — is
+  * what makes parquet staging safe to lean on for correctness, not
+  * just speed.
+  */
+class StagedIndexSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.GraftSession.builder("4").getOrCreate()
+
+  private def withStageDir[A](f: => A): A = {
+    val dir = Files.createTempDirectory("sis_stage")
+    spark.conf.set("graft.stage.dir", dir.toString)
+    try f finally spark.conf.unset("graft.stage.dir")
+  }
+
+  test("builds once, serves scans, restages when the input changes") {
+    withStageDir {
+      val in = Files.createTempDirectory("sis_in").toString
+      spark.range(10).toDF("x").write.parquet(s"$in/t.parquet")
+      var builds = 0
+      def call(): Long =
+        StagedIndex.orStage(spark, "spec_idx_v1", in, Seq(s"$in/t.parquet")) {
+          builds += 1
+          spark.read.parquet(s"$in/t.parquet")
+        }.count()
+      assert(call() === 10L)
+      assert(builds === 1)
+      // second call scans the staged parquet — the builder never runs
+      assert(call() === 10L)
+      assert(builds === 1)
+      // rewriting the input (even with identical rows) changes the
+      // content token: the stage is stale and must rebuild
+      spark.range(10).toDF("x").write.mode("overwrite")
+        .parquet(s"$in/t.parquet")
+      assert(call() === 10L)
+      assert(builds === 2)
+    }
+  }
+
+  test("distinct names under one input stage independently") {
+    withStageDir {
+      val in = Files.createTempDirectory("sis_in2").toString
+      spark.range(4).toDF("x").write.parquet(s"$in/t.parquet")
+      var a = 0
+      var b = 0
+      StagedIndex.orStage(spark, "spec_a_v1", in, Seq(s"$in/t.parquet")) {
+        a += 1; spark.read.parquet(s"$in/t.parquet")
+      }.count()
+      StagedIndex.orStage(spark, "spec_b_v1", in, Seq(s"$in/t.parquet")) {
+        b += 1; spark.read.parquet(s"$in/t.parquet")
+      }.count()
+      assert(a === 1 && b === 1)
+    }
+  }
+
+  test("graft.stage.dir=off falls back to the in-session memo") {
+    spark.conf.set("graft.stage.dir", "off")
+    try {
+      val in = Files.createTempDirectory("sis_in3").toString
+      spark.range(7).toDF("x").write.parquet(s"$in/t.parquet")
+      var builds = 0
+      def call(): Long =
+        StagedIndex.orStage(spark, "spec_off_v1", in, Seq(s"$in/t.parquet")) {
+          builds += 1
+          spark.read.parquet(s"$in/t.parquet")
+        }.count()
+      assert(call() === 7L)
+      assert(call() === 7L)
+      // memoized within the session: the builder ran exactly once and
+      // nothing was written under a stage root
+      assert(builds === 1)
+    } finally spark.conf.unset("graft.stage.dir")
+  }
+}
