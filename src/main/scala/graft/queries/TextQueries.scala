@@ -20,9 +20,22 @@ object TextQueries {
 
   private def w: Column = split(col("text"), " ")
 
-  /** Count-min sketch geometry: 4 seeded hash rows × 1024 buckets. */
+  /** Count-min sketch geometry: 4 hash rows × CmsWidth buckets.
+    * Width is the error knob (overcount ≤ n/width per row): session-
+    * configurable via `graft.cms.width` (power of two ≤ 2^15 — each
+    * row slices 15 bits of the digest; default 1024 is what the
+    * oracle replays). A bigger corpus wants a wider sketch, not a
+    * taller one.
+    */
   final val CmsDepth = 4
   final val CmsWidth = 1024
+
+  private def cmsWidth(s: SparkSession): Int = {
+    val w = s.conf.get("graft.cms.width", CmsWidth.toString).toInt
+    require(w > 0 && w <= (1 << 15) && (w & (w - 1)) == 0,
+      s"graft.cms.width must be a power of two <= 32768, got $w")
+    w
+  }
 
   /** Sequence-packing context length (tokens per training row). */
   final val PackLen = 2048
@@ -323,12 +336,13 @@ object TextQueries {
     // matter the corpus size (the point of a sketch); the top-k is
     // TakeOrderedAndProject; estimates join the tiny sketch broadcast.
     "tx_cms_topk" -> ((s, d) => {
+      val width = cmsWidth(s)
       val words = Tables.documents(s, d)
         .select(explode(graft.functions.WordShingles(col("text"), 2))
           .alias("wd"))
       def buckets(h: Column): Seq[Column] = (0 until CmsDepth).map(j =>
         struct(lit(j).alias("j"),
-          shiftright(h, j * 15).bitwiseAND(CmsWidth - 1).alias("bkt")))
+          shiftright(h, j * 15).bitwiseAND(width - 1).alias("bkt")))
       val sketch = words
         .withColumn("h", DedupQueries.h60(col("wd")))
         .select(explode(array(buckets(col("h")): _*)).alias("jb"))
