@@ -381,7 +381,7 @@ object SimilarityQueries {
     * even 1M centroids ≈ 512 MB is routinely broadcastable at that
     * scale, and the Lloyd step is the same keyed agg).
     */
-  private def kmeansCells(s: SparkSession): Int =
+  private[queries] def kmeansCells(s: SparkSession): Int =
     s.conf.get("graft.kmeans.cells", NCentroids.toString).toInt
 
   /** Learned centroids (seed with the first `graft.kmeans.cells`
