@@ -35,7 +35,7 @@ object BenchExpect {
     "mm_phash" -> 0.8,
     "mm_resize" -> 0.3,
     "p1_cdc_envelope" -> 0.4,
-    "pipe_curate" -> 3.0,
+    "pipe_curate" -> 1.0,
     "p3_topic_route" -> 0.3,
     "p4_hash_route" -> 0.3,
     "rel_approx_distinct" -> 1.5,
