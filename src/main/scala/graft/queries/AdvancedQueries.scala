@@ -29,6 +29,9 @@ object AdvancedQueries {
   /** Session gap: 30 minutes, in ms. */
   final val SessionGapMs = 1800000L
 
+  /** Funnel conversion window: 6 hours, in µs. */
+  final val FunnelWindowUs = 21600000000L
+
   private def cents = round(col("o_totalprice") * 100, 0).cast(LongType)
 
   /** Price bands: 6 × $100k-wide tiers in cents. Kept arithmetic-
@@ -79,6 +82,44 @@ object AdvancedQueries {
         .withColumn("kept",
           col("keep_quality") && !col("is_dup_text") && !col("is_dup_sem"))
         .orderBy("doc_id")
+    }),
+
+    // Ordered event funnel: first signup, then the first click within
+    // FunnelWindowUs of it, then the first purchase within the window
+    // of that click — the staged conversion query a product analytics
+    // surface owes its users, with strict stage ordering (a click
+    // before signup does not count) and a conversion window that
+    // makes the funnel discriminate (150 → 14 → 4 users at sf0.01).
+    // Scale shape: every stage is a user-keyed filter + agg +
+    // equi-join — one hash partitioning reused end to end, no windows
+    // over global order, no self-join; integer-microsecond timestamps
+    // keep it oracle-exact.
+    "rel_funnel" -> ((s, d) => {
+      // microseconds, not nanos: DuckDB reads TIMESTAMP_NS parquet at
+      // µs precision, and floor(ns→µs) is monotone so min/ordering
+      // semantics agree on both sides
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000").alias("t"))
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("t")).alias("t_signup"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, "user_id")
+        .filter(col("t") >= col("t_signup") &&
+          col("t") <= col("t_signup") + FunnelWindowUs)
+        .groupBy("user_id").agg(min(col("t")).alias("t_click"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, "user_id")
+        .filter(col("t") >= col("t_click") &&
+          col("t") <= col("t_click") + FunnelWindowUs)
+        .groupBy("user_id").agg(min(col("t")).alias("t_purchase"))
+      s1.join(s2, Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_signup"), col("t_click"),
+          col("t_purchase"),
+          col("t_click").isNotNull.alias("reached_click"),
+          col("t_purchase").isNotNull.alias("reached_purchase"))
+        .orderBy("user_id")
     }),
 
     // As-of join: for every event, the most recent order of the same
@@ -200,6 +241,30 @@ object AdvancedQueries {
          |LEFT JOIN (${SimilarityQueries.oracles("dd_semdedup")}) sd
          |  ON fv.doc_id = sd.vec_id
          |ORDER BY fv.doc_id""".stripMargin,
+
+    "rel_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS t
+        |  FROM events),
+        |s1 AS (SELECT user_id, min(t) AS t_signup FROM ev
+        |       WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.t) AS t_click
+        |       FROM ev e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.t >= s1.t_signup
+        |         AND e.t <= s1.t_signup + 21600000000
+        |       GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.t) AS t_purchase
+        |       FROM ev e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.t >= s2.t_click
+        |         AND e.t <= s2.t_click + 21600000000
+        |       GROUP BY e.user_id)
+        |SELECT s1.user_id, s1.t_signup, s2.t_click, s3.t_purchase,
+        |  s2.t_click IS NOT NULL AS reached_click,
+        |  s3.t_purchase IS NOT NULL AS reached_purchase
+        |FROM s1
+        |LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |LEFT JOIN s3 ON s1.user_id = s3.user_id
+        |ORDER BY s1.user_id""".stripMargin,
 
     "rel_asof_join" ->
       """WITH u AS (
