@@ -43,6 +43,7 @@ object BenchExpect {
     "rel_cube" -> 0.4,
     "rel_distinct" -> 0.8,
     "rel_funnel" -> 0.8,
+    "rel_retention" -> 0.8,
     "rel_grouping_sets" -> 0.5,
     "rel_hour_window" -> 0.4,
     "rel_join_broadcast" -> 0.7,

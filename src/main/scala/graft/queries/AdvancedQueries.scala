@@ -122,6 +122,35 @@ object AdvancedQueries {
         .orderBy("user_id")
     }),
 
+    // Cohort retention: users cohorted by signup day; a cohort member
+    // counts as retained at day-offset k when they have ANY event on
+    // the k-th day after signup. The classic product-analytics matrix
+    // (cohort × offset → retained users), and a different shape from
+    // the funnel: one user-keyed join then a map-side-combining
+    // count-distinct-free agg (the per-(cohort, offset, user) row is
+    // deduped BEFORE counting, so the final count is a plain sum).
+    // Integer-microsecond day arithmetic keeps it oracle-exact.
+    "rel_retention" -> ((s, d) => {
+      val dayUs = 86400000000L
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), expr("ts div 1000").alias("t"))
+      val cohorts = Tables.events(s, d)
+        .filter(col("event_type") === "signup")
+        .select(col("user_id"), expr("ts div 1000").alias("t0"))
+        .groupBy("user_id").agg(min(col("t0")).alias("t0"))
+        .withColumn("cohort_day", expr(s"t0 div $dayUs"))
+      val active = ev.join(cohorts, "user_id")
+        .filter(col("t") >= col("t0"))
+        .select(col("cohort_day"),
+          expr(s"(t - t0) div $dayUs").alias("offset"),
+          col("user_id"))
+        .distinct()
+      active.groupBy("cohort_day", "offset")
+        .agg(count(lit(1)).alias("retained"))
+        .filter(col("offset") <= 7)
+        .orderBy("cohort_day", "offset")
+    }),
+
     // As-of join: for every event, the most recent order of the same
     // user at-or-before the event time. Implemented as union + window
     // carry-forward (last non-null order column per user in time
@@ -241,6 +270,23 @@ object AdvancedQueries {
          |LEFT JOIN (${SimilarityQueries.oracles("dd_semdedup")}) sd
          |  ON fv.doc_id = sd.vec_id
          |ORDER BY fv.doc_id""".stripMargin,
+
+    "rel_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS t FROM events),
+        |cohorts AS (
+        |  SELECT user_id, min(epoch_ns(ts) // 1000) AS t0,
+        |    min(epoch_ns(ts) // 1000) // 86400000000 AS cohort_day
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |active AS (
+        |  SELECT DISTINCT c.cohort_day,
+        |    (e.t - c.t0) // 86400000000 AS "offset", e.user_id
+        |  FROM ev e JOIN cohorts c ON e.user_id = c.user_id
+        |  WHERE e.t >= c.t0)
+        |SELECT cohort_day, "offset", CAST(count(*) AS BIGINT) AS retained
+        |FROM active WHERE "offset" <= 7
+        |GROUP BY cohort_day, "offset"
+        |ORDER BY cohort_day, "offset"""".stripMargin,
 
     "rel_funnel" ->
       """WITH ev AS (
