@@ -209,23 +209,28 @@ object AdvancedQueries {
     }),
 
     // Discrete percentiles (p50/p90/p99 of order value per priority):
-    // rank every row in one window, pick index ceil(p*n) — exact
-    // integer outputs, distributive (rank + conditional min), one
-    // shuffle on the group key.
+    // exact integer outputs via global per-group rank, picked at index
+    // ceil(p*n). The five-value priority key makes a plain
+    // `Window.partitionBy(o_orderpriority)` a five-task corpus sort,
+    // so the rank comes from GroupRank (range partition + local rank +
+    // broadcast offsets); target indices derive from the broadcast
+    // group count, the non-target rows are filtered BEFORE the final
+    // aggregate, and the group-by then sums three rows per priority.
     "rel_percentiles" -> ((s, d) => {
-      val w = Window.partitionBy("o_orderpriority")
-        .orderBy(col("c"), col("o_orderkey"))
-      val ranked = Tables.orders(s, d)
+      val base = Tables.orders(s, d)
         .select(col("o_orderpriority"), col("o_orderkey"), cents.alias("c"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(
-          Window.partitionBy("o_orderpriority")))
+      val ranked = GroupRank.rank(base, "o_orderpriority",
+        Seq(col("c").asc, col("o_orderkey").asc))
       // ceil(p*n) with pure integer arithmetic: (n*num + den - 1) div den
+      def tgt(num: Int, den: Int) =
+        expr(s"(grp_n * $num + $den - 1) div $den")
       def pick(num: Int, den: Int) =
-        min(when(col("rn") ===
-          expr(s"(n * $num + $den - 1) div $den"), col("c")))
-      ranked.groupBy("o_orderpriority")
-        .agg(count(lit(1)).alias("n_orders"),
+        min(when(col("rn") === tgt(num, den), col("c")))
+      ranked
+        .filter(col("rn") === tgt(1, 2) || col("rn") === tgt(9, 10) ||
+          col("rn") === tgt(99, 100))
+        .groupBy("o_orderpriority")
+        .agg(max(col("grp_n")).alias("n_orders"),
           pick(1, 2).alias("p50"),
           pick(9, 10).alias("p90"),
           pick(99, 100).alias("p99"))

@@ -166,8 +166,12 @@ object DedupQueries {
         .agg(count(lit(1)).alias("common"))
       val sa = sizes.select(col("doc_id").alias("ida"), col("nsh").alias("sa"))
       val sb = sizes.select(col("doc_id").alias("idb"), col("nsh").alias("sb"))
+      // No broadcast hint on the per-doc sizes tables: one row per
+      // document means corpus-sized at scale (driver OOM if forced to
+      // broadcast). ida/idb are hash-partitionable equi-join keys —
+      // let the planner (and AQE at runtime) pick the strategy.
       common
-        .join(broadcast(sa), "ida").join(broadcast(sb), "idb")
+        .join(sa, "ida").join(sb, "idb")
         .withColumn("jac",
           col("common") / (col("sa") + col("sb") - col("common")))
         .filter(col("jac") >= 0.3)

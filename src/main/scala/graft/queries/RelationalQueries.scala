@@ -273,24 +273,39 @@ object RelationalQueries {
             .alias("cents_off"))
         .orderBy("o_orderkey")),
 
-    // Analytic window functions: running sum, lag, lead, rank.
     // Window navigation beyond running sums: quartile assignment
     // (ntile), percent_rank, cume_dist — the ranking statistics an
     // analytics surface owes its users, pinned deterministic by the
-    // (cents desc, key asc) total order. One window shuffle on the
-    // priority key; the rn <= 100 cut keeps the result bounded while
-    // the statistics are computed over the FULL partition.
+    // (cents desc, key asc) total order. o_orderpriority has FIVE
+    // values, so `Window.partitionBy(o_orderpriority)` would funnel
+    // the corpus through five sorted tasks; instead GroupRank derives
+    // the global per-priority rank from a range-partitioned local
+    // rank (WindowGroupLimit-pruned to 100/partition/group) plus a
+    // broadcast prefix-offset table, and ntile/percent_rank/cume_dist
+    // follow arithmetically from (rn, grp_n) — SQL-standard bucket
+    // sizes: the first (n mod 4) quartiles take ceil(n/4) rows.
     "rel_window_nav" -> ((s, d) => {
-      val w = Window.partitionBy("o_orderpriority")
-        .orderBy(col("cents").desc, col("o_orderkey").asc)
-      Tables.orders(s, d)
+      val base = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderpriority"),
           cents(col("o_totalprice")).alias("cents"))
-        .withColumn("rn", row_number().over(w).cast(LongType))
-        .withColumn("quartile", ntile(4).over(w).cast(LongType))
-        .withColumn("pct_rank", percent_rank().over(w))
-        .withColumn("cume", cume_dist().over(w))
+      GroupRank.rank(base, "o_orderpriority",
+          Seq(col("cents").desc, col("o_orderkey").asc),
+          localLimit = Some(100))
         .filter(col("rn") <= 100)
+        .withColumn("quartile", expr(
+          """CASE WHEN grp_n < 4 THEN rn
+            |     WHEN rn <= (grp_n div 4 + 1) * (grp_n % 4)
+            |       THEN (rn - 1) div (grp_n div 4 + 1) + 1
+            |     ELSE grp_n % 4
+            |       + (rn - (grp_n div 4 + 1) * (grp_n % 4) - 1)
+            |           div (grp_n div 4)
+            |       + 1 END""".stripMargin))
+        .withColumn("pct_rank",
+          when(col("grp_n") === 1L, lit(0.0))
+            .otherwise((col("rn") - 1).cast("double") / (col("grp_n") - 1)))
+        .withColumn("cume", col("rn").cast("double") / col("grp_n"))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("cents"),
+          col("rn"), col("quartile"), col("pct_rank"), col("cume"))
         .orderBy("o_orderpriority", "rn")
     }),
 

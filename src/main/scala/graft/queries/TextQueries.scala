@@ -51,19 +51,19 @@ object TextQueries {
 
   /** Sequence-packing core behind `tx_pack` (specs drive it on
     * synthetic frames): head-to-tail layout per lang shard, PackLen-
-    * token bins, per-doc (bin, offset) of its first token.
+    * token bins, per-doc (bin, offset) of its first token. The
+    * running token total is two-level — a per-(range-partition, lang)
+    * local cumsum lifted by a broadcast prefix-offset table
+    * (GroupRank.runningSum) — because a `Window.partitionBy(lang)`
+    * cumsum would funnel each whole language shard through one task.
     */
   private[queries] def packOf(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val win = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .select(col("doc_id"), col("lang"),
-        size(w).cast(LongType).alias("n_tokens"))
-      .withColumn("cum", sum(col("n_tokens")).over(win))
+    val toks = docs.select(col("doc_id"), col("lang"),
+      size(w).cast(LongType).alias("n_tokens"))
+    GroupRank.runningSum(toks, "lang", Seq(col("doc_id").asc), "n_tokens")
       .select(col("doc_id"), col("lang"), col("n_tokens"),
-        expr(s"(cum - n_tokens) div $PackLen").alias("bin"),
-        ((col("cum") - col("n_tokens")) % PackLen).alias("offset"))
+        expr(s"(run - n_tokens) div $PackLen").alias("bin"),
+        ((col("run") - col("n_tokens")) % PackLen).alias("offset"))
       .orderBy("doc_id")
   }
 
@@ -371,26 +371,26 @@ object TextQueries {
     // assign every document the context-window bin its first token
     // lands in (PackLen-token bins) plus its offset in that bin — the
     // batch-prep pass that turns a filtered corpus into fixed-length
-    // training rows. Scale shape: ONE window shuffle keyed by the
-    // shard (never a global cumsum — a total-order window would
-    // funnel the corpus through one partition; sharding is how
-    // production packing parallelizes).
+    // training rows. Scale shape: two-level cumsum (per-range-
+    // partition local cumsum + broadcast chunk offsets) — never a
+    // per-lang or global window, either of which would funnel a
+    // corpus-sized shard through one task; see packOf/GroupRank.
     "tx_pack" -> ((s, d) => packOf(Tables.documents(s, d))),
 
     // Deterministic stratified sampling: rank docs inside each lang
     // stratum by a content hash and keep the top ceil(10%) — the
     // reproducible downsampling a training-data pipeline needs (same
-    // corpus ⇒ same sample on any engine, any partitioning). One
-    // window shuffle on the stratum key.
+    // corpus ⇒ same sample on any engine, any partitioning). The
+    // per-stratum rank and the stratum size both come scale-safe from
+    // GroupRank (a lang-keyed window would be one task per language);
+    // the 10% cut compares the global rank against the broadcast
+    // stratum count.
     "tx_sample" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val h = DedupQueries.h60(col("text"))
-      val win = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
-      Tables.documents(s, d)
+      val base = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), h.alias("h"))
-        .withColumn("rn", row_number().over(win).cast(LongType))
-        .withColumn("stratum_n",
-          count(lit(1)).over(Window.partitionBy("lang")))
+      GroupRank.rank(base, "lang", Seq(col("h").asc, col("doc_id").asc))
+        .withColumnRenamed("grp_n", "stratum_n")
         .filter(col("rn") <= expr("(stratum_n + 9) div 10"))
         .select(col("doc_id"), col("lang"), col("rn"), col("stratum_n"))
         .orderBy("lang", "rn")

@@ -84,6 +84,117 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  // --- low-cardinality window rule -----------------------------------
+  // `Window.partitionBy(dimensionKey)` with a handful of key values
+  // executes the corpus as one sorted task per value — the exchange is
+  // hashpartitioning(key) with ~5 populated partitions, which the
+  // SinglePartition check above cannot see. A window partitioned
+  // SOLELY on these keys is only acceptable when its input is already
+  // aggregated (tiny by construction — GroupRank's offset tables) or
+  // rank-limit-pruned (a WindowGroupLimit bounds what reaches the
+  // exchange — rel_topk's k=3 cut). Everything else must go through
+  // GroupRank (range partition + local rank + broadcast offsets).
+  private val dimensionKeys = Set("o_orderpriority", "o_orderstatus",
+    "c_mktsegment", "lang", "l_returnflag", "l_linestatus", "r_name",
+    "n_name", "event_type")
+
+  test("no window partitioned solely on a dimension key over un-reduced input") {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
+      Window => LogicalWindow, WindowGroupLimit}
+    for (sf <- sfs; (n, f) <- SparkEntry.queries.toSeq) {
+      f(spark, sf).queryExecution.optimizedPlan.foreach {
+        case w: LogicalWindow =>
+          val allDim = w.partitionSpec.nonEmpty && w.partitionSpec.forall {
+            case a: AttributeReference => dimensionKeys(a.name.toLowerCase)
+            case _ => false
+          }
+          if (allDim) {
+            val reduced = w.child.exists {
+              case _: Aggregate => true
+              case _: WindowGroupLimit => true
+              case _ => false
+            }
+            val keys = w.partitionSpec.map(_.sql).mkString(", ")
+            assert(reduced,
+              s"$n at $sf: window partitioned on low-cardinality ($keys) " +
+                "over un-reduced input — the corpus would funnel through " +
+                "one task per key value; use GroupRank")
+          }
+        case _ =>
+      }
+    }
+  }
+
+  // --- rank-pushdown pinning -----------------------------------------
+  // The top-k family's 100-TB story depends on Spark inserting a
+  // WindowGroupLimit below every `row_number <= k` window: partial
+  // limits run BEFORE the exchange, so only k rows per (partition,
+  // group) ever shuffle. That insertion is an optimizer inference (a
+  // cast or predicate-shape change can silently drop it), so pin it.
+  private val rankLimited = Set("dd_semdedup", "rel_topk",
+    "rel_window_nav", "sim_cosine_topk", "sim_filtered_ann",
+    "sim_ivf_ann", "sim_ivf_kmeans", "sim_lsh_ann", "sim_pq_ann",
+    "sim_recall_at_k", "tx_tfidf")
+
+  test("rank-limit pushdown (WindowGroupLimit) fires for the top-k family") {
+    plans.foreach { case (sf, n, p) =>
+      if (rankLimited(n)) {
+        assert(p.contains("WindowGroupLimit"),
+          s"$n at $sf: row_number<=k filter without WindowGroupLimit — " +
+            "rank pushdown regressed; whole partitions would sort " +
+            "through the window buffer")
+      }
+    }
+  }
+
+  // --- broadcast-hint rule -------------------------------------------
+  // A broadcast() hint forces its side to the driver regardless of
+  // size, so a hinted side that scans a FACT/CORPUS table (one row
+  // per order/event/document/embedding) must be reduced first — an
+  // aggregated/deduplicated derivation, a generated Range / literal
+  // relation — or the query must be allowlisted as an id-bounded
+  // probe/plane/centroid subset (a selective filter the rule cannot
+  // prove small). Hints on the declared dimension tables
+  // (region/nation/customer/supplier/part) are the engine's scale
+  // contract and always fine. A hint on a raw per-document table is
+  // the driver-OOM-at-scale shape dd_ngram_jaccard used to have.
+  private val filterBoundedBroadcasts = Set("sim_cosine_topk",
+    "sim_lsh_bucket", "sim_lsh_ann", "sim_ivf_ann", "sim_ivf_kmeans",
+    "sim_pq_ann", "sim_recall_at_k", "sim_filtered_ann",
+    "dd_embed_cosine", "dd_semdedup", "pipe_curate")
+
+  test("broadcast hints only on aggregated or generated (tiny) sides") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
+      Deduplicate, LocalRelation, OneRowRelation, Range => LogicalRange,
+      ResolvedHint}
+    for (sf <- sfs; (n, f) <- SparkEntry.queries.toSeq
+         if !filterBoundedBroadcasts(n)) {
+      f(spark, sf).queryExecution.analyzed.foreach {
+        case h: ResolvedHint if h.hints.strategy.nonEmpty =>
+          val reduced = h.child.exists {
+            case _: Aggregate => true
+            case _: Deduplicate => true
+            case _: LocalRelation => true
+            case _: LogicalRange => true
+            case _: OneRowRelation => true
+            case _ => false
+          }
+          val factTables =
+            Seq("orders", "lineitem", "events", "documents", "embeddings")
+          val scansFact = h.child.collectLeaves().exists { leaf =>
+            val s = leaf.toString
+            factTables.exists(t => s.contains(s"$t.parquet"))
+          }
+          assert(reduced || !scansFact,
+            s"$n at $sf: broadcast hint on an un-reduced fact-table " +
+              "side — corpus-sized at scale, OOMs the driver; drop the " +
+              "hint and let the planner/AQE choose")
+        case _ =>
+      }
+    }
+  }
+
   test("parquet scans prune columns (no full-width reads)") {
     // No query legitimately needs every column of a wide table: a scan
     // whose ReadSchema carries ALL of a table's columns means pruning
