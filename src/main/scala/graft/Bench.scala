@@ -36,6 +36,7 @@ object BenchExpect {
     "mm_resize" -> 0.3,
     "p1_cdc_envelope" -> 0.4,
     "pipe_curate" -> 1.0,
+    "pipe_pack" -> 1.5,
     "p3_topic_route" -> 0.3,
     "p4_hash_route" -> 0.3,
     "rel_approx_distinct" -> 1.5,
@@ -187,7 +188,12 @@ object Bench {
     // at query-construction time) so the one-time staging cost lands
     // here, not inside the first dedup/similarity query's measured
     // window — where it could exceed that query's cap and record a
-    // spurious non-completion.
+    // spurious non-completion. The cost is NOT hidden: it is timed
+    // and reported as stage_build_sec (with the staged index names)
+    // in the output JSON, because the per-query numbers measure
+    // scan-of-staged-parquet, not index derivation — the documented
+    // compute-once-per-snapshot production pattern.
+    val tStage = System.nanoTime()
     try {
       SparkEntry.queries("dd_minhash_lsh")(spark, sfDir)
       SparkEntry.queries("sim_cosine_topk")(spark, sfDir)
@@ -195,6 +201,8 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"[bench] pre-stage failed: ${e.getMessage}")
     }
+    val stageBuildSec = (System.nanoTime() - tStage) / 1e9
+    val stagedNames = graft.queries.StagedIndex.stagedNames(spark, sfDir)
     best.clear(); attempted.clear()
 
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -252,7 +260,8 @@ object Bench {
     // The same envelope measured on the actual streaming runtime
     // (replay source → EnvelopeTransform → noop streaming sink).
     val streamEps = BenchStreaming.envelopeEventsPerSec(spark)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"capped":$cappedFinal,"sweeps":$sweep,"envelope_events_per_sec":$eventsPerSec,"streaming_envelope_events_per_sec":$streamEps,"sf":"$sfDir"}""")
+    val stagedJson = stagedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"capped":$cappedFinal,"sweeps":$sweep,"stage_build_sec":$stageBuildSec,"staged":$stagedJson,"envelope_events_per_sec":$eventsPerSec,"streaming_envelope_events_per_sec":$streamEps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

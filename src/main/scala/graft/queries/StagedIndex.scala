@@ -24,7 +24,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the in-session QueryMemo path (oracle runs exercise both; results
   * are identical because the staged rows ARE the memoized rows).
   */
-private[queries] object StagedIndex {
+object StagedIndex {
 
   /** Per-path construction locks (bench and verify are sequential;
     * this guards ad-hoc concurrent sessions in one JVM).
@@ -59,6 +59,28 @@ private[queries] object StagedIndex {
       }
     }
     md5hex(parts.mkString("|")).take(12)
+  }
+
+  /** Names of the completed (_SUCCESS-marked) staged indexes for this
+    * input across all content tokens — what the bench reports next to
+    * `stage_build_sec` so the artifact states WHICH derivations the
+    * per-query timings exclude. Driver-side FS listing only.
+    */
+  def stagedNames(s: SparkSession, sfDir: String): Seq[String] = {
+    val root = s.conf.get("graft.stage.dir",
+      sys.props("java.io.tmpdir") + "/graft-stage")
+    if (root == "off") Seq.empty
+    else {
+      val base = new org.apache.hadoop.fs.Path(s"$root/${md5hex(sfDir).take(12)}")
+      val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(base)) Seq.empty
+      else
+        fs.listStatus(base).filter(_.isDirectory).toSeq
+          .flatMap(tok => fs.listStatus(tok.getPath).filter(_.isDirectory))
+          .filter(d => fs.exists(
+            new org.apache.hadoop.fs.Path(d.getPath, "_SUCCESS")))
+          .map(_.getPath.getName).distinct.sorted
+    }
   }
 
   def orStage(s: SparkSession, name: String, sfDir: String,
