@@ -11,6 +11,23 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The DuckDB oracles replay the DEFAULT knob values (CMS width,
+    // PQ shortlist, k-means cells, IVF probes, media decoder are
+    // baked into the SQL text). Running the dump with a tuned knob
+    // would produce false oracle mismatches, so refuse loudly instead
+    // of letting the round's correctness silently zero.
+    val oracleCoupledKnobs = Map(
+      "graft.cms.width" -> graft.queries.TextQueries.CmsWidth.toString,
+      "graft.pq.shortlist" -> "50",
+      "graft.kmeans.cells" -> graft.queries.SimilarityQueries.NCentroids.toString,
+      "graft.ivf.probes" -> "2",
+      "graft.media.decoder" -> "stub")
+    oracleCoupledKnobs.foreach { case (k, default) =>
+      val v = spark.conf.get(k, default)
+      require(v == default,
+        s"$k=$v but the DuckDB oracles replay the default ($default); " +
+          "unset it for verification runs")
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

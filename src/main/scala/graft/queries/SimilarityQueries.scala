@@ -301,8 +301,15 @@ object SimilarityQueries {
     * what the oracle replays — raising it trades rerank compute for
     * recall (PqRecallSpec pins the floor and the monotonicity).
     */
-  private def pqShortlist(s: SparkSession): Int =
-    s.conf.get("graft.pq.shortlist", "50").toInt
+  private def pqShortlist(s: SparkSession): Int = {
+    val n = s.conf.get("graft.pq.shortlist", "50").toInt
+    // 0/negative would silently yield an empty shortlist (ANN returns
+    // nothing); bound above so a typo can't turn the rerank into a
+    // corpus-sized exact pass.
+    require(n > 0 && n <= (1 << 20),
+      s"graft.pq.shortlist must be in (0, 2^20], got $n")
+    n
+  }
 
   private def pqAnn(s: SparkSession, d: String): DataFrame = {
     val all = quantized(s, d)
@@ -369,8 +376,12 @@ object SimilarityQueries {
     * touching the plan shape (IvfRecallSpec pins the recall floor and
     * the monotonicity).
     */
-  private def probeCount(s: SparkSession): Int =
-    s.conf.get("graft.ivf.probes", "2").toInt
+  private def probeCount(s: SparkSession): Int = {
+    val n = s.conf.get("graft.ivf.probes", "2").toInt
+    require(n > 0 && n <= (1 << 20),
+      s"graft.ivf.probes must be in (0, 2^20], got $n")
+    n
+  }
 
   /** Cell count for the learned-k-means operators
     * (`graft.kmeans.cells`, default NCentroids — what the oracle
@@ -381,8 +392,17 @@ object SimilarityQueries {
     * even 1M centroids ≈ 512 MB is routinely broadcastable at that
     * scale, and the Lloyd step is the same keyed agg).
     */
-  private[queries] def kmeansCells(s: SparkSession): Int =
-    s.conf.get("graft.kmeans.cells", NCentroids.toString).toInt
+  private[queries] def kmeansCells(s: SparkSession): Int = {
+    val n = s.conf.get("graft.kmeans.cells", NCentroids.toString).toInt
+    // 0/negative would silently yield an empty seed set — dd_semdedup
+    // would then report "no semantic duplicates" and pipe_curate would
+    // stage and consume that as a verdict. Fail loudly instead. The
+    // upper bound keeps the centroid table broadcastable (1M × Dim
+    // floats ≈ 512 MB, the documented ceiling of the scale note above).
+    require(n > 0 && n <= (1 << 20),
+      s"graft.kmeans.cells must be in (0, 2^20], got $n")
+    n
+  }
 
   /** Learned centroids (seed with the first `graft.kmeans.cells`
     * vectors, one floor-exact Lloyd step) and the corpus assigned to

@@ -75,8 +75,19 @@ object StreamingHeavyHitters {
     * is already bounded by `buckets` — the TTL just reclaims state for
     * retired routing ranges); `None` disables timeouts so tests'
     * processAllAvailable quiesces.
+    *
+    * CONSUMPTION CONTRACT (Append mode): every touched bucket
+    * re-emits its FULL current summary (all ≤ capacity tracked
+    * counters, not a top-k cut) each micro-batch, so an accumulating
+    * sink (memory/file) holds one row per (bucket, term) per batch
+    * that touched the bucket. The current estimate for a term is the
+    * LATEST row per (bucket, term) — latest-row-wins; earlier rows are
+    * superseded snapshots, and summing across rows double-counts.
+    * `Hitter.n` (the bucket's total observation count) is
+    * monotonically non-decreasing per bucket, so "latest" can be
+    * selected without event-time: max `n` per (bucket, term).
     */
-  def topK(
+  def summaries(
       terms: Dataset[Term],
       buckets: Int = 16,
       capacity: Int = 8,
@@ -90,6 +101,18 @@ object StreamingHeavyHitters {
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         updateBucket(capacity, idleTtl))
   }
+
+  /** Old name for [[summaries]] — misleading (all ≤ capacity counters
+    * are emitted, not a top-k). Kept as a forwarder for source compat.
+    */
+  @deprecated("use summaries — every tracked counter is emitted, not a top-k",
+    "round 5")
+  def topK(
+      terms: Dataset[Term],
+      buckets: Int = 16,
+      capacity: Int = 8,
+      idleTtl: Option[String] = Some("1 hour")): Dataset[Hitter] =
+    summaries(terms, buckets, capacity, idleTtl)
 
   private def updateBucket(capacity: Int, idleTtl: Option[String])(
       bucket: Int,

@@ -45,7 +45,7 @@ class StreamingHeavyHittersSpec extends AnyFunSuite {
     // idleTtl = None: processing-time timeouts keep scheduling
     // timeout-check batches, so processAllAvailable would never
     // quiesce (same note as StreamingNearDupSpec)
-    val q = topK(in.toDS(), buckets = 4, capacity = 4, idleTtl = None)
+    val q = summaries(in.toDS(), buckets = 4, capacity = 4, idleTtl = None)
       .writeStream.format("memory").queryName("hh_out")
       .outputMode("append").start()
     try {
@@ -75,6 +75,13 @@ class StreamingHeavyHittersSpec extends AnyFunSuite {
         }
         assert(distinctTerms.nonEmpty)
       }
+      // the documented consumption contract: latest-row-wins, selected
+      // by max n per (bucket, term) — earlier rows are superseded
+      // snapshots, and the latest estimate equals the true total here
+      val latest = rows.groupBy(r => (r.bucket, r.term))
+        .map { case (_, rs) => rs.maxBy(_.n) }
+      assert(latest.find(_.term == "popular").map(_.est) === Some(20L),
+        "latest-row-wins selection did not yield the accumulated count")
     } finally q.stop()
   }
 
