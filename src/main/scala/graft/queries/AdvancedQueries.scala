@@ -84,6 +84,20 @@ object AdvancedQueries {
         .orderBy("doc_id")
     }),
 
+    // Curation verdict → packed training rows: the end-to-end hop a
+    // training-data pipeline actually ships. The kept id set from
+    // pipe_curate (itself composed of staged, separately-oracle-
+    // checked verdict tables) prunes the documents scan via one
+    // doc_id equi-join, then the surviving corpus packs through the
+    // same scale-safe two-level cumsum as tx_pack (GroupRank: range
+    // partition + local cumsum + broadcast chunk offsets). Nothing
+    // here adds a new shuffle class: one id join + the pack shape.
+    "pipe_pack" -> ((s, d) => {
+      val keptIds = AdvancedQueries.queries("pipe_curate")(s, d)
+        .filter(col("kept")).select("doc_id")
+      TextQueries.packOf(Tables.documents(s, d).join(keptIds, "doc_id"))
+    }),
+
     // Ordered event funnel: first signup, then the first click within
     // FunnelWindowUs of it, then the first purchase within the window
     // of that click — the staged conversion query a product analytics
@@ -260,21 +274,47 @@ object AdvancedQueries {
         .orderBy("user_id", "session_no")
     }))
 
+  // composition of the three components' own oracles (each a full
+  // SELECT usable as a derived table), joined on the shared id;
+  // shared between the pipe_curate entry and pipe_pack's kept-set
+  private val pipeCurateSql: String =
+    s"""SELECT fv.doc_id, fv.keep AS keep_quality,
+       |  dv.is_dup AS is_dup_text,
+       |  coalesce(sd.is_dup, false) AS is_dup_sem,
+       |  fv.keep AND NOT dv.is_dup AND NOT coalesce(sd.is_dup, false)
+       |    AS kept
+       |FROM (${TextQueries.oracles("tx_filter_verdict")}) fv
+       |JOIN (${DedupQueries.oracles("dd_dedup_verdict")}) dv
+       |  ON fv.doc_id = dv.doc_id
+       |LEFT JOIN (${SimilarityQueries.oracles("dd_semdedup")}) sd
+       |  ON fv.doc_id = sd.vec_id
+       |ORDER BY fv.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    // composition of the three components' own oracles (each a full
-    // SELECT usable as a derived table), joined on the shared id
-    "pipe_curate" ->
-      s"""SELECT fv.doc_id, fv.keep AS keep_quality,
-         |  dv.is_dup AS is_dup_text,
-         |  coalesce(sd.is_dup, false) AS is_dup_sem,
-         |  fv.keep AND NOT dv.is_dup AND NOT coalesce(sd.is_dup, false)
-         |    AS kept
-         |FROM (${TextQueries.oracles("tx_filter_verdict")}) fv
-         |JOIN (${DedupQueries.oracles("dd_dedup_verdict")}) dv
-         |  ON fv.doc_id = dv.doc_id
-         |LEFT JOIN (${SimilarityQueries.oracles("dd_semdedup")}) sd
-         |  ON fv.doc_id = sd.vec_id
-         |ORDER BY fv.doc_id""".stripMargin,
+    "pipe_curate" -> pipeCurateSql,
+
+    // the last hop of the training-data story: pack ONLY the curated
+    // kept set — pipe_curate's oracle as a derived table, filtered to
+    // kept, joined back to documents, then the same two-level-safe
+    // cumsum packing tx_pack pins (DuckDB computes it as one plain
+    // window; the Spark side goes through GroupRank)
+    "pipe_pack" ->
+      s"""WITH curated AS (
+         |  SELECT doc_id FROM ($pipeCurateSql) c WHERE kept),
+         |sized AS (
+         |  SELECT d.doc_id, d.lang,
+         |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents d JOIN curated USING (doc_id)),
+         |packed AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum
+         |  FROM sized)
+         |SELECT doc_id, lang, n_tokens,
+         |  (cum - n_tokens) // ${TextQueries.PackLen} AS bin,
+         |  (cum - n_tokens) % ${TextQueries.PackLen} AS offset
+         |FROM packed ORDER BY doc_id""".stripMargin,
 
     "rel_retention" ->
       """WITH ev AS (
