@@ -47,6 +47,41 @@ case class Settings(
     tokenSaveTimeoutMs: Long = 5000L,
     tokenSaveOnTimeoutRetry: Int = 3)
 
+/** S3 config parity: the reference exposes `full_document` and
+  * `full_document_before_change` enums (`settings.py:20-28`) that are
+  * handed to `collection.watch(...)`
+  * (`change_stream_reading/watch.py:86-91`). Spark-side those are
+  * source options, but the option KEY depends on the source: the
+  * mongo-spark connector (v10.1+) spells them
+  * `change.stream.lookup.full.document[.before.change]`, while the
+  * replay/test sources carry the event schema's own field names.
+  * This helper owns that mapping so callers state intent once.
+  */
+object Settings {
+  val MongoFullDocument = "change.stream.lookup.full.document"
+  val MongoFullDocumentBeforeChange =
+    "change.stream.lookup.full.document.before.change"
+  val ReplayFullDocument = "fullDocument"
+  val ReplayFullDocumentBeforeChange = "fullDocumentBeforeChange"
+
+  /** Reference enum values pass through verbatim ("updateLookup",
+    * "whenAvailable", "required", ...) — only the key is spelled per
+    * source format.
+    */
+  def changeStreamOptions(
+      sourceFormat: String,
+      fullDocument: Option[String] = None,
+      fullDocumentBeforeChange: Option[String] = None)
+      : Map[String, String] = {
+    val (fdKey, fdbKey) =
+      if (sourceFormat == "mongodb")
+        (MongoFullDocument, MongoFullDocumentBeforeChange)
+      else (ReplayFullDocument, ReplayFullDocumentBeforeChange)
+    fullDocument.map(fdKey -> _).toMap ++
+      fullDocumentBeforeChange.map(fdbKey -> _).toMap
+  }
+}
+
 /** K4: what auto-created topics are created *with* — the reference's
   * `NewTopicConfiguration` (`settings.py:31-34`), passed verbatim to
   * the AdminClient's NewTopic (`producing/producer.py:43-64`).
