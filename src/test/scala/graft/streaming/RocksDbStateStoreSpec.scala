@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingNearDup.{candidatePairs, Doc}
+import graft.streaming.StreamingHeavyHitters.{summaries, Hitter, Term}
+
+/** The stateful streaming operators under the RocksDB state store
+  * provider — the 100-TB configuration, where keyed state spills to
+  * local disk instead of living in executor heap (the default
+  * HDFS-backed provider keeps every version in memory). The operators
+  * only touch state through the GroupState API, so behavior must be
+  * byte-identical; this spec pins that the bounded-state contracts
+  * (cross-batch near-dup matching, Misra-Gries summaries) hold with
+  * spillable state, i.e. nothing in them depends on the memory-backed
+  * default (VERDICT r4 next-round item 8).
+  */
+class RocksDbStateStoreSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.GraftSession.builder("4").getOrCreate()
+
+  private val RocksDb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+
+  private def withRocksDb[A](f: => A): A = {
+    val prior = spark.conf.getOption(ProviderKey)
+    spark.conf.set(ProviderKey, RocksDb)
+    try f
+    finally prior match {
+      case Some(v) => spark.conf.set(ProviderKey, v)
+      case None => spark.conf.unset(ProviderKey)
+    }
+  }
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and runs far away home"
+  private val nearDup =
+    "the quick brown fox jumps over the lazy dog and runs far away now"
+  private val unrelated =
+    "completely different words about spark structured streaming state stores"
+
+  test("near-dup bucket state carries across micro-batches under RocksDB") {
+    withRocksDb {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[Doc]
+      val q = candidatePairs(in.toDS(), minAgree = 16, maxPerBucket = 8,
+        bucketTtl = None)
+        .writeStream.format("memory").queryName("rocks_neardup")
+        .outputMode("append").start()
+      try {
+        assert(spark.conf.get(ProviderKey) === RocksDb)
+        in.addData(Doc(1L, base), Doc(2L, unrelated))
+        q.processAllAvailable()
+        assert(spark.table("rocks_neardup").count() === 0)
+        in.addData(Doc(4L, nearDup))
+        q.processAllAvailable()
+        val pairs = spark.table("rocks_neardup").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).distinct
+        assert(pairs.toSeq === Seq((1L, 4L)), s"got ${pairs.toSeq}")
+      } finally q.stop()
+    }
+  }
+
+  test("Misra-Gries bucket summaries accumulate under RocksDB") {
+    withRocksDb {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[Term]
+      val q = summaries(in.toDS(), buckets = 4, capacity = 4, idleTtl = None)
+        .writeStream.format("memory").queryName("rocks_hh")
+        .outputMode("append").start()
+      try {
+        in.addData((1 to 10).map(_ => Term("popular")): _*)
+        q.processAllAvailable()
+        in.addData((1 to 10).map(_ => Term("popular")): _*)
+        q.processAllAvailable()
+        val rows = spark.table("rocks_hh").as[Hitter].collect()
+        // latest-row-wins (the documented consumption contract): the
+        // accumulated estimate must have crossed the batch boundary
+        // through RocksDB-backed state
+        val latest = rows.groupBy(r => (r.bucket, r.term))
+          .map { case (_, rs) => rs.maxBy(_.n) }
+        assert(latest.find(_.term == "popular").map(_.est) === Some(20L),
+          s"state lost across batches: ${rows.toSeq}")
+      } finally q.stop()
+    }
+  }
+}
