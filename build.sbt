@@ -4,7 +4,11 @@ name := "pymongochangestreamreaderspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
 // Test-only deps resolve from the pre-warmed coursier cache; anything
-// else is intentionally not resolvable (COURSIER_MODE=offline).
+// else is intentionally not resolvable (COURSIER_MODE=offline). That
+// includes org.mongodb:mongodb-driver-sync — the production token-store
+// binding (cdc.MongoJavaDriverClient) therefore binds to the driver by
+// reflection at runtime: add the driver jars to the deployment
+// classpath and it lights up; nothing else changes.
 libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
