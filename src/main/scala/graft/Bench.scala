@@ -25,7 +25,7 @@ object BenchExpect {
     "dd_embed_cosine" -> 0.7,
     "dd_exact" -> 0.5,
     "dd_minhash_lsh" -> 0.8,
-    "dd_ngram_jaccard" -> 2.3,
+    "dd_ngram_jaccard" -> 2.5,
     "dd_semdedup" -> 1.5,
     "dd_simhash" -> 0.8,
     "dd_span_dedup" -> 1.9,
@@ -36,7 +36,7 @@ object BenchExpect {
     "mm_resize" -> 0.3,
     "p1_cdc_envelope" -> 0.4,
     "pipe_curate" -> 1.0,
-    "pipe_pack" -> 1.5,
+    "pipe_pack" -> 1.8,
     "p3_topic_route" -> 0.3,
     "p4_hash_route" -> 0.3,
     "rel_approx_distinct" -> 1.5,
@@ -49,7 +49,7 @@ object BenchExpect {
     "rel_hour_window" -> 0.4,
     "rel_join_broadcast" -> 0.7,
     "rel_json_agg" -> 0.6,
-    "rel_percentiles" -> 1.0,
+    "rel_percentiles" -> 1.4,
     "rel_pivot" -> 0.5,
     "rel_promo_share" -> 0.8,
     "rel_q1_agg" -> 0.7,
@@ -61,7 +61,7 @@ object BenchExpect {
     "rel_skew_agg" -> 0.7,
     "rel_star_join" -> 0.8,
     "rel_topk" -> 0.8,
-    "rel_window_nav" -> 0.9,
+    "rel_window_nav" -> 1.2,
     "rel_window_running" -> 0.9,
     "s1_scan_pushdown" -> 0.3,
     "s6_sequence" -> 0.5,
@@ -81,12 +81,12 @@ object BenchExpect {
     "tx_langid" -> 0.3,
     "tx_ngram_topk" -> 0.4,
     "tx_normalize" -> 0.5,
-    "tx_pack" -> 0.5,
+    "tx_pack" -> 0.8,
     "tx_pii" -> 0.5,
     "tx_tfidf" -> 1.0,
     "tx_quality" -> 0.3,
     "tx_repetition" -> 1.0,
-    "tx_sample" -> 0.5,
+    "tx_sample" -> 0.7,
     "tx_tokens" -> 0.3,
   )
 
