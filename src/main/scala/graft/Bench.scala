@@ -87,6 +87,8 @@ object BenchExpect {
     "tx_quality" -> 0.3,
     "tx_repetition" -> 1.0,
     "tx_sample" -> 0.7,
+    "tx_sample_weighted" -> 0.8,
+    "tx_source_cap" -> 0.7,
     "tx_tokens" -> 0.3,
   )
 

@@ -40,6 +40,12 @@ object TextQueries {
   /** Sequence-packing context length (tokens per training row). */
   final val PackLen = 2048
 
+  /** Per-source document cap (tx_source_cap). */
+  final val SourceCap = 10
+
+  /** Temperature-sampling target size (tx_sample_weighted). */
+  final val SampleTarget = 100
+
   /** PII patterns — RE2-compatible (no backrefs/lookaround) so the
     * same source strings drive Spark (java.util.regex) and the DuckDB
     * oracle identically.
@@ -394,6 +400,53 @@ object TextQueries {
         .filter(col("rn") <= expr("(stratum_n + 9) div 10"))
         .select(col("doc_id"), col("lang"), col("rn"), col("stratum_n"))
         .orderBy("lang", "rn")
+    }),
+
+    // Per-source document cap — the C4/RefinedWeb-style curation rule
+    // "at most K documents per domain", keeping the K longest by a
+    // deterministic order. `source` is a fixed 20-value dimension, so
+    // this is exactly GroupRank + localLimit territory: the
+    // WindowGroupLimit bounds per-partition state at K rows per
+    // (partition, source) and only ~P×20×K rows ever shuffle.
+    "tx_source_cap" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      GroupRank.rank(base, "source",
+          Seq(col("n_chars").desc, col("doc_id").asc),
+          localLimit = Some(SourceCap))
+        .filter(col("rn") <= SourceCap)
+        .select(col("doc_id"), col("source"), col("rn").alias("rk"),
+          col("grp_n").alias("src_n"))
+        .orderBy("source", "rk")
+    }),
+
+    // Temperature-resampled multilingual mixing (the mC4/XLM-R α=0.5
+    // recipe): per-language quotas proportional to sqrt(count) — low-
+    // resource languages upweighted relative to their share — then a
+    // deterministic hash-ranked draw of quota_l docs per language.
+    // Integer-robust by construction: weights are floor(sqrt(n))
+    // (sqrt is IEEE-correctly-rounded, so both engines floor the same
+    // double), quotas are ceiling integer division, and the draw
+    // order is the content hash — same corpus ⇒ same sample on any
+    // engine. Scale shape: the counts/weights/quota tables are
+    // O(languages) rows (the 1-row total is a whitelisted scalar
+    // aggregate), broadcast back onto a GroupRank global rank.
+    "tx_sample_weighted" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy("lang").agg(count(lit(1)).alias("n"))
+      val w = counts.select(col("lang"),
+        floor(sqrt(col("n").cast("double"))).cast(LongType).alias("wt"))
+      val tot = w.agg(sum(col("wt")).alias("tw"))
+      val quota = w.crossJoin(broadcast(tot))
+        .select(col("lang"),
+          expr(s"($SampleTarget * wt + tw - 1) div tw").alias("quota"))
+      val base = docs.select(col("doc_id"), col("lang"),
+        DedupQueries.h60(col("text")).alias("h"))
+      GroupRank.rank(base, "lang", Seq(col("h").asc, col("doc_id").asc))
+        .join(broadcast(quota), "lang")
+        .filter(col("rn") <= col("quota"))
+        .select(col("doc_id"), col("lang"), col("rn"), col("quota"))
+        .orderBy("lang", "rn")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -639,5 +692,36 @@ object TextQueries {
         |  FROM hashed)
         |SELECT doc_id, lang, rn, CAST(stratum_n AS BIGINT) AS stratum_n
         |FROM ranked WHERE rn <= (stratum_n + 9) // 10
-        |ORDER BY lang, rn""".stripMargin)
+        |ORDER BY lang, rn""".stripMargin,
+
+    "tx_source_cap" ->
+      s"""SELECT doc_id, source, rk, src_n FROM (
+         |  SELECT doc_id, source,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk,
+         |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS src_n
+         |  FROM documents) t
+         |WHERE rk <= $SourceCap ORDER BY source, rk""".stripMargin,
+
+    "tx_sample_weighted" ->
+      s"""WITH counts AS (
+         |  SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |w AS (SELECT lang,
+         |  CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS wt
+         |  FROM counts),
+         |tot AS (SELECT sum(wt) AS tw FROM w),
+         |quota AS (SELECT lang,
+         |  ($SampleTarget * wt + tw - 1) // tw AS quota FROM w, tot),
+         |hashed AS (
+         |  SELECT doc_id, lang,
+         |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT doc_id, lang,
+         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+         |      AS BIGINT) AS rn
+         |  FROM hashed)
+         |SELECT r.doc_id, r.lang, r.rn, q.quota
+         |FROM ranked r JOIN quota q USING (lang)
+         |WHERE r.rn <= q.quota ORDER BY lang, rn""".stripMargin)
 }

@@ -44,7 +44,8 @@ class PlanAuditSpec extends AnyFunSuite {
   // broadcast); the document-scale path never funnels.
   private val singleRowAggregates =
     Set("c1_commit_watermark", "rel_approx_distinct", "rel_distinct",
-      "tx_tfidf")
+      "tx_tfidf",
+      "tx_sample_weighted") // 1-row total-weight scalar, broadcast back
 
   // Queries that intentionally broadcast a tiny build side against a
   // non-equi / cross predicate (band dim, probe rows, hyperplanes,
@@ -57,7 +58,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "dd_semdedup", // centroid table broadcast against every vector
     "sim_filtered_ann", // broadcast probe rows against the filtered corpus
     "pipe_curate", // inherits dd_semdedup's centroid broadcast
-    "tx_tfidf") // 1-row corpus-count scalar broadcast
+    "tx_tfidf", // 1-row corpus-count scalar broadcast
+    "tx_sample_weighted") // 1-row total-weight scalar vs 5-row weights
 
   test("no query plan contains a CartesianProduct") {
     plans.foreach { case (sf, n, p) =>
@@ -95,8 +97,8 @@ class PlanAuditSpec extends AnyFunSuite {
   // exchange — rel_topk's k=3 cut). Everything else must go through
   // GroupRank (range partition + local rank + broadcast offsets).
   private val dimensionKeys = Set("o_orderpriority", "o_orderstatus",
-    "c_mktsegment", "lang", "l_returnflag", "l_linestatus", "r_name",
-    "n_name", "event_type")
+    "c_mktsegment", "lang", "source", "l_returnflag", "l_linestatus",
+    "r_name", "n_name", "event_type")
 
   test("no window partitioned solely on a dimension key over un-reduced input") {
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
@@ -135,7 +137,7 @@ class PlanAuditSpec extends AnyFunSuite {
   private val rankLimited = Set("dd_semdedup", "rel_topk",
     "rel_window_nav", "sim_cosine_topk", "sim_filtered_ann",
     "sim_ivf_ann", "sim_ivf_kmeans", "sim_lsh_ann", "sim_pq_ann",
-    "sim_recall_at_k", "tx_tfidf")
+    "sim_recall_at_k", "tx_tfidf", "tx_source_cap")
 
   test("rank-limit pushdown (WindowGroupLimit) fires for the top-k family") {
     plans.foreach { case (sf, n, p) =>
