@@ -50,6 +50,7 @@ object BenchExpect {
     "rel_join_broadcast" -> 0.7,
     "rel_json_agg" -> 0.6,
     "rel_percentiles" -> 1.4,
+    "rel_percentiles_hist" -> 1.0,
     "rel_pivot" -> 0.5,
     "rel_promo_share" -> 0.8,
     "rel_q1_agg" -> 0.7,

@@ -40,6 +40,9 @@ object AdvancedQueries {
   final val BandWidthCents = 10000000L
   final val NBands = 6
 
+  /** Histogram-percentile bin width in cents (rel_percentiles_hist). */
+  final val HistBinCents = 1000000L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // The capstone: one end-to-end curation verdict per document,
@@ -251,6 +254,50 @@ object AdvancedQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // Exact percentiles WITHOUT any per-group sort — the two-pass
+    // histogram algorithm for groups too large even for GroupRank's
+    // partition-local sorts. Pass 1: per-(group, value-bin) counts (a
+    // tiny map-side-combined aggregate) → cumulative counts over the
+    // tiny bin table locate the one bin containing each target rank.
+    // Pass 2: only rows in a located bin (a broadcast semi-filter,
+    // ≤ 3 bins per group) are ranked within that bin, and the row at
+    // target − rows_before_bin is the exact percentile. Bin width is
+    // the knob: at 100 TB narrow the bins (or recurse) so pass-2
+    // partitions stay small; every stage is either corpus-scan +
+    // partial agg or arithmetic on the bin table.
+    "rel_percentiles_hist" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"), cents.alias("c"))
+        .withColumn("bin", expr(s"c div $HistBinCents"))
+      val bins = base.groupBy("o_orderpriority", "bin")
+        .agg(count(lit(1)).alias("bn"))
+      val wcum = Window.partitionBy("o_orderpriority").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = bins
+        .withColumn("cum", sum(col("bn")).over(wcum))
+        .withColumn("n",
+          sum(col("bn")).over(Window.partitionBy("o_orderpriority")))
+      val targets = Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+        .map { case (p, num, den) =>
+          cum.withColumn("t", expr(s"(n * $num + $den - 1) div $den"))
+            .filter(col("cum") >= col("t") &&
+              col("cum") - col("bn") < col("t"))
+            .select(col("o_orderpriority"), lit(p).alias("p"), col("bin"),
+              (col("cum") - col("bn")).alias("before"), col("t"), col("n"))
+        }.reduce(_ unionByName _) // ≤ 3 rows per group, ever
+      val wbin = Window.partitionBy("o_orderpriority", "p")
+        .orderBy(col("c").asc, col("o_orderkey").asc)
+      base.join(broadcast(targets), Seq("o_orderpriority", "bin"))
+        .withColumn("rnb", row_number().over(wbin).cast(LongType))
+        .filter(col("rnb") === col("t") - col("before"))
+        .groupBy("o_orderpriority")
+        .agg(max(col("n")).alias("n_orders"),
+          min(when(col("p") === "p50", col("c"))).alias("p50"),
+          min(when(col("p") === "p90", col("c"))).alias("p90"),
+          min(when(col("p") === "p99", col("c"))).alias("p99"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Batch sessionization: per-user 30-min-gap sessions via lag +
     // running new-session count. One shuffle on user_id; the batch
     // analogue of streaming/EventTimeOps session windows.
@@ -273,6 +320,26 @@ object AdvancedQueries {
           max(col("ms")).alias("end_ms"))
         .orderBy("user_id", "session_no")
     }))
+
+  // one oracle for both exact-percentile algorithms (rank-based and
+  // histogram-based): DuckDB computes the answer the straightforward
+  // single-window way; the two Spark plans must both match it
+  private val percentilesSql: String =
+    """WITH ranked AS (
+      |  SELECT o_orderpriority,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY CAST(round(o_totalprice * 100, 0) AS BIGINT),
+      |               o_orderkey) AS rn,
+      |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM orders)
+      |SELECT o_orderpriority,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  min(CASE WHEN rn = (n * 1 + 1) // 2 THEN c END) AS p50,
+      |  min(CASE WHEN rn = (n * 9 + 9) // 10 THEN c END) AS p90,
+      |  min(CASE WHEN rn = (n * 99 + 99) // 100 THEN c END) AS p99
+      |FROM ranked GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
 
   // composition of the three components' own oracles (each a full
   // SELECT usable as a derived table), joined on the shared id;
@@ -392,22 +459,10 @@ object AdvancedQueries {
          |FROM o JOIN bands ON c BETWEEN lo AND hi
          |GROUP BY band ORDER BY band""".stripMargin,
 
-    "rel_percentiles" ->
-      """WITH ranked AS (
-        |  SELECT o_orderpriority,
-        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c,
-        |    row_number() OVER (PARTITION BY o_orderpriority
-        |      ORDER BY CAST(round(o_totalprice * 100, 0) AS BIGINT),
-        |               o_orderkey) AS rn,
-        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
-        |  FROM orders)
-        |SELECT o_orderpriority,
-        |  CAST(count(*) AS BIGINT) AS n_orders,
-        |  min(CASE WHEN rn = (n * 1 + 1) // 2 THEN c END) AS p50,
-        |  min(CASE WHEN rn = (n * 9 + 9) // 10 THEN c END) AS p90,
-        |  min(CASE WHEN rn = (n * 99 + 99) // 100 THEN c END) AS p99
-        |FROM ranked GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin,
+    "rel_percentiles" -> percentilesSql,
+
+    // identical answer, different algorithm — one shared oracle
+    "rel_percentiles_hist" -> percentilesSql,
 
     "s7_sessions" ->
       s"""WITH ev AS (
