@@ -73,6 +73,7 @@ object BenchExpect {
     "sim_ivf_kmeans" -> 1.3,
     "sim_lsh_ann" -> 0.7,
     "sim_pq_ann" -> 1.0,
+    "sim_ivfpq_ann" -> 1.3,
     "sim_lsh_bucket" -> 0.6,
     "sim_recall_at_k" -> 1.5,
     "tx_bpe_tokens" -> 0.4,

@@ -225,6 +225,8 @@ object SimilarityQueries {
     // final cosine, so the oracle replays it exactly.
     "sim_pq_ann" -> (pqAnn(_, _)),
 
+    "sim_ivfpq_ann" -> (ivfPqAnn(_, _)),
+
     // Filtered (hybrid) vector search — the vector-DB pattern where a
     // metadata predicate and a similarity query compose: top-k ONLY
     // over vectors whose document passes the filter (here lang='en').
@@ -311,7 +313,13 @@ object SimilarityQueries {
     n
   }
 
-  private def pqAnn(s: SparkSession, d: String): DataFrame = {
+  /** PQ encode + probe lookup tables, shared by `sim_pq_ann` and
+    * `sim_ivfpq_ann`: per-vector 4-byte codes (nearest sub-centroid
+    * per subspace) and the per-probe ADC LUT (exact probe sub-vector
+    * · every sub-centroid).
+    */
+  private def pqCodesLut(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     val all = quantized(s, d)
     // one row per (vector, subspace): the sub-vector
     val sub = all.select(col("vec_id"),
@@ -334,16 +342,20 @@ object SimilarityQueries {
       .withColumn("rn", row_number().over(wEnc))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("m"), col("cid"))
-    // ADC lookup table: exact probe sub-vector · every sub-centroid
     val lut = sub.filter(col("vec_id") < NQueries)
       .select(col("vec_id").alias("qid"), col("m"), col("sv").alias("qsv"))
       .join(cb, Seq("m"))
       .select(col("qid"), col("m"), col("cid"),
         dot(col("qsv"), col("cq")).alias("pdot"))
-    val scored = codes.join(broadcast(lut), Seq("m", "cid"))
-      .filter(col("vec_id") =!= col("qid"))
-      .groupBy("qid", "vec_id")
-      .agg(sum(col("pdot")).alias("approx_dot"))
+    (codes, lut)
+  }
+
+  /** ADC-scored candidates → shortlist → exact rerank → top-k: the
+    * shared tail of the PQ family.
+    */
+  private def adcShortlistRerank(s: SparkSession, d: String,
+      scored: DataFrame): DataFrame = {
+    val all = quantized(s, d)
     // ADC shortlist: top-R per probe by approximate dot
     val wAdc = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("approx_dot").desc, col("vec_id").asc)
@@ -368,6 +380,53 @@ object SimilarityQueries {
       .select(col("qid"), col("rk"), col("vec_id"), col("approx_dot"),
         col("cos"))
       .orderBy("qid", "rk")
+  }
+
+  private def pqAnn(s: SparkSession, d: String): DataFrame = {
+    val (codes, lut) = pqCodesLut(s, d)
+    val scored = codes.join(broadcast(lut), Seq("m", "cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("pdot")).alias("approx_dot"))
+    adcShortlistRerank(s, d, scored)
+  }
+
+  /** IVF-PQ (the FAISS IVFPQ deployment shape): a coarse IVF cell
+    * assignment turns the corpus into posting lists, and ADC scoring
+    * touches ONLY the probe's cell-mates — the compressed-codes
+    * analogue of sim_ivf_ann's partition-once-search-locally, with
+    * sim_pq_ann's memory story (4-byte codes cross the scoring join,
+    * full vectors only for the shortlist rerank). At 100 TB the cell
+    * count scales with the corpus (cells stay bounded), the LUT stays
+    * probe×subspace×centroid-sized, and nothing corpus-sized is ever
+    * broadcast.
+    */
+  private def ivfPqAnn(s: SparkSession, d: String): DataFrame = {
+    val all = quantized(s, d)
+    val cents = all.filter(col("vec_id") < NCentroids)
+      .select(col("vec_id").alias("cid"), col("q").alias("cq"),
+        col("n2").alias("cn2"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("dist2").asc, col("cid").asc)
+    val cells = all.crossJoin(broadcast(cents))
+      .withColumn("dist2",
+        col("n2") + col("cn2") - lit(2L) * dot(col("q"), col("cq")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid").alias("cell"))
+    val qcells = cells.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").alias("qid"), col("cell").alias("qcell"))
+    // posting-list restriction: candidate pairs are cell-mates only
+    val cand = cells
+      .join(broadcast(qcells),
+        col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
+    val (codes, lut) = pqCodesLut(s, d)
+    val scored = cand.join(codes, Seq("vec_id"))
+      .join(broadcast(lut), Seq("qid", "m", "cid"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("pdot")).alias("approx_dot"))
+    adcShortlistRerank(s, d, scored)
   }
 
   /** Multi-probe width: how many nearest cells each probe searches.
@@ -655,6 +714,73 @@ object SimilarityQueries {
          |  FROM codes co JOIN lut l ON co.m = l.m AND co.cid = l.cid
          |  WHERE co.vec_id <> l.qid
          |  GROUP BY l.qid, co.vec_id),
+         |shortlist AS (
+         |  SELECT qid, vec_id, approx_dot FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY approx_dot DESC, vec_id ASC) AS adc_rk
+         |    FROM scored) t
+         |  WHERE adc_rk <= 50),
+         |reranked AS (
+         |  SELECT sl.qid, sl.vec_id, sl.approx_dot,
+         |    CAST(${sqlDot("p.qv", "v.qv")} AS BIGINT)
+         |      / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(v.n2 AS DOUBLE)))
+         |      AS cos
+         |  FROM shortlist sl
+         |  JOIN qn v ON v.vec_id = sl.vec_id
+         |  JOIN qn p ON p.vec_id = sl.qid)
+         |SELECT qid, rk, vec_id, approx_dot, cos FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rk
+         |  FROM reranked) t
+         |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin,
+
+    // IVF-PQ: sim_ivf_ann's cell assignment restricts sim_pq_ann's
+    // ADC scoring to cell-mates; shortlist/rerank tail identical.
+    "sim_ivfpq_ann" ->
+      s"""WITH $sqlQuant,
+         |cents AS (SELECT vec_id AS cid, qv AS cq, n2 AS cn2 FROM qn
+         |          WHERE vec_id < $NCentroids),
+         |assigned AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT v.vec_id, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY v.n2 + c.cn2 - 2 * ${sqlDot("v.qv", "c.cq")} ASC,
+         |                 c.cid ASC) AS rn
+         |    FROM qn v CROSS JOIN cents c) t
+         |  WHERE rn = 1),
+         |cand AS (
+         |  SELECT p.vec_id AS qid, v.vec_id
+         |  FROM assigned p JOIN assigned v
+         |    ON v.cell = p.cell AND v.vec_id <> p.vec_id
+         |  WHERE p.vec_id < $NQueries),
+         |sub AS (
+         |  SELECT vec_id, t.m,
+         |    qv[CAST(t.m * $PqSubDim + 1 AS INTEGER):
+         |       CAST((t.m + 1) * $PqSubDim AS INTEGER)] AS sv
+         |  FROM qn, UNNEST(range(0, $PqM)) t(m)),
+         |cb AS (
+         |  SELECT m, vec_id AS cid, sv AS cq,
+         |    list_sum(list_transform(sv, x -> x * x)) AS cn2
+         |  FROM sub WHERE vec_id < $NCentroids),
+         |codes AS (
+         |  SELECT vec_id, m, cid FROM (
+         |    SELECT s.vec_id, s.m, c.cid,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.m
+         |        ORDER BY list_sum(list_transform(s.sv, x -> x * x)) + c.cn2
+         |          - 2 * ${sqlDotSub("s.sv", "c.cq")} ASC, c.cid ASC) AS rn
+         |    FROM sub s JOIN cb c ON s.m = c.m) t
+         |  WHERE rn = 1),
+         |lut AS (
+         |  SELECT s.vec_id AS qid, s.m, c.cid,
+         |    ${sqlDotSub("s.sv", "c.cq")} AS pdot
+         |  FROM sub s JOIN cb c ON s.m = c.m
+         |  WHERE s.vec_id < $NQueries),
+         |scored AS (
+         |  SELECT ca.qid, ca.vec_id, CAST(sum(l.pdot) AS BIGINT) AS approx_dot
+         |  FROM cand ca
+         |  JOIN codes co ON co.vec_id = ca.vec_id
+         |  JOIN lut l ON l.qid = ca.qid AND l.m = co.m AND l.cid = co.cid
+         |  GROUP BY ca.qid, ca.vec_id),
          |shortlist AS (
          |  SELECT qid, vec_id, approx_dot FROM (
          |    SELECT *, row_number() OVER (PARTITION BY qid

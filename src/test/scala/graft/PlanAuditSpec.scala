@@ -53,6 +53,7 @@ class PlanAuditSpec extends AnyFunSuite {
   private val broadcastNonEqui = Set(
     "rel_range_join", "c1_commit_watermark", "sim_cosine_topk",
     "sim_lsh_bucket", "sim_lsh_ann", "sim_ivf_ann", "sim_ivf_kmeans",
+    "sim_ivfpq_ann", // coarse-centroid broadcast for the cell assignment
     "sim_recall_at_k", // inherits its sub-pipelines' centroid/probe broadcasts
     "dd_embed_cosine",
     "dd_semdedup", // centroid table broadcast against every vector
@@ -137,7 +138,7 @@ class PlanAuditSpec extends AnyFunSuite {
   private val rankLimited = Set("dd_semdedup", "rel_topk",
     "rel_window_nav", "sim_cosine_topk", "sim_filtered_ann",
     "sim_ivf_ann", "sim_ivf_kmeans", "sim_lsh_ann", "sim_pq_ann",
-    "sim_recall_at_k", "tx_tfidf", "tx_source_cap")
+    "sim_ivfpq_ann", "sim_recall_at_k", "tx_tfidf", "tx_source_cap")
 
   test("rank-limit pushdown (WindowGroupLimit) fires for the top-k family") {
     plans.foreach { case (sf, n, p) =>
@@ -163,7 +164,7 @@ class PlanAuditSpec extends AnyFunSuite {
   // the driver-OOM-at-scale shape dd_ngram_jaccard used to have.
   private val filterBoundedBroadcasts = Set("sim_cosine_topk",
     "sim_lsh_bucket", "sim_lsh_ann", "sim_ivf_ann", "sim_ivf_kmeans",
-    "sim_pq_ann", "sim_recall_at_k", "sim_filtered_ann",
+    "sim_pq_ann", "sim_ivfpq_ann", "sim_recall_at_k", "sim_filtered_ann",
     "dd_embed_cosine", "dd_semdedup", "pipe_curate")
 
   test("broadcast hints only on aggregated or generated (tiny) sides") {
