@@ -50,7 +50,7 @@ object BenchExpect {
     "rel_join_broadcast" -> 0.7,
     "rel_json_agg" -> 0.6,
     "rel_percentiles" -> 1.4,
-    "rel_percentiles_hist" -> 1.0,
+    "rel_percentiles_hist" -> 1.3,
     "rel_pivot" -> 0.5,
     "rel_promo_share" -> 0.8,
     "rel_q1_agg" -> 0.7,
@@ -89,8 +89,8 @@ object BenchExpect {
     "tx_quality" -> 0.3,
     "tx_repetition" -> 1.0,
     "tx_sample" -> 0.7,
-    "tx_sample_weighted" -> 0.8,
-    "tx_source_cap" -> 0.7,
+    "tx_sample_weighted" -> 0.9,
+    "tx_source_cap" -> 0.8,
     "tx_tokens" -> 0.3,
   )
 
