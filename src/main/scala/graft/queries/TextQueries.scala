@@ -442,7 +442,11 @@ object TextQueries {
           expr(s"($SampleTarget * wt + tw - 1) div tw").alias("quota"))
       val base = docs.select(col("doc_id"), col("lang"),
         DedupQueries.h60(col("text")).alias("h"))
-      GroupRank.rank(base, "lang", Seq(col("h").asc, col("doc_id").asc))
+      // quota_l = ceil(T·w_l/W) ≤ T always, so pruning local ranks
+      // beyond SampleTarget is lossless and WindowGroupLimit keeps
+      // per-partition state at T rows per (partition, lang)
+      GroupRank.rank(base, "lang", Seq(col("h").asc, col("doc_id").asc),
+          localLimit = Some(SampleTarget))
         .join(broadcast(quota), "lang")
         .filter(col("rn") <= col("quota"))
         .select(col("doc_id"), col("lang"), col("rn"), col("quota"))
