@@ -95,6 +95,32 @@ object GroupRank {
       .drop("__pid", "__lrn", "__off")
   }
 
+  /** Exact integral division on Long columns (`a div b`, not the
+    * double-producing `/`).
+    */
+  private def idiv(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim
+    graftshim.toColumn(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        graftshim.toExpression(a), graftshim.toExpression(b)))
+  }
+
+  /** SQL-standard `ntile(k)` derived arithmetically from a 1-based
+    * rank `rn` and group size `n` (both Long): the first `n mod k`
+    * buckets take `ceil(n/k)` rows, the rest `floor(n/k)` — no window
+    * evaluation, so it rides on [[rank]]'s distributed output.
+    * Matches Spark's and DuckDB's ntile for every (n, k), including
+    * n < k (each row its own bucket). Returns Long.
+    */
+  def ntileFromRank(k: Int, rn: Column, n: Column): Column = {
+    val q = idiv(n, lit(k.toLong)) // floor(n / k)
+    val r = n % k
+    val cut = (q + 1L) * r // rows covered by the big buckets
+    when(n < k, rn)
+      .when(rn <= cut, idiv(rn - 1L, q + 1L) + 1L)
+      .otherwise(r + idiv(rn - cut - 1L, q) + 1L)
+  }
+
   /** Adds `run` — the inclusive running sum of `value` within `group`
     * under `order` — to `df`. Same plan shape as [[rank]] with the
     * per-partition count replaced by a per-partition sum.

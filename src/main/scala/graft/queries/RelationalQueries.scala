@@ -292,14 +292,8 @@ object RelationalQueries {
           Seq(col("cents").desc, col("o_orderkey").asc),
           localLimit = Some(100))
         .filter(col("rn") <= 100)
-        .withColumn("quartile", expr(
-          """CASE WHEN grp_n < 4 THEN rn
-            |     WHEN rn <= (grp_n div 4 + 1) * (grp_n % 4)
-            |       THEN (rn - 1) div (grp_n div 4 + 1) + 1
-            |     ELSE grp_n % 4
-            |       + (rn - (grp_n div 4 + 1) * (grp_n % 4) - 1)
-            |           div (grp_n div 4)
-            |       + 1 END""".stripMargin))
+        .withColumn("quartile",
+          GroupRank.ntileFromRank(4, col("rn"), col("grp_n")))
         .withColumn("pct_rank",
           when(col("grp_n") === 1L, lit(0.0))
             .otherwise((col("rn") - 1).cast("double") / (col("grp_n") - 1)))

@@ -72,6 +72,51 @@ class GroupRankSpec extends AnyFunSuite {
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
   }
 
+  test("randomized: rank and runningSum match the reference window") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42) // deterministic
+    for (trial <- 1 to 4) {
+      val nGroups = 1 + rnd.nextInt(7)
+      val rows = (1L to (200 + rnd.nextInt(1500)).toLong).map { i =>
+        (i, s"g${rnd.nextInt(nGroups)}", rnd.nextInt(9).toLong)
+      }
+      val df = rows.toDF("id", "grp", "v") // heavy value ties; id breaks them
+      val got = GroupRank.rank(df, "grp", Seq(col("v").asc, col("id").asc))
+        .select("id", "rn", "grp_n")
+      val w = Window.partitionBy("grp").orderBy(col("v").asc, col("id").asc)
+      val want = df
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("grp_n", count(lit(1)).over(Window.partitionBy("grp")))
+        .select("id", "rn", "grp_n")
+      assert(got.except(want).isEmpty && want.except(got).isEmpty,
+        s"trial $trial: rank diverged")
+      val gotRun = GroupRank.runningSum(df, "grp", Seq(col("id").asc), "v")
+        .select("id", "run")
+      val wRun = Window.partitionBy("grp").orderBy(col("id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wantRun = df.withColumn("run", sum(col("v")).over(wRun))
+        .select("id", "run")
+      assert(gotRun.except(wantRun).isEmpty && wantRun.except(gotRun).isEmpty,
+        s"trial $trial: runningSum diverged")
+    }
+  }
+
+  test("ntileFromRank equals the ntile window for every (n, k) shape") {
+    import spark.implicits._
+    for (k <- Seq(2, 3, 4, 7); n <- (1 to 30) ++ Seq(101, 1000)) {
+      val df = (1L to n.toLong).map(i => (i, i)).toDF("id", "v")
+      val w = Window.orderBy(col("v").asc, col("id").asc)
+      val cmp = df
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("want", ntile(k).over(w).cast("long"))
+        .withColumn("got",
+          GroupRank.ntileFromRank(k, col("rn"), lit(n.toLong)))
+        .filter(col("got") =!= col("want"))
+      assert(cmp.isEmpty, s"ntileFromRank($k) diverged at n=$n: " +
+        cmp.limit(3).collect().mkString(", "))
+    }
+  }
+
   test("every partition id contributes consistent offsets (no AQE drift)") {
     // the correctness invariant the Scaladoc documents: the range
     // exchange is REPARTITION_BY_NUM, so the two consumers see the
