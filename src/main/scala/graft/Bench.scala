@@ -25,6 +25,7 @@ object BenchExpect {
     "dd_embed_cosine" -> 0.7,
     "dd_exact" -> 0.5,
     "dd_minhash_lsh" -> 0.8,
+    "dd_containment" -> 2.5,
     "dd_ngram_jaccard" -> 2.5,
     "dd_semdedup" -> 1.5,
     "dd_simhash" -> 0.8,
@@ -63,6 +64,7 @@ object BenchExpect {
     "rel_star_join" -> 0.8,
     "rel_topk" -> 0.8,
     "rel_window_nav" -> 1.2,
+    "rel_window_range" -> 1.0,
     "rel_window_running" -> 0.9,
     "s1_scan_pushdown" -> 0.3,
     "s6_sequence" -> 0.5,
@@ -74,6 +76,7 @@ object BenchExpect {
     "sim_lsh_ann" -> 0.7,
     "sim_pq_ann" -> 1.0,
     "sim_ivfpq_ann" -> 1.3,
+    "sim_knn_graph" -> 1.0,
     "sim_lsh_bucket" -> 0.6,
     "sim_recall_at_k" -> 1.5,
     "tx_bpe_tokens" -> 0.4,
@@ -81,6 +84,7 @@ object BenchExpect {
     "tx_filter_verdict" -> 1.0,
     "tx_fingerprint" -> 0.3,
     "tx_langid" -> 0.3,
+    "tx_mixture" -> 0.4,
     "tx_ngram_topk" -> 0.4,
     "tx_normalize" -> 0.5,
     "tx_pack" -> 0.8,

@@ -180,6 +180,39 @@ object DedupQueries {
         .orderBy("ida", "idb")
     }),
 
+    // N-gram CONTAINMENT near-dup (Broder's asymmetric measure):
+    // C(A,B) = |A∩B| / |A|. Jaccard misses a short doc quoted inside
+    // a much longer one (the union dwarfs the intersection); the
+    // containment of the shorter side stays high, so thresholding
+    // max(C(A,B), C(B,A)) catches doc-inside-doc duplication —
+    // boilerplate expansion, quote inflation, wrapper pages. Same
+    // inverted-index scale shape as dd_ngram_jaccard: posting-list
+    // equi-join, keyed count, two hash joins against the per-doc
+    // sizes table (no broadcast hint — corpus-sized at scale).
+    "dd_containment" -> ((s, d) => {
+      val sh = shingled(s, d)
+      val sizes = sh.select(col("doc_id"), size(col("sh")).cast(LongType)
+        .alias("nsh"))
+      val inv = sh.select(col("doc_id"), explode(col("sh")).alias("s"))
+      val a = inv.alias("a")
+      val b = inv.alias("b")
+      val common = a.join(b,
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").alias("ida"), col("b.doc_id").alias("idb"))
+        .agg(count(lit(1)).alias("common"))
+      val sa = sizes.select(col("doc_id").alias("ida"), col("nsh").alias("sa"))
+      val sb = sizes.select(col("doc_id").alias("idb"), col("nsh").alias("sb"))
+      common
+        .join(sa, "ida").join(sb, "idb")
+        .withColumn("cont_a", col("common") / col("sa"))
+        .withColumn("cont_b", col("common") / col("sb"))
+        .withColumn("max_cont", greatest(col("cont_a"), col("cont_b")))
+        .filter(col("max_cont") >= 0.5)
+        .select(col("ida"), col("idb"), col("common"),
+          col("cont_a"), col("cont_b"), col("max_cont"))
+        .orderBy("ida", "idb")
+    }),
+
     // MinHash+LSH candidate pairs: 32 portable hash permutations,
     // banded 8×4; docs sharing any band key become candidates; the
     // signature-agreement fraction estimates Jaccard. This is the
@@ -556,6 +589,24 @@ object DedupQueries {
          |JOIN sizes sa ON pairs.ida = sa.doc_id
          |JOIN sizes sb ON pairs.idb = sb.doc_id
          |WHERE common / (sa.nsh + sb.nsh - common) >= 0.3
+         |ORDER BY ida, idb""".stripMargin,
+
+    "dd_containment" ->
+      s"""WITH $sqlShingles,
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh
+         |          FROM sh GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+         |            CAST(count(*) AS BIGINT) AS common
+         |          FROM sh a JOIN sh b
+         |            ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT ida, idb, common,
+         |  common / sa.nsh AS cont_a, common / sb.nsh AS cont_b,
+         |  greatest(common / sa.nsh, common / sb.nsh) AS max_cont
+         |FROM pairs
+         |JOIN sizes sa ON pairs.ida = sa.doc_id
+         |JOIN sizes sb ON pairs.idb = sb.doc_id
+         |WHERE greatest(common / sa.nsh, common / sb.nsh) >= 0.5
          |ORDER BY ida, idb""".stripMargin,
 
     "dd_minhash_lsh" -> {

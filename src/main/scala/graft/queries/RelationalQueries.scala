@@ -331,7 +331,32 @@ object RelationalQueries {
           round(col("value") * 100, 0).cast(LongType).alias("cents"))
         .groupBy("hour_bucket", "event_type")
         .agg(count(lit(1)).alias("n"), sum(col("cents")).alias("cents_sum"))
-        .orderBy("hour_bucket", "event_type")))
+        .orderBy("hour_bucket", "event_type")),
+
+    // Time-RANGE window frame: per-customer trailing-30-day order
+    // count and revenue at every order. Unlike a rows-frame running
+    // total (rel_window_running), the frame is value-based — all
+    // orders within 2 592 000 s of the current one, peers included —
+    // the rolling-feature shape of a behavioral/training-feature
+    // pipeline. Scale shape: partitioned on o_custkey (fact-side key
+    // cardinality, grows with the data — the opposite of the
+    // dimension-key window anti-pattern), one hash exchange, frames
+    // bounded by a customer's 30-day order count. Money is exact
+    // integer cents so the rolling sums are order-independent.
+    "rel_window_range" -> ((s, d) => {
+      val wRange = Window.partitionBy("o_custkey").orderBy(col("sec"))
+        .rangeBetween(-2592000L, 0L)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          // o_orderdate is TIMESTAMP_NTZ; session tz is UTC, so the
+          // cast to TIMESTAMP is epoch-preserving
+          expr("unix_millis(cast(o_orderdate as timestamp)) div 1000")
+            .alias("sec"),
+          cents(col("o_totalprice")).alias("cents"))
+        .withColumn("roll_n", count(lit(1)).over(wRange))
+        .withColumn("roll_cents", sum(col("cents")).over(wRange))
+        .orderBy("o_orderkey")
+    }))
 
   val oracles: Map[String, String] = Map(
     "rel_q1_agg" ->
@@ -547,5 +572,18 @@ object RelationalQueries {
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
         |    AS cents_sum
-        |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin,
+
+    "rel_window_range" ->
+      """SELECT o_orderkey, o_custkey,
+        |  epoch_us(o_orderdate) // 1000000 AS sec,
+        |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+        |  CAST(count(*) OVER w AS BIGINT) AS roll_n,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) OVER w
+        |    AS BIGINT) AS roll_cents
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY epoch_us(o_orderdate) // 1000000
+        |  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin)
 }

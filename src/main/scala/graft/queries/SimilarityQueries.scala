@@ -28,6 +28,7 @@ object SimilarityQueries {
 
   final val Dim = 64
   final val TopK = 10
+  final val KnnK = 3   // neighbors per vector in the kNN graph
   final val NQueries = 5   // probe vectors: vec_id < 5
   final val NPlanes = 6    // LSH: 2^6 = 64 buckets
   final val NCentroids = 8 // IVF: data-derived centroid seeds
@@ -284,6 +285,44 @@ object SimilarityQueries {
           coalesce(col("kmin"), col("vec_id")).alias("keeper"),
           col("kmin").isNotNull.alias("is_dup"))
         .orderBy("vec_id")
+    }),
+
+    // k-NN graph construction: top-KnnK neighbors for EVERY corpus
+    // vector (not a probe set) among its LSH bucket-mates — the batch
+    // all-neighbors primitive that graph-based dedup (dd_cluster over
+    // near-dup edges), SemDeDup-style pruning and kNN-classifier
+    // labeling consume. Scale shape: the corpus self-joins only
+    // inside a bucket (sum(|bucket|^2), never N^2), the per-vector
+    // top-k is a WindowGroupLimit-pruned rank on a corpus-cardinality
+    // key, and bucket skew is the knob: more hyperplanes → smaller
+    // buckets. A production run would union several plane sets
+    // (multi-probe) to recover boundary recall — same plan repeated.
+    "sim_knn_graph" -> ((s, d) => {
+      val all = quantized(s, d)
+      val planes = all.filter(col("vec_id") < NPlanes)
+        .select(col("vec_id").alias("pid"), col("q").alias("pq"))
+      val withBucket = all.crossJoin(broadcast(planes))
+        .withColumn("bit",
+          when(dot(col("q"), col("pq")) > 0,
+            pow(lit(2.0), col("pid")).cast(LongType)).otherwise(0L))
+        .groupBy(col("vec_id"))
+        .agg(sum(col("bit")).alias("bucket"))
+        .join(all, "vec_id")
+      val a = withBucket.select(col("bucket"), col("vec_id"),
+        col("q"), col("n2"))
+      val b = withBucket.select(col("bucket"), col("vec_id").alias("nbr"),
+        col("q").alias("qb"), col("n2").alias("nb"))
+      val scored = a.join(b, Seq("bucket"))
+        .filter(col("vec_id") =!= col("nbr"))
+        .withColumn("cos",
+          cosine(dot(col("q"), col("qb")), col("n2"), col("nb")))
+      val wR = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("cos").desc, col("nbr").asc)
+      scored
+        .withColumn("rk", row_number().over(wR).cast(LongType))
+        .filter(col("rk") <= KnnK)
+        .select(col("vec_id"), col("rk"), col("nbr"), col("cos"))
+        .orderBy("vec_id", "rk")
     }))
 
   /** SemDeDup duplicate threshold: within-cluster cosine at or above
@@ -865,6 +904,31 @@ object SimilarityQueries {
          |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
          |    >= 0.35
          |ORDER BY ida, idb""".stripMargin,
+
+    "sim_knn_graph" ->
+      s"""WITH $sqlQuant,
+         |planes AS (SELECT vec_id AS pid, qv AS pq FROM qn
+         |           WHERE vec_id < $NPlanes),
+         |bucketed AS (
+         |  SELECT v.vec_id,
+         |    CAST(sum(CASE WHEN ${sqlDot("v.qv", "p.pq")} > 0
+         |      THEN (1 << p.pid) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM qn v CROSS JOIN planes p
+         |  GROUP BY v.vec_id),
+         |wb AS (SELECT b.vec_id, b.bucket, qn.qv, qn.n2
+         |       FROM bucketed b JOIN qn ON b.vec_id = qn.vec_id),
+         |scored AS (
+         |  SELECT a.vec_id, b.vec_id AS nbr,
+         |    CAST(${sqlDot("a.qv", "b.qv")} AS BIGINT)
+         |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+         |      AS cos
+         |  FROM wb a JOIN wb b
+         |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+         |SELECT vec_id, rk, nbr, cos FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cos DESC, nbr ASC) AS BIGINT) AS rk
+         |  FROM scored) t
+         |WHERE rk <= $KnnK ORDER BY vec_id, rk""".stripMargin,
 
     "sim_ivf_ann" ->
       s"""WITH $sqlQuant,

@@ -451,6 +451,32 @@ object TextQueries {
         .filter(col("rn") <= col("quota"))
         .select(col("doc_id"), col("lang"), col("rn"), col("quota"))
         .orderBy("lang", "rn")
+    }),
+
+    // Corpus mixture planner — the per-(lang, source) sampling-weight
+    // table a training run is configured from (the DoReMi/mC4 recipe's
+    // input): token totals per domain, sqrt-temperature weight
+    // (α = 0.5, integer-robust floor(sqrt) as in tx_sample_weighted),
+    // and both the temperature share and the natural share in exact
+    // ppm integer arithmetic. Scale shape: one map-side-combined agg
+    // collapses the corpus to O(langs × sources) rows; the 1-row
+    // grand-total scalar is broadcast back onto that tiny table —
+    // nothing corpus-sized moves after the first agg.
+    "tx_mixture" -> ((s, d) => {
+      val g = Tables.documents(s, d)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).alias("n_docs"),
+          sum(size(w).cast(LongType)).alias("tokens"))
+        .withColumn("wt",
+          floor(sqrt(col("tokens").cast("double"))).cast(LongType))
+      val tot = g.agg(sum(col("wt")).alias("tw"),
+        sum(col("tokens")).alias("tt"))
+      g.crossJoin(broadcast(tot))
+        .select(col("lang"), col("source"), col("n_docs"), col("tokens"),
+          col("wt"),
+          expr("(wt * 1000000) div tw").alias("share_ppm"),
+          expr("(tokens * 1000000) div tt").alias("raw_ppm"))
+        .orderBy("lang", "source")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -727,5 +753,20 @@ object TextQueries {
          |  FROM hashed)
          |SELECT r.doc_id, r.lang, r.rn, q.quota
          |FROM ranked r JOIN quota q USING (lang)
-         |WHERE r.rn <= q.quota ORDER BY lang, rn""".stripMargin)
+         |WHERE r.rn <= q.quota ORDER BY lang, rn""".stripMargin,
+
+    "tx_mixture" ->
+      """WITH g AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY lang, source),
+        |w AS (SELECT *,
+        |  CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS wt
+        |  FROM g),
+        |t AS (SELECT CAST(sum(wt) AS BIGINT) AS tw,
+        |  CAST(sum(tokens) AS BIGINT) AS tt FROM w)
+        |SELECT lang, source, n_docs, tokens, wt,
+        |  CAST(wt * 1000000 // tw AS BIGINT) AS share_ppm,
+        |  CAST(tokens * 1000000 // tt AS BIGINT) AS raw_ppm
+        |FROM w, t ORDER BY lang, source""".stripMargin)
 }

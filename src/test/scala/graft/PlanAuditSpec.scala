@@ -45,7 +45,8 @@ class PlanAuditSpec extends AnyFunSuite {
   private val singleRowAggregates =
     Set("c1_commit_watermark", "rel_approx_distinct", "rel_distinct",
       "tx_tfidf",
-      "tx_sample_weighted") // 1-row total-weight scalar, broadcast back
+      "tx_sample_weighted", // 1-row total-weight scalar, broadcast back
+      "tx_mixture") // 1-row grand-total scalar over the domain agg
 
   // Queries that intentionally broadcast a tiny build side against a
   // non-equi / cross predicate (band dim, probe rows, hyperplanes,
@@ -60,7 +61,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_filtered_ann", // broadcast probe rows against the filtered corpus
     "pipe_curate", // inherits dd_semdedup's centroid broadcast
     "tx_tfidf", // 1-row corpus-count scalar broadcast
-    "tx_sample_weighted") // 1-row total-weight scalar vs 5-row weights
+    "tx_sample_weighted", // 1-row total-weight scalar vs 5-row weights
+    "tx_mixture", // 1-row grand-total scalar vs the domain agg
+    "sim_knn_graph") // hyperplane broadcast for the bucket assignment
 
   test("no query plan contains a CartesianProduct") {
     plans.foreach { case (sf, n, p) =>
@@ -139,7 +142,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "rel_window_nav", "sim_cosine_topk", "sim_filtered_ann",
     "sim_ivf_ann", "sim_ivf_kmeans", "sim_lsh_ann", "sim_pq_ann",
     "sim_ivfpq_ann", "sim_recall_at_k", "tx_tfidf", "tx_source_cap",
-    "tx_sample_weighted")
+    "tx_sample_weighted", "sim_knn_graph")
 
   test("rank-limit pushdown (WindowGroupLimit) fires for the top-k family") {
     plans.foreach { case (sf, n, p) =>
@@ -166,7 +169,7 @@ class PlanAuditSpec extends AnyFunSuite {
   private val filterBoundedBroadcasts = Set("sim_cosine_topk",
     "sim_lsh_bucket", "sim_lsh_ann", "sim_ivf_ann", "sim_ivf_kmeans",
     "sim_pq_ann", "sim_ivfpq_ann", "sim_recall_at_k", "sim_filtered_ann",
-    "dd_embed_cosine", "dd_semdedup", "pipe_curate")
+    "dd_embed_cosine", "dd_semdedup", "pipe_curate", "sim_knn_graph")
 
   test("broadcast hints only on aggregated or generated (tiny) sides") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
