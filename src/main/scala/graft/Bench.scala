@@ -33,10 +33,12 @@ object BenchExpect {
     "f1_optype_filter" -> 0.3,
     "mm_features" -> 0.3,
     "mm_frames" -> 0.3,
+    "mm_dedup" -> 1.2,
     "mm_phash" -> 0.8,
     "mm_resize" -> 0.3,
     "p1_cdc_envelope" -> 0.4,
     "pipe_curate" -> 1.0,
+    "pipe_report" -> 1.2,
     "pipe_pack" -> 1.8,
     "p3_topic_route" -> 0.3,
     "p4_hash_route" -> 0.3,

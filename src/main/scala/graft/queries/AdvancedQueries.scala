@@ -101,6 +101,32 @@ object AdvancedQueries {
       TextQueries.packOf(Tables.documents(s, d).join(keptIds, "doc_id"))
     }),
 
+    // The curation dashboard: per-(lang, source) funnel counts — how
+    // many documents each domain contributed, what each gate dropped
+    // (quality / text-dup / semantic-dup), what survived, and the
+    // surviving token budget. This is the table a dataset card or a
+    // mixture re-plan (tx_mixture over the curated corpus) is built
+    // from. Scale shape: one doc_id equi-join of the corpus against
+    // the per-doc verdict, one map-side-combined agg to
+    // O(langs × sources) rows — nothing corpus-sized moves after it.
+    "pipe_report" -> ((s, d) => {
+      val verdict = AdvancedQueries.queries("pipe_curate")(s, d)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          size(split(col("text"), " ")).cast(LongType).alias("n_tokens"))
+      docs.join(verdict, "doc_id")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).alias("n_docs"),
+          sum(when(!col("keep_quality"), 1L).otherwise(0L))
+            .alias("drop_quality"),
+          sum(when(col("is_dup_text"), 1L).otherwise(0L)).alias("dup_text"),
+          sum(when(col("is_dup_sem"), 1L).otherwise(0L)).alias("dup_sem"),
+          sum(when(col("kept"), 1L).otherwise(0L)).alias("kept"),
+          sum(when(col("kept"), col("n_tokens")).otherwise(0L))
+            .alias("kept_tokens"))
+        .orderBy("lang", "source")
+    }),
+
     // Ordered event funnel: first signup, then the first click within
     // FunnelWindowUs of it, then the first purchase within the window
     // of that click — the staged conversion query a product analytics
@@ -359,6 +385,20 @@ object AdvancedQueries {
 
   val oracles: Map[String, String] = Map(
     "pipe_curate" -> pipeCurateSql,
+
+    "pipe_report" ->
+      s"""SELECT d.lang, d.source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(*) FILTER (NOT c.keep_quality) AS BIGINT)
+         |    AS drop_quality,
+         |  CAST(count(*) FILTER (c.is_dup_text) AS BIGINT) AS dup_text,
+         |  CAST(count(*) FILTER (c.is_dup_sem) AS BIGINT) AS dup_sem,
+         |  CAST(count(*) FILTER (c.kept) AS BIGINT) AS kept,
+         |  CAST(coalesce(sum(CASE WHEN c.kept
+         |    THEN len(string_split(d.text, ' ')) ELSE 0 END), 0) AS BIGINT)
+         |    AS kept_tokens
+         |FROM documents d JOIN ($pipeCurateSql) c USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
 
     // the last hop of the training-data story: pack ONLY the curated
     // kept set — pipe_curate's oracle as a derived table, filtered to

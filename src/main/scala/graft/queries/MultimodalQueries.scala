@@ -20,6 +20,41 @@ object MultimodalQueries {
   private def decoder(s: SparkSession): Multimodal.MediaDecoder =
     Multimodal.decoderFor(s.conf.get("graft.media.decoder", "stub"))
 
+  /** Media near-dup verdict bar: pairs at Hamming ≤ 8 of 60 aHash
+    * bits are edges of the duplicate graph (mm_dedup).
+    */
+  final val MmHamThresh = 8
+
+  /** Banded-LSH pHash candidate pairs with exact Hamming rerank —
+    * the shared core of mm_phash (reports the pairs) and mm_dedup
+    * (clusters them). Scale shape: one decoder pass per payload, the
+    * pair scan only ever meets inside a 15-bit band bucket, Hamming
+    * is two integer ops per candidate.
+    */
+  private def phashPairs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val ph = Multimodal.perceptualHash(
+      Multimodal.asMedia(s, Tables.documents(s, d)), decoder(s)).toDF()
+    val bands = ph.select(col("media_id"), col("phash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).alias("b"),
+          shiftright(col("phash"), b * 15).bitwiseAND(0x7fff)
+            .alias("key"))): _*)).alias("bk"))
+      .select(col("media_id"), col("phash"),
+        col("bk.b").alias("b"), col("bk.key").alias("key"))
+    val a = bands.select(col("b"), col("key"),
+      col("media_id").alias("ida"), col("phash").alias("pha"))
+    val bb = bands.select(col("b"), col("key"),
+      col("media_id").alias("idb"), col("phash").alias("phb"))
+    a.join(bb, Seq("b", "key"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"), col("pha"), col("phb"))
+      .distinct()
+      .select(col("ida"), col("idb"),
+        bit_count(col("pha").bitwiseXOR(col("phb"))).cast(LongType)
+          .alias("hamming"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> ((s, d) =>
       Multimodal.extractFeatures(
@@ -50,29 +85,31 @@ object MultimodalQueries {
     // shape: hash is one decoder pass at scan speed; the pair scan
     // only ever meets inside a band bucket (never all-pairs), and the
     // Hamming rerank is two integer ops per candidate.
-    "mm_phash" -> ((s, d) => {
-      import org.apache.spark.sql.types.LongType
-      val ph = Multimodal.perceptualHash(
-        Multimodal.asMedia(s, Tables.documents(s, d)), decoder(s)).toDF()
-      val bands = ph.select(col("media_id"), col("phash"),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).alias("b"),
-            shiftright(col("phash"), b * 15).bitwiseAND(0x7fff)
-              .alias("key"))): _*)).alias("bk"))
-        .select(col("media_id"), col("phash"),
-          col("bk.b").alias("b"), col("bk.key").alias("key"))
-      val a = bands.select(col("b"), col("key"),
-        col("media_id").alias("ida"), col("phash").alias("pha"))
-      val bb = bands.select(col("b"), col("key"),
-        col("media_id").alias("idb"), col("phash").alias("phb"))
-      a.join(bb, Seq("b", "key"))
-        .filter(col("ida") < col("idb"))
-        .select(col("ida"), col("idb"), col("pha"), col("phb"))
-        .distinct()
-        .select(col("ida"), col("idb"),
-          bit_count(col("pha").bitwiseXOR(col("phb"))).cast(LongType)
-            .alias("hamming"))
-        .orderBy("ida", "idb")
+    "mm_phash" -> ((s, d) =>
+      phashPairs(s, d).orderBy("ida", "idb")),
+
+    // Media dedup verdict: the image-side twin of dd_cluster +
+    // dd_dedup_verdict. pHash pairs at Hamming ≤ MmHamThresh are
+    // near-dup edges; star-contraction connected components label
+    // each media with its component minimum (the keeper); every
+    // payload gets a corpus-wide (keeper, is_dup) verdict row. Scale
+    // shape: the edge set is band-bucketed (never all-pairs), CC is
+    // O(log n) keyed-join rounds over edges only, and the verdict is
+    // one left join of the media universe against the tiny label
+    // table.
+    "mm_dedup" -> ((s, d) => {
+      val edges = phashPairs(s, d)
+        .filter(col("hamming") <= MmHamThresh)
+        .select(col("ida").alias("src"), col("idb").alias("dst"))
+      val lab = DedupQueries.connectedComponents(edges)
+        .select(col("id").alias("media_id"), col("label").alias("keeper"))
+      Tables.documents(s, d).select(col("doc_id").alias("media_id"))
+        .join(lab, Seq("media_id"), "left")
+        .select(col("media_id"),
+          coalesce(col("keeper"), col("media_id")).alias("keeper"),
+          (coalesce(col("keeper"), col("media_id")) < col("media_id"))
+            .alias("is_dup"))
+        .orderBy("media_id")
     }))
 
   private val fpSql = (e: String) =>
@@ -151,5 +188,46 @@ object MultimodalQueries {
          |    ON a.b = b.b AND a.key = b.key AND a.media_id < b.media_id)
          |SELECT ida, idb,
          |  CAST(bit_count(xor(pha, phb)) AS BIGINT) AS hamming
-         |FROM pairs ORDER BY ida, idb""".stripMargin)
+         |FROM pairs ORDER BY ida, idb""".stripMargin,
+
+    // same CTEs as mm_phash; edges at Hamming <= 8, transitive
+    // closure, component min = keeper
+    "mm_dedup" ->
+      s"""WITH RECURSIVE vals AS (
+         |  SELECT doc_id AS media_id,
+         |    list_transform(range(0, 60), i ->
+         |      CAST(ascii(substr(text,
+         |        CAST((i * length(text)) // 60 AS INTEGER) + 1, 1))
+         |        AS BIGINT)) AS v
+         |  FROM documents),
+         |ph AS (
+         |  SELECT media_id,
+         |    list_sum(list_transform(range(0, 60), i ->
+         |      CASE WHEN v[CAST(i AS INTEGER) + 1] * 60 > list_sum(v)
+         |        THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT)
+         |      END)) AS phash
+         |  FROM vals),
+         |bands AS (
+         |  SELECT media_id, phash, t.b,
+         |    (phash >> CAST(t.b * 15 AS INTEGER)) & 32767 AS key
+         |  FROM ph, UNNEST(range(0, 4)) t(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.media_id AS ida, b.media_id AS idb
+         |  FROM bands a JOIN bands b
+         |    ON a.b = b.b AND a.key = b.key AND a.media_id < b.media_id
+         |  WHERE bit_count(xor(a.phash, b.phash)) <= $MmHamThresh),
+         |edges(a, b) AS (SELECT ida, idb FROM cand
+         |                UNION SELECT idb, ida FROM cand),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |lab AS (
+         |  SELECT a AS media_id, least(a, min(b)) AS keeper
+         |  FROM reach GROUP BY a)
+         |SELECT d.doc_id AS media_id,
+         |  coalesce(l.keeper, d.doc_id) AS keeper,
+         |  coalesce(l.keeper, d.doc_id) < d.doc_id AS is_dup
+         |FROM documents d LEFT JOIN lab l ON d.doc_id = l.media_id
+         |ORDER BY media_id""".stripMargin)
 }

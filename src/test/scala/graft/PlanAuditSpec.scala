@@ -63,7 +63,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "tx_tfidf", // 1-row corpus-count scalar broadcast
     "tx_sample_weighted", // 1-row total-weight scalar vs 5-row weights
     "tx_mixture", // 1-row grand-total scalar vs the domain agg
-    "sim_knn_graph") // hyperplane broadcast for the bucket assignment
+    "sim_knn_graph", // hyperplane broadcast for the bucket assignment
+    "pipe_report") // inherits pipe_curate's component broadcasts
 
   test("no query plan contains a CartesianProduct") {
     plans.foreach { case (sf, n, p) =>
@@ -169,7 +170,8 @@ class PlanAuditSpec extends AnyFunSuite {
   private val filterBoundedBroadcasts = Set("sim_cosine_topk",
     "sim_lsh_bucket", "sim_lsh_ann", "sim_ivf_ann", "sim_ivf_kmeans",
     "sim_pq_ann", "sim_ivfpq_ann", "sim_recall_at_k", "sim_filtered_ann",
-    "dd_embed_cosine", "dd_semdedup", "pipe_curate", "sim_knn_graph")
+    "dd_embed_cosine", "dd_semdedup", "pipe_curate", "sim_knn_graph",
+    "pipe_report") // inherits pipe_curate's staged-component derivation
 
   test("broadcast hints only on aggregated or generated (tiny) sides") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,

@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the round-5 additions (the DuckDB compare
+  * is the exactness gate; these pin operator semantics independently
+  * of the oracle SQL, on sf0.001).
+  */
+class Round5OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.GraftSession.builder("4").getOrCreate()
+  private val sf = "/root/testdata/sf0.001"
+
+  private def q(name: String) =
+    graft.SparkEntry.queries(name)(spark, sf)
+
+  test("sim_knn_graph: no self edges, contiguous ranks, cos non-increasing") {
+    val rows = q("sim_knn_graph").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) != r.getLong(2), "self neighbor"))
+    rows.groupBy(_.getLong(0)).foreach { case (vid, rs) =>
+      val byRank = rs.sortBy(_.getLong(1))
+      assert(byRank.map(_.getLong(1)).toSeq == (1L to byRank.size).toSeq,
+        s"vec $vid ranks not contiguous")
+      assert(byRank.size <= SimilarityQueries.KnnK)
+      val cos = byRank.map(_.getDouble(3))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b },
+        s"vec $vid neighbors not cos-ordered")
+      assert(cos.forall(c => c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9))
+    }
+  }
+
+  test("tx_mixture: ppm shares sum to 1e6 within floor slack") {
+    val rows = q("tx_mixture").collect()
+    assert(rows.nonEmpty)
+    val share = rows.map(_.getLong(5)).sum
+    val raw = rows.map(_.getLong(6)).sum
+    assert(share <= 1000000L && share > 1000000L - rows.length,
+      s"share_ppm sums to $share")
+    assert(raw <= 1000000L && raw > 1000000L - rows.length,
+      s"raw_ppm sums to $raw")
+  }
+
+  test("tx_mixture: sqrt temperature never downweights the smallest domain " +
+      "below its natural share relative to the largest") {
+    val rows = q("tx_mixture").collect()
+    val lo = rows.minBy(_.getLong(3))
+    val hi = rows.maxBy(_.getLong(3))
+    val boost = (r: org.apache.spark.sql.Row) =>
+      r.getLong(5).toDouble / math.max(r.getLong(6), 1L)
+    assert(boost(lo) >= boost(hi),
+      "temperature sampling must upweight low-resource domains")
+  }
+
+  test("rel_window_range: matches a brute-force trailing-window recompute") {
+    val rows = q("rel_window_range").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(1)).foreach { case (_, rs) =>
+      rs.foreach { r =>
+        val sec = r.getLong(2)
+        val inWin = rs.filter(x =>
+          x.getLong(2) >= sec - 2592000L && x.getLong(2) <= sec)
+        assert(r.getLong(4) == inWin.size, "roll_n brute-force mismatch")
+        assert(r.getLong(5) == inWin.map(_.getLong(3)).sum,
+          "roll_cents brute-force mismatch")
+      }
+    }
+  }
+
+  test("mm_dedup: keeper is minimal, idempotent, and covers every media") {
+    val rows = q("mm_dedup").collect()
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs, "one verdict row per media")
+    val keeper = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(0), "keeper must not exceed the id")
+      assert(keeper(r.getLong(1)) == r.getLong(1), "keeper's keeper is itself")
+      assert(r.getBoolean(2) == (r.getLong(1) < r.getLong(0)))
+    }
+  }
+
+  test("mm_dedup: every thresholded mm_phash edge joins one component") {
+    val keeper = q("mm_dedup").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = q("mm_phash").collect()
+      .filter(_.getLong(2) <= MultimodalQueries.MmHamThresh)
+    assert(edges.nonEmpty, "threshold produces edges on this corpus")
+    edges.foreach { e =>
+      assert(keeper(e.getLong(0)) == keeper(e.getLong(1)),
+        s"edge ${e.getLong(0)}-${e.getLong(1)} spans two components")
+    }
+  }
+
+  test("dd_containment: bounds, max semantics, threshold") {
+    val rows = q("dd_containment").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ca, cb, mc) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(ca > 0 && ca <= 1.0 + 1e-12)
+      assert(cb > 0 && cb <= 1.0 + 1e-12)
+      assert(math.abs(mc - math.max(ca, cb)) < 1e-12)
+      assert(mc >= 0.5)
+    }
+  }
+
+  test("pipe_report: funnel reconciles with the per-doc verdict") {
+    val rep = q("pipe_report").collect()
+    val verdict = q("pipe_curate").collect()
+    assert(rep.nonEmpty)
+    assert(rep.map(_.getLong(2)).sum == verdict.length,
+      "n_docs must cover the corpus")
+    assert(rep.map(_.getLong(6)).sum == verdict.count(_.getBoolean(4)),
+      "kept must equal pipe_curate's kept count")
+    rep.foreach { r =>
+      assert(r.getLong(6) <= r.getLong(2), "kept <= n_docs per domain")
+      assert(r.getLong(3) <= r.getLong(2), "drop_quality <= n_docs")
+    }
+  }
+}
