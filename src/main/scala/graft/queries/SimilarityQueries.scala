@@ -33,7 +33,16 @@ object SimilarityQueries {
   final val NPlanes = 6    // LSH: 2^6 = 64 buckets
   final val NCentroids = 8 // IVF: data-derived centroid seeds
 
-  /** integer-quantized embedding: array<long> */
+  /** integer-quantized embedding: array<long>.
+    *
+    * Both engines MUST multiply in DOUBLE before rounding: Spark
+    * promotes the float32 element to double here, but DuckDB's
+    * FLOAT * INTEGER stays single-precision, which rounds a handful
+    * of products to a different integer (first seen as a sf0.1
+    * sim_knn_graph mismatch on vectors no thresholded/top-k query
+    * happened to compare) — so the oracle's sqlQuant carries an
+    * explicit CAST(x AS DOUBLE).
+    */
   private def quant(c: Column): Column =
     transform(c, x => round(x * 10000, 0).cast(LongType))
 
@@ -610,7 +619,7 @@ object SimilarityQueries {
   private val sqlQuant =
     """q AS (SELECT vec_id,
       |        list_transform(embedding,
-      |          x -> CAST(round(x * 10000, 0) AS BIGINT)) AS qv
+      |          x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)) AS qv
       |      FROM embeddings),
       |qn AS (SELECT vec_id, qv,
       |         list_sum(list_transform(qv, x -> x * x)) AS n2
