@@ -25,7 +25,7 @@ object BenchExpect {
     "dd_embed_cosine" -> 0.7,
     "dd_exact" -> 0.5,
     "dd_minhash_lsh" -> 0.8,
-    "dd_containment" -> 2.5,
+    "dd_containment" -> 3.0,
     "dd_ngram_jaccard" -> 2.5,
     "dd_semdedup" -> 1.5,
     "dd_simhash" -> 0.8,
@@ -33,7 +33,7 @@ object BenchExpect {
     "f1_optype_filter" -> 0.3,
     "mm_features" -> 0.3,
     "mm_frames" -> 0.3,
-    "mm_dedup" -> 1.2,
+    "mm_dedup" -> 3.8,
     "mm_phash" -> 0.8,
     "mm_resize" -> 0.3,
     "p1_cdc_envelope" -> 0.4,
@@ -66,7 +66,7 @@ object BenchExpect {
     "rel_star_join" -> 0.8,
     "rel_topk" -> 0.8,
     "rel_window_nav" -> 1.2,
-    "rel_window_range" -> 1.0,
+    "rel_window_range" -> 0.9,
     "rel_window_running" -> 0.9,
     "s1_scan_pushdown" -> 0.3,
     "s6_sequence" -> 0.5,
@@ -86,7 +86,7 @@ object BenchExpect {
     "tx_filter_verdict" -> 1.0,
     "tx_fingerprint" -> 0.3,
     "tx_langid" -> 0.3,
-    "tx_mixture" -> 0.4,
+    "tx_mixture" -> 0.6,
     "tx_ngram_topk" -> 0.4,
     "tx_normalize" -> 0.5,
     "tx_pack" -> 0.8,
@@ -207,6 +207,7 @@ object Bench {
     try {
       SparkEntry.queries("dd_minhash_lsh")(spark, sfDir)
       SparkEntry.queries("sim_cosine_topk")(spark, sfDir)
+      SparkEntry.queries("mm_phash")(spark, sfDir)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] pre-stage failed: ${e.getMessage}")

@@ -31,10 +31,25 @@ object MultimodalQueries {
     * pair scan only ever meets inside a 15-bit band bucket, Hamming
     * is two integer ops per candidate.
     */
+  /** Staged (media_id, phash) table: the decoder pass is typed
+    * mapPartitions (outside codegen) and both mm_phash and mm_dedup
+    * consume it, so it's computed once per input snapshot like the
+    * shingle/signature/quantized indexes. The stage name embeds the
+    * decoder knob — a session running `imageio` must never read a
+    * stub-hashed table.
+    */
+  private def phashed(s: SparkSession, d: String): DataFrame = {
+    val dec = s.conf.get("graft.media.decoder", "stub")
+    StagedIndex.orStage(s, s"mm_phash_${dec}_v1", d,
+      Seq(s"$d/documents.parquet")) {
+      Multimodal.perceptualHash(
+        Multimodal.asMedia(s, Tables.documents(s, d)), decoder(s)).toDF()
+    }
+  }
+
   private def phashPairs(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.LongType
-    val ph = Multimodal.perceptualHash(
-      Multimodal.asMedia(s, Tables.documents(s, d)), decoder(s)).toDF()
+    val ph = phashed(s, d)
     val bands = ph.select(col("media_id"), col("phash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).alias("b"),
