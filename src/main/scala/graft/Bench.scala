@@ -42,6 +42,7 @@ object BenchExpect {
     "pipe_pack" -> 1.8,
     "p3_topic_route" -> 0.3,
     "p4_hash_route" -> 0.3,
+    "rel_anomaly" -> 0.6,
     "rel_approx_distinct" -> 1.5,
     "rel_asof_join" -> 1.0,
     "rel_cube" -> 0.4,
@@ -86,6 +87,7 @@ object BenchExpect {
     "tx_filter_verdict" -> 1.0,
     "tx_fingerprint" -> 0.3,
     "tx_langid" -> 0.3,
+    "tx_langid_ngram" -> 1.2,
     "tx_mixture" -> 0.6,
     "tx_ngram_topk" -> 0.4,
     "tx_normalize" -> 0.5,

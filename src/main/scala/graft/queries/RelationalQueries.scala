@@ -333,6 +333,31 @@ object RelationalQueries {
         .agg(count(lit(1)).alias("n"), sum(col("cents")).alias("cents_sum"))
         .orderBy("hour_bucket", "event_type")),
 
+    // Z-score outlier gate: per-type mean/variance from exact integer
+    // (count, sum, sum-of-squares) aggregates — one map-side-combined
+    // agg to a 5-row stats table, broadcast back, flag |z| > 3. The
+    // data-quality anomaly filter of an ingest pipeline. Every double
+    // derives from exact int64 sums through a fixed expression order,
+    // so both engines produce bit-identical z values (no Welford-vs-
+    // naive variance drift). Scale shape: corpus scans twice at scan
+    // speed; only the 5-row stats table ever funnels.
+    "rel_anomaly" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"),
+        col("event_type"),
+        round(col("value") * 100, 0).cast(LongType).alias("cents"))
+      val stats = ev.groupBy("event_type").agg(
+        count(lit(1)).alias("n"), sum(col("cents")).alias("s"),
+        sum(col("cents") * col("cents")).alias("ss"))
+      val mean = col("s").cast("double") / col("n")
+      val z = (col("cents").cast("double") - mean) /
+        sqrt(col("ss").cast("double") / col("n") - mean * mean)
+      ev.join(broadcast(stats), "event_type")
+        .withColumn("z", z)
+        .filter(abs(col("z")) > 3.0)
+        .select(col("event_id"), col("event_type"), col("cents"), col("z"))
+        .orderBy("event_id")
+    }),
+
     // Time-RANGE window frame: per-customer trailing-30-day order
     // count and revenue at every order. Unlike a rows-frame running
     // total (rel_window_running), the frame is value-based — all
@@ -573,6 +598,26 @@ object RelationalQueries {
         |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
         |    AS cents_sum
         |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin,
+
+    "rel_anomaly" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |stats AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS s,
+        |    CAST(sum(cents * cents) AS BIGINT) AS ss
+        |  FROM ev GROUP BY 1)
+        |SELECT event_id, event_type, cents,
+        |  (CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / n)
+        |    / sqrt(CAST(ss AS DOUBLE) / n
+        |           - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS z
+        |FROM ev JOIN stats USING (event_type)
+        |WHERE abs((CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / n)
+        |    / sqrt(CAST(ss AS DOUBLE) / n
+        |           - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))) > 3.0
+        |ORDER BY event_id""".stripMargin,
 
     "rel_window_range" ->
       """SELECT o_orderkey, o_custkey,

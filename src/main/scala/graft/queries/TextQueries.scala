@@ -46,6 +46,9 @@ object TextQueries {
   /** Temperature-sampling target size (tx_sample_weighted). */
   final val SampleTarget = 100
 
+  /** Per-language profile size (tx_langid_ngram): top-K trigrams. */
+  final val ProfileK = 40
+
   /** PII patterns — RE2-compatible (no backrefs/lookaround) so the
     * same source strings drive Spark (java.util.regex) and the DuckDB
     * oracle identically.
@@ -231,6 +234,48 @@ object TextQueries {
           cntThe.alias("cnt_the"), cntA.alias("cnt_a"),
           predicted.alias("predicted"),
           when(predicted === col("lang"), 1L).otherwise(0L).alias("hit"))
+        .orderBy("doc_id")
+    }),
+
+    // Language-ID the published way (Cavnar & Trenkle 1994, "N-Gram-
+    // Based Text Categorization"): learn a per-language character-
+    // trigram profile from the corpus (top-ProfileK trigrams by
+    // occurrence), broadcast the tiny model, score every document by
+    // profile overlap, predict argmax. The train/broadcast/scan-speed-
+    // inference shape is how any aggregate-learned classifier deploys
+    // on Spark: training is one explode + keyed agg (map-side
+    // combined), the profile rank is a window over the AGGREGATED
+    // (lang, trigram) table (vocabulary-sized — the plan audit's
+    // aggregate exemption), and inference never shuffles the corpus —
+    // just an explode + broadcast-join + per-doc argmax.
+    "tx_langid_ngram" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val tri = expr("filter(transform(sequence(1, length(text)), " +
+        "i -> substring(text, i, 3)), x -> length(x) = 3)")
+      val occ = docs.select(col("lang"), explode(tri).alias("g"))
+        .groupBy("lang", "g").agg(count(lit(1)).alias("n"))
+      val wRank = Window.partitionBy("lang")
+        .orderBy(col("n").desc, col("g").asc)
+      val profile = occ.withColumn("rk", row_number().over(wRank))
+        .filter(col("rk") <= ProfileK)
+        .select(col("lang").alias("plang"), col("g"))
+      val dtri = docs.select(col("doc_id"),
+        explode(array_distinct(tri)).alias("g"))
+      val scores = dtri.join(broadcast(profile), "g")
+        .groupBy("doc_id", "plang").agg(count(lit(1)).alias("score"))
+      val wBest = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("plang").asc)
+      val best = scores.withColumn("brk", row_number().over(wBest))
+        .filter(col("brk") === 1)
+        .select(col("doc_id"), col("plang"), col("score"))
+      docs.select(col("doc_id"), col("lang"))
+        .join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("plang"), lit("und")).alias("predicted"),
+          coalesce(col("score"), lit(0L)).alias("score"),
+          when(coalesce(col("plang"), lit("und")) === col("lang"), 1L)
+            .otherwise(0L).alias("hit"))
         .orderBy("doc_id")
     }),
 
@@ -754,6 +799,38 @@ object TextQueries {
          |SELECT r.doc_id, r.lang, r.rn, q.quota
          |FROM ranked r JOIN quota q USING (lang)
          |WHERE r.rn <= q.quota ORDER BY lang, rn""".stripMargin,
+
+    "tx_langid_ngram" ->
+      s"""WITH tri AS (
+         |  SELECT doc_id, lang, g
+         |  FROM (SELECT doc_id, lang,
+         |          list_filter(list_transform(range(1, length(text) + 1),
+         |            i -> substr(text, CAST(i AS INTEGER), 3)),
+         |            x -> length(x) = 3) AS gs
+         |        FROM documents) t, UNNEST(gs) u(g)),
+         |occ AS (SELECT lang, g, CAST(count(*) AS BIGINT) AS n
+         |        FROM tri GROUP BY 1, 2),
+         |profile AS (
+         |  SELECT lang AS plang, g FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY lang
+         |      ORDER BY n DESC, g ASC) AS rk FROM occ) t
+         |  WHERE rk <= $ProfileK),
+         |dtri AS (SELECT DISTINCT doc_id, g FROM tri),
+         |scores AS (
+         |  SELECT d.doc_id, p.plang, CAST(count(*) AS BIGINT) AS score
+         |  FROM dtri d JOIN profile p USING (g) GROUP BY 1, 2),
+         |best AS (
+         |  SELECT doc_id, plang, score FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, plang ASC) AS brk
+         |    FROM scores) t WHERE brk = 1)
+         |SELECT doc.doc_id, doc.lang,
+         |  coalesce(b.plang, 'und') AS predicted,
+         |  CAST(coalesce(b.score, 0) AS BIGINT) AS score,
+         |  CAST(CASE WHEN coalesce(b.plang, 'und') = doc.lang
+         |    THEN 1 ELSE 0 END AS BIGINT) AS hit
+         |FROM documents doc LEFT JOIN best b USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "tx_mixture" ->
       """WITH g AS (
