@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.streaming.StreamingAnomaly.{detect, Anomaly, Obs}
 import graft.streaming.StreamingNearDup.{candidatePairs, Doc}
 import graft.streaming.StreamingHeavyHitters.{summaries, Hitter, Term}
 
@@ -86,6 +87,33 @@ class RocksDbStateStoreSpec extends AnyFunSuite {
           .map { case (_, rs) => rs.maxBy(_.n) }
         assert(latest.find(_.term == "popular").map(_.est) === Some(20L),
           s"state lost across batches: ${rows.toSeq}")
+      } finally q.stop()
+    }
+  }
+
+  test("anomaly running moments carry across micro-batches under RocksDB") {
+    withRocksDb {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[Obs]
+      val q = detect(in.toDS(), zThresh = 3.0, minN = 50, idleTtl = None)
+        .writeStream.format("memory").queryName("rocks_anomaly")
+        .outputMode("append").start()
+      try {
+        // baseline accumulates across TWO batches (50 + 50): the
+        // outlier in batch 3 only flags if the moments crossed both
+        // batch boundaries through RocksDB-backed state
+        in.addData((1L to 50L).map(i =>
+          Obs(i, "m", if (i % 2 == 0) 0L else 100L)): _*)
+        q.processAllAvailable()
+        in.addData((51L to 100L).map(i =>
+          Obs(i, "m", if (i % 2 == 0) 0L else 100L)): _*)
+        q.processAllAvailable()
+        in.addData(Obs(999L, "m", 100000L))
+        q.processAllAvailable()
+        val flagged = spark.table("rocks_anomaly").as[Anomaly].collect()
+        assert(flagged.map(_.obsId).toSeq === Seq(999L),
+          s"moments lost across batches: ${flagged.toSeq}")
       } finally q.stop()
     }
   }
