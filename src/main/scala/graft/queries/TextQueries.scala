@@ -251,17 +251,25 @@ object TextQueries {
     "tx_langid_ngram" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
-      val tri = expr("filter(transform(sequence(1, length(text)), " +
-        "i -> substring(text, i, 3)), x -> length(x) = 3)")
-      val occ = docs.select(col("lang"), explode(tri).alias("g"))
+      // per-doc trigram arrays staged once per snapshot: the
+      // filter(transform(...)) chain is interpreted (outside codegen)
+      // and BOTH passes (profile training, doc scoring) consume it —
+      // same re-evaluation multiplier measured for the shingle index
+      val tri3 = StagedIndex.orStage(s, "tx_trigrams_v1", d,
+        Seq(s"$d/documents.parquet")) {
+        docs.select(col("doc_id"), col("lang"),
+          expr("filter(transform(sequence(1, length(text)), " +
+            "i -> substring(text, i, 3)), x -> length(x) = 3)").alias("gs"))
+      }
+      val occ = tri3.select(col("lang"), explode(col("gs")).alias("g"))
         .groupBy("lang", "g").agg(count(lit(1)).alias("n"))
       val wRank = Window.partitionBy("lang")
         .orderBy(col("n").desc, col("g").asc)
       val profile = occ.withColumn("rk", row_number().over(wRank))
         .filter(col("rk") <= ProfileK)
         .select(col("lang").alias("plang"), col("g"))
-      val dtri = docs.select(col("doc_id"),
-        explode(array_distinct(tri)).alias("g"))
+      val dtri = tri3.select(col("doc_id"),
+        explode(array_distinct(col("gs"))).alias("g"))
       val scores = dtri.join(broadcast(profile), "g")
         .groupBy("doc_id", "plang").agg(count(lit(1)).alias("score"))
       val wBest = Window.partitionBy("doc_id")
