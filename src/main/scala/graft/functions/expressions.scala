@@ -233,6 +233,59 @@ object DotProduct {
     toColumn(DotProductExpr(toExpression(a), toExpression(b)))
 }
 
+/** Morton (z-order) interleave of the low 16 bits of two bigint
+  * columns: bit i of x lands at position 2i, bit i of y at 2i+1,
+  * yielding a 32-bit z-value. Range-partitioning + sorting a table by
+  * this value clusters rows so that per-file min/max statistics prune
+  * on BOTH dimensions — the standard multi-dimensional data-layout
+  * trick for 100-TB scan avoidance (a single-column sort can only ever
+  * prune its own column). Pure integer bit arithmetic, so the DuckDB
+  * oracle reproduces it exactly with shifts and masks; codegen'd so
+  * the layout pass runs at scan speed.
+  */
+case class InterleaveBitsExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType == LongType)
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"interleave_bits requires two bigint arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    InterleaveBits.eval(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.InterleaveBits.eval($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): InterleaveBitsExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object InterleaveBits {
+  /** Low 16 bits of each input, x at even positions, y at odd. */
+  def eval(x: Long, y: Long): Long = {
+    var z = 0L
+    var i = 0
+    while (i < 16) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  def apply(a: Column, b: Column): Column =
+    toColumn(InterleaveBitsExpr(toExpression(a), toExpression(b)))
+}
+
 object ByteSumMod {
   def apply(c: Column, n: Int): Column =
     toColumn(ByteSumModExpr(toExpression(c), n))

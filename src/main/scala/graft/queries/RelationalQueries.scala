@@ -381,7 +381,26 @@ object RelationalQueries {
         .withColumn("roll_n", count(lit(1)).over(wRange))
         .withColumn("roll_cents", sum(col("cents")).over(wRange))
         .orderBy("o_orderkey")
-    }))
+    }),
+
+    // Morton/z-order key for multi-dimensional data layout: interleave
+    // the low 16 bits of two scan-predicate columns so that range-
+    // partitioning + sorting by zval clusters the table for min/max
+    // pruning on BOTH dimensions (a single-column sort prunes only its
+    // own column). At 100 TB this is the difference between touching
+    // every file for a (user, id-range) probe and touching the handful
+    // whose per-file stats overlap the 2-D box — ZorderLayoutSpec
+    // proves the pruning property on written files. The interleave is
+    // a codegen'd native expression (graft.functions.InterleaveBits);
+    // pure integer bit arithmetic, reproduced exactly by the oracle.
+    "rel_zorder" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_id") < 1000)
+        .select(col("event_id"),
+          (col("user_id") % 65536L).alias("x"),
+          (col("event_id") % 65536L).alias("y"))
+        .withColumn("zval", graft.functions.InterleaveBits(col("x"), col("y")))
+        .orderBy("event_id")))
 
   val oracles: Map[String, String] = Map(
     "rel_q1_agg" ->
@@ -630,5 +649,17 @@ object RelationalQueries {
         |WINDOW w AS (PARTITION BY o_custkey
         |  ORDER BY epoch_us(o_orderdate) // 1000000
         |  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "rel_zorder" ->
+      """SELECT event_id,
+        |  user_id % 65536 AS x,
+        |  event_id % 65536 AS y,
+        |  CAST(
+        |    list_aggregate(list_transform(range(0, 16), i ->
+        |      ((((user_id % 65536) >> i) & 1) << (2 * i)) +
+        |      ((((event_id % 65536) >> i) & 1) << (2 * i + 1))), 'sum')
+        |  AS BIGINT) AS zval
+        |FROM events WHERE event_id < 1000
+        |ORDER BY event_id""".stripMargin)
 }

@@ -70,6 +70,37 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(withNull.head().isNullAt(0))
   }
 
+  test("InterleaveBits matches a bit-by-bit reference on both codegen paths") {
+    import spark.implicits._
+    def ref(x: Long, y: Long): Long =
+      (0 until 16).foldLeft(0L) { (z, i) =>
+        z | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    val cases = Seq(
+      (0L, 0L), (1L, 0L), (0L, 1L), (0xffffL, 0L), (0L, 0xffffL),
+      (0xffffL, 0xffffL), (12345L, 54321L),
+      // only the low 16 bits participate
+      (0x1ffffL, 0L), (Long.MaxValue, Long.MaxValue))
+    val df = cases.toDF("x", "y")
+    def check(): Unit = {
+      val got = df.select(InterleaveBits(col("x"), col("y"))).collect()
+        .map(_.getLong(0))
+      assert(got.toSeq === cases.map { case (x, y) => ref(x, y) })
+    }
+    check()
+    // monotone locality sanity: full-range corners
+    assert(InterleaveBits.eval(0xffffL, 0xffffL) === 0xffffffffL)
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      check()
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("expressions survive codegen fallback (interpreted path)") {
     import spark.implicits._
     val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
