@@ -117,7 +117,114 @@ object CdcQueries {
           sum(when(col("event_type") =!= "error", 1L).otherwise(0L))
             .alias("confirmed"),
           max(col("event_id")).alias("token"))
-        .orderBy("batch")))
+        .orderBy("batch")),
+
+    // Snapshot materialization — the canonical downstream of a change
+    // stream: last-writer-wins per documentKey, tombstones ('d')
+    // dropped. Deliberately NOT a sort+window: max_by inside one
+    // partial-aggregating groupBy means each executor pre-reduces its
+    // split to one candidate row per key before the shuffle, so the
+    // exchange carries O(distinct keys), not O(events) — at 100 TB of
+    // change history with a much smaller live-key set, that is the
+    // whole game. event_id is the total order (unique), so every
+    // max_by tiebreaks identically to the oracle's arg_max.
+    "cdc_apply" -> ((s, d) => {
+      val ev = dataEvents(s, d)
+      ev.groupBy("user_id")
+        .agg(
+          max(col("event_id")).alias("last_event_id"),
+          max_by(col("op"), col("event_id")).alias("op"),
+          max_by(col("doc"), col("event_id")).alias("doc"),
+          max_by(col("cents"), col("event_id")).alias("cents"))
+        .filter(col("op") =!= "d")
+        .orderBy("user_id")
+    }),
+
+    // SCD type-2 history build: each data event becomes a validity
+    // interval [valid_from, valid_to) per key, closed by the key's
+    // next change (NULL = current). One window partitioned on the
+    // documentKey — fact-side cardinality that grows with the data,
+    // the scale-safe window shape (contrast the dimension-key windows
+    // PlanAuditSpec rejects).
+    "cdc_scd2" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("valid_from")
+      dataEvents(s, d)
+        .select(col("user_id"), col("event_id").alias("valid_from"),
+          col("op"), col("cents"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+        .orderBy("user_id", "valid_from")
+    }),
+
+    // Incremental view maintenance from the change stream: a per-bucket
+    // (count, sum) aggregate over the CURRENT snapshot, maintained as
+    //   base aggregate (events before the cut)
+    //   + per-key deltas from the tail (events at/after the cut).
+    // Only the tail's keys are touched after the base pass: their old
+    // values come from a keyed lookup into the base snapshot (an
+    // equi-join against a tail-key set that is tiny relative to the
+    // corpus), their new values from last-writer-wins over the tail
+    // alone (tail ids all exceed base ids, so the tail row always
+    // wins). The oracle recomputes the aggregate from scratch —
+    // passing means the delta algebra (appear/disappear/value-change,
+    // tombstones both ways) is exactly right. This is how a 100-TB
+    // snapshot aggregate stays fresh without re-scanning history.
+    "cdc_delta_agg" -> ((s, d) => {
+      val ev = dataEvents(s, d)
+      // cut at the 80% point of the id space: pure integer arithmetic
+      val cut = ev.agg(
+        (max(col("event_id")) - expr("max(event_id) div 5")).alias("cut"))
+      val evc = ev.crossJoin(broadcast(cut))
+      val base = evc.filter(col("event_id") < col("cut"))
+      val tail = evc.filter(col("event_id") >= col("cut"))
+      def latest(df: DataFrame): DataFrame =
+        df.groupBy("user_id").agg(
+          max_by(col("op"), col("event_id")).alias("op"),
+          max_by(col("cents"), col("event_id")).alias("cents"))
+      val snapBase = latest(base)
+      val baseAgg = snapBase.filter(col("op") =!= "d")
+        .groupBy((col("user_id") % 16).alias("bucket"))
+        .agg(count(lit(1)).alias("n"), sum(col("cents")).alias("c"))
+      val newRows = latest(tail)
+        .select(col("user_id"), col("op").alias("op_new"),
+          col("cents").alias("cents_new"))
+      val oldRows = snapBase
+        .select(col("user_id"), col("op").alias("op_old"),
+          col("cents").alias("cents_old"))
+      val deltas = newRows.join(oldRows, Seq("user_id"), "left")
+        .select(
+          (col("user_id") % 16).alias("bucket"),
+          (when(col("op_new") =!= "d", 1L).otherwise(0L) -
+            when(col("op_old").isNotNull && col("op_old") =!= "d", 1L)
+              .otherwise(0L)).alias("dn"),
+          (when(col("op_new") =!= "d", col("cents_new")).otherwise(0L) -
+            when(col("op_old").isNotNull && col("op_old") =!= "d",
+              col("cents_old")).otherwise(0L)).alias("dc"))
+        .groupBy("bucket")
+        .agg(sum(col("dn")).alias("dn"), sum(col("dc")).alias("dc"))
+      baseAgg.join(deltas, Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .alias("n_users"),
+          (coalesce(col("c"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+            .alias("sum_cents"))
+        .filter(col("n_users") > 0)
+        .orderBy("bucket")
+    }))
+
+  /** The change stream projected to last-writer-wins inputs: data ops
+    * only, reference op codes (purchase→c, click/view→u, signup→d),
+    * exact integer money.
+    */
+  private def dataEvents(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .filter(col("event_type").isin(dataTypes: _*))
+      .select(
+        col("event_id"), col("user_id"),
+        when(col("event_type") === "purchase", "c")
+          .when(col("event_type").isin("click", "view"), "u")
+          .otherwise("d").alias("op"),
+        col("props").alias("doc"),
+        round(col("value") * 100, 0).cast(LongType).alias("cents"))
 
   val oracles: Map[String, String] = Map(
     "s1_scan_pushdown" ->
@@ -176,5 +283,59 @@ object CdcQueries {
         |  CAST(sum(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END)
         |       AS BIGINT) AS confirmed,
         |  max(event_id) AS token
-        |FROM events GROUP BY 1 ORDER BY batch""".stripMargin)
+        |FROM events GROUP BY 1 ORDER BY batch""".stripMargin,
+
+    "cdc_apply" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN event_type = 'purchase' THEN 'c'
+        |         WHEN event_type IN ('click','view') THEN 'u'
+        |         ELSE 'd' END AS op,
+        |    props AS doc,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE event_type IN ('click','purchase','signup','view'))
+        |SELECT user_id, last_event_id, op, doc, cents FROM (
+        |  SELECT user_id,
+        |    max(event_id) AS last_event_id,
+        |    arg_max(op, event_id) AS op,
+        |    arg_max(doc, event_id) AS doc,
+        |    arg_max(cents, event_id) AS cents
+        |  FROM ev GROUP BY user_id)
+        |WHERE op <> 'd'
+        |ORDER BY user_id""".stripMargin,
+
+    "cdc_scd2" ->
+      """SELECT user_id, event_id AS valid_from,
+        |  CASE WHEN event_type = 'purchase' THEN 'c'
+        |       WHEN event_type IN ('click','view') THEN 'u'
+        |       ELSE 'd' END AS op,
+        |  CAST(round(value * 100, 0) AS BIGINT) AS cents,
+        |  lead(event_id, 1) OVER (PARTITION BY user_id ORDER BY event_id)
+        |    AS valid_to
+        |FROM events
+        |WHERE event_type IN ('click','purchase','signup','view')
+        |ORDER BY user_id, valid_from""".stripMargin,
+
+    // Full from-scratch recompute of the maintained aggregate — the
+    // incremental path must land on exactly this.
+    "cdc_delta_agg" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN event_type = 'purchase' THEN 'c'
+        |         WHEN event_type IN ('click','view') THEN 'u'
+        |         ELSE 'd' END AS op,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE event_type IN ('click','purchase','signup','view')),
+        |snap AS (
+        |  SELECT user_id,
+        |    arg_max(op, event_id) AS op,
+        |    arg_max(cents, event_id) AS cents
+        |  FROM ev GROUP BY user_id)
+        |SELECT user_id % 16 AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM snap WHERE op <> 'd'
+        |GROUP BY 1 ORDER BY bucket""".stripMargin)
 }
