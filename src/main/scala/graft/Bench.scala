@@ -18,6 +18,9 @@ object BenchExpect {
   val expect: Map[String, Double] = Map(
     "c1_commit_watermark" -> 0.3,
     "c2_commit_batches" -> 0.3,
+    "cdc_apply" -> 0.6,
+    "cdc_scd2" -> 0.8,
+    "cdc_delta_agg" -> 1.0,
     "dd_cluster" -> 2.3,
     "dd_cross_dedup" -> 1.5,
     "dd_decontaminate" -> 1.5,
@@ -69,6 +72,7 @@ object BenchExpect {
     "rel_window_nav" -> 1.2,
     "rel_window_range" -> 0.9,
     "rel_window_running" -> 0.9,
+    "rel_zorder" -> 0.4,
     "s1_scan_pushdown" -> 0.3,
     "s6_sequence" -> 0.5,
     "s7_sessions" -> 0.8,
@@ -88,6 +92,7 @@ object BenchExpect {
     "tx_fingerprint" -> 0.3,
     "tx_langid" -> 0.3,
     "tx_langid_ngram" -> 1.5,
+    "tx_lm_score" -> 1.2,
     "tx_mixture" -> 0.6,
     "tx_ngram_topk" -> 0.4,
     "tx_normalize" -> 0.5,

@@ -287,6 +287,41 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Language-model quality scoring, the CCNet/Wenzek et al. (2020)
+    // filtering signal: train an add-one-smoothed character-bigram LM
+    // on the corpus, score every document by its bigram probability
+    // mass. p(c2|c1) = (count(c1c2)+1)/(count(c1·)+V) is an exact
+    // rational — integers through one correctly-rounded IEEE division,
+    // so both engines compute bit-identical probabilities — and each
+    // doc's score sums floor(1e6·tf·p) per bigram TYPE as an int64, so
+    // the cross-row sum is order-independent (a raw double log-prob
+    // sum would differ run-to-run with shuffle order). In production
+    // the model table comes from a trusted reference corpus; either
+    // way it is vocabulary-sized (|chars|²) and broadcast, so scoring
+    // is explode + broadcast-join + keyed agg — the corpus never
+    // shuffles unreduced.
+    "tx_lm_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bi = expr("filter(transform(sequence(1, length(text)), " +
+        "i -> substring(text, i, 2)), x -> length(x) = 2)")
+      val occ = docs.select(col("doc_id"), explode(bi).alias("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).alias("tf"))
+      val cnt = occ.groupBy("g").agg(sum(col("tf")).alias("cnt"))
+        .withColumn("c1", substring(col("g"), 1, 1))
+      val ctx = cnt.groupBy("c1").agg(sum(col("cnt")).alias("c1n"))
+      val vocab = cnt.agg(countDistinct(col("c1")).alias("v"))
+      val probs = cnt.join(ctx, "c1").crossJoin(broadcast(vocab))
+        .select(col("g"),
+          ((col("cnt") + lit(1L)).cast("double") /
+            (col("c1n") + col("v")).cast("double")).alias("p"))
+      occ.join(broadcast(probs), "g")
+        .groupBy("doc_id")
+        .agg(sum(col("tf")).alias("n_bigrams"),
+          sum(floor(col("tf").cast("double") * col("p") * lit(1e6))
+            .cast(LongType)).alias("score_micro"))
+        .orderBy("doc_id")
+    }),
+
     // Text normalization: lowercase, strip non-alphanumerics to
     // spaces, collapse runs, trim — the canonical pre-tokenization
     // cleanup pass. Pure per-row expressions, runs at scan speed.
@@ -853,5 +888,33 @@ object TextQueries {
         |SELECT lang, source, n_docs, tokens, wt,
         |  CAST(wt * 1000000 // tw AS BIGINT) AS share_ppm,
         |  CAST(tokens * 1000000 // tt AS BIGINT) AS raw_ppm
-        |FROM w, t ORDER BY lang, source""".stripMargin)
+        |FROM w, t ORDER BY lang, source""".stripMargin,
+
+    // Same add-one bigram LM, recomputed from scratch: exact rational
+    // probabilities and per-type floor(1e6·tf·p) contributions keep
+    // every compared value integer.
+    "tx_lm_score" ->
+      """WITH occ AS (
+        |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id,
+        |          list_filter(list_transform(range(1, length(text) + 1),
+        |            i -> substr(text, CAST(i AS INTEGER), 2)),
+        |            x -> length(x) = 2) AS gs
+        |        FROM documents) t, UNNEST(gs) u(g)
+        |  GROUP BY doc_id, g),
+        |cnt AS (
+        |  SELECT g, CAST(sum(tf) AS BIGINT) AS cnt, substr(g, 1, 1) AS c1
+        |  FROM occ GROUP BY g),
+        |ctx AS (SELECT c1, CAST(sum(cnt) AS BIGINT) AS c1n
+        |        FROM cnt GROUP BY c1),
+        |vocab AS (SELECT CAST(count(DISTINCT c1) AS BIGINT) AS v FROM cnt),
+        |probs AS (
+        |  SELECT g, CAST(cnt + 1 AS DOUBLE) / CAST(c1n + v AS DOUBLE) AS p
+        |  FROM cnt JOIN ctx USING (c1) CROSS JOIN vocab)
+        |SELECT doc_id,
+        |  CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(CAST(floor(CAST(tf AS DOUBLE) * p * 1000000.0)
+        |       AS BIGINT)) AS BIGINT) AS score_micro
+        |FROM occ JOIN probs USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

@@ -46,7 +46,9 @@ class PlanAuditSpec extends AnyFunSuite {
     Set("c1_commit_watermark", "rel_approx_distinct", "rel_distinct",
       "tx_tfidf",
       "tx_sample_weighted", // 1-row total-weight scalar, broadcast back
-      "tx_mixture") // 1-row grand-total scalar over the domain agg
+      "tx_mixture", // 1-row grand-total scalar over the domain agg
+      "cdc_delta_agg", // 1-row cut-point scalar (max event id), broadcast
+      "tx_lm_score") // 1-row char-vocab-size scalar, broadcast
 
   // Queries that intentionally broadcast a tiny build side against a
   // non-equi / cross predicate (band dim, probe rows, hyperplanes,
@@ -64,7 +66,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "tx_sample_weighted", // 1-row total-weight scalar vs 5-row weights
     "tx_mixture", // 1-row grand-total scalar vs the domain agg
     "sim_knn_graph", // hyperplane broadcast for the bucket assignment
-    "pipe_report") // inherits pipe_curate's component broadcasts
+    "pipe_report", // inherits pipe_curate's component broadcasts
+    "cdc_delta_agg", // 1-row cut scalar vs the event stream
+    "tx_lm_score") // 1-row vocab scalar vs the bigram model table
 
   test("no query plan contains a CartesianProduct") {
     plans.foreach { case (sf, n, p) =>
