@@ -92,7 +92,7 @@ object BenchExpect {
     "tx_fingerprint" -> 0.3,
     "tx_langid" -> 0.3,
     "tx_langid_ngram" -> 1.5,
-    "tx_lm_score" -> 1.2,
+    "tx_lm_score" -> 1.5,
     "tx_mixture" -> 0.6,
     "tx_ngram_topk" -> 0.4,
     "tx_normalize" -> 0.5,
@@ -216,6 +216,7 @@ object Bench {
       SparkEntry.queries("sim_cosine_topk")(spark, sfDir)
       SparkEntry.queries("mm_phash")(spark, sfDir)
       SparkEntry.queries("tx_langid_ngram")(spark, sfDir)
+      SparkEntry.queries("tx_lm_score")(spark, sfDir)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] pre-stage failed: ${e.getMessage}")

@@ -301,11 +301,20 @@ object TextQueries {
     // is explode + broadcast-join + keyed agg — the corpus never
     // shuffles unreduced.
     "tx_lm_score" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val bi = expr("filter(transform(sequence(1, length(text)), " +
-        "i -> substring(text, i, 2)), x -> length(x) = 2)")
-      val occ = docs.select(col("doc_id"), explode(bi).alias("g"))
-        .groupBy("doc_id", "g").agg(count(lit(1)).alias("tf"))
+      // per-(doc, bigram) counts staged once per snapshot: BOTH
+      // consumers (model counts, doc scoring) want exactly this
+      // table, and deriving it runs the interpreted
+      // filter(transform(...)) chain plus an explode+agg — once per
+      // snapshot, not twice per query (same defect class the trigram
+      // staging fixed for tx_langid_ngram)
+      val occ = StagedIndex.orStage(s, "tx_bigram_tf_v1", d,
+        Seq(s"$d/documents.parquet")) {
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(expr("filter(transform(sequence(1, length(text)), " +
+              "i -> substring(text, i, 2)), x -> length(x) = 2)")).alias("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).alias("tf"))
+      }
       val cnt = occ.groupBy("g").agg(sum(col("tf")).alias("cnt"))
         .withColumn("c1", substring(col("g"), 1, 1))
       val ctx = cnt.groupBy("c1").agg(sum(col("cnt")).alias("c1n"))
