@@ -7,6 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.StreamingAnomaly.{detect, Anomaly, Obs}
 import graft.streaming.StreamingNearDup.{candidatePairs, Doc}
 import graft.streaming.StreamingHeavyHitters.{summaries, Hitter, Term}
+import graft.streaming.StreamingSnapshot.{Change, SnapRow}
 
 /** The stateful streaming operators under the RocksDB state store
   * provider — the 100-TB configuration, where keyed state spills to
@@ -87,6 +88,32 @@ class RocksDbStateStoreSpec extends AnyFunSuite {
           .map { case (_, rs) => rs.maxBy(_.n) }
         assert(latest.find(_.term == "popular").map(_.est) === Some(20L),
           s"state lost across batches: ${rows.toSeq}")
+      } finally q.stop()
+    }
+  }
+
+  test("snapshot high-water marks and tombstone removal hold under RocksDB") {
+    withRocksDb {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[Change]
+      val q = StreamingSnapshot(in.toDS())
+        .writeStream.format("memory").queryName("rocks_snap")
+        .outputMode("update").start()
+      try {
+        in.addData(Change(1L, 10L, "c", "a", 1L)); q.processAllAvailable()
+        // stale redelivery must hit the RocksDB-persisted high-water
+        // mark from the PREVIOUS batch and emit nothing
+        val before = spark.table("rocks_snap").count()
+        in.addData(Change(1L, 10L, "c", "a", 1L)); q.processAllAvailable()
+        assert(spark.table("rocks_snap").count() === before,
+          "replay guard lost across batches")
+        // update then delete, each crossing a batch boundary
+        in.addData(Change(1L, 20L, "u", "b", 2L)); q.processAllAvailable()
+        in.addData(Change(1L, 30L, "d", "", 0L)); q.processAllAvailable()
+        val rows = spark.table("rocks_snap").as[SnapRow].collect()
+        assert(rows.map(r => (r.lastEventId, r.op, r.live)).toSet ===
+          Set((10L, "c", true), (20L, "u", true), (30L, "d", false)))
       } finally q.stop()
     }
   }
