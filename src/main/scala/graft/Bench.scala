@@ -43,6 +43,7 @@ object BenchExpect {
     "pipe_curate" -> 1.0,
     "pipe_report" -> 1.2,
     "pipe_pack" -> 1.8,
+    "pipe_mm_curate" -> 1.2,
     "p3_topic_route" -> 0.3,
     "p4_hash_route" -> 0.3,
     "rel_anomaly" -> 0.6,

@@ -127,6 +127,31 @@ object AdvancedQueries {
         .orderBy("lang", "source")
     }),
 
+    // Joint text+media curation (the LAION-style multimodal funnel):
+    // a media item survives iff its caption text passes the quality
+    // gate AND it is its pHash near-dup component's keeper. Composed
+    // from two independently-oracle-checked verdicts joined on the
+    // shared id — the same verdict-table algebra as pipe_curate, on
+    // the media axis. The media verdict is staged per snapshot (its
+    // stage name embeds the decoder knob, like the pHash table it
+    // derives from); the join is one id-keyed equi-join.
+    "pipe_mm_curate" -> ((s, d) => {
+      val quality = TextQueries.filterVerdictOf(Tables.documents(s, d))
+        .select(col("doc_id").alias("media_id"),
+          col("keep").alias("keep_quality"))
+      val dec = s.conf.get("graft.media.decoder", "stub")
+      val media = StagedIndex.orStage(s, s"curate_mmdedup_${dec}_v1", d,
+        Seq(s"$d/documents.parquet")) {
+        MultimodalQueries.queries("mm_dedup")(s, d)
+      }.select(col("media_id"), col("keeper"),
+        col("is_dup").alias("is_dup_media"))
+      media.join(quality, "media_id")
+        .select(col("media_id"), col("keep_quality"), col("keeper"),
+          col("is_dup_media"),
+          (col("keep_quality") && !col("is_dup_media")).alias("kept"))
+        .orderBy("media_id")
+    }),
+
     // Ordered event funnel: first signup, then the first click within
     // FunnelWindowUs of it, then the first purchase within the window
     // of that click — the staged conversion query a product analytics
@@ -385,6 +410,16 @@ object AdvancedQueries {
 
   val oracles: Map[String, String] = Map(
     "pipe_curate" -> pipeCurateSql,
+
+    // the two components' own oracles joined on the shared id
+    "pipe_mm_curate" ->
+      s"""SELECT m.media_id, fv.keep AS keep_quality, m.keeper,
+         |  m.is_dup AS is_dup_media,
+         |  fv.keep AND NOT m.is_dup AS kept
+         |FROM (${MultimodalQueries.oracles("mm_dedup")}) m
+         |JOIN (${TextQueries.oracles("tx_filter_verdict")}) fv
+         |  ON m.media_id = fv.doc_id
+         |ORDER BY m.media_id""".stripMargin,
 
     "pipe_report" ->
       s"""SELECT d.lang, d.source,
