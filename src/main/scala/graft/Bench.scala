@@ -85,6 +85,7 @@ object BenchExpect {
     "sim_pq_ann" -> 1.0,
     "sim_ivfpq_ann" -> 1.3,
     "sim_knn_graph" -> 1.0,
+    "graph_pagerank" -> 1.0,
     "sim_lsh_bucket" -> 0.6,
     "sim_recall_at_k" -> 1.5,
     "tx_bpe_tokens" -> 0.4,
@@ -98,6 +99,7 @@ object BenchExpect {
     "tx_ngram_topk" -> 0.4,
     "tx_normalize" -> 0.5,
     "tx_pack" -> 0.8,
+    "tx_shard" -> 0.5,
     "tx_pii" -> 0.5,
     "tx_tfidf" -> 1.0,
     "tx_quality" -> 0.3,
@@ -218,6 +220,8 @@ object Bench {
       SparkEntry.queries("mm_phash")(spark, sfDir)
       SparkEntry.queries("tx_langid_ngram")(spark, sfDir)
       SparkEntry.queries("tx_lm_score")(spark, sfDir)
+      SparkEntry.queries("graph_pagerank")(spark, sfDir)
+      SparkEntry.queries("pipe_mm_curate")(spark, sfDir)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] pre-stage failed: ${e.getMessage}")

@@ -29,6 +29,7 @@ object SimilarityQueries {
   final val Dim = 64
   final val TopK = 10
   final val KnnK = 3   // neighbors per vector in the kNN graph
+  final val PrIters = 3 // unrolled PageRank iterations (graph_pagerank)
   final val NQueries = 5   // probe vectors: vec_id < 5
   final val NPlanes = 6    // LSH: 2^6 = 64 buckets
   final val NCentroids = 8 // IVF: data-derived centroid seeds
@@ -332,6 +333,47 @@ object SimilarityQueries {
         .filter(col("rk") <= KnnK)
         .select(col("vec_id"), col("rk"), col("nbr"), col("cos"))
         .orderBy("vec_id", "rk")
+    }),
+
+    // PageRank over the kNN graph (Page et al. 1999) — the graph
+    // centrality pass a curation pipeline runs on its similarity
+    // graph (authoritative-document weighting, seed selection).
+    // Integer micro-unit arithmetic end-to-end so the oracle replays
+    // it exactly: score_0 = 1e6 per node; each step a node splits its
+    // score equally over its out-neighbors by exact integral division
+    // (the truncation remainder is deterministic and identical in
+    // both engines, and integer sums are order-independent — no
+    // floating-point drift), then refreshes to
+    // 0.15e6 + 0.85·(incoming mass), three unrolled iterations.
+    // Scale shape: the O(N·k) edge list is staged once per snapshot;
+    // each iteration joins edges⋈scores on src and re-aggregates on
+    // dst — the textbook distributed PageRank step, two key-
+    // partitioned shuffles per iteration, nothing quadratic, no
+    // driver-side state. The kNN graph has no dangling nodes with
+    // out-edges missing their score row, and isolated nodes simply
+    // decay to the 0.15e6 floor.
+    "graph_pagerank" -> ((s, d) => {
+      val edges = StagedIndex.orStage(s, "graph_knn_edges_v1", d,
+        Seq(s"$d/embeddings.parquet")) {
+        queries("sim_knn_graph")(s, d)
+          .select(col("vec_id").alias("src"), col("nbr").alias("dst"))
+      }
+      val deg = edges.groupBy("src").agg(count(lit(1)).alias("deg"))
+      val nodes = Tables.embeddings(s, d).select(col("vec_id"))
+      val init = nodes.withColumn("score", lit(1000000L))
+      val last = (1 to PrIters).foldLeft(init) { (sc, _) =>
+        val contrib = edges
+          .join(deg, "src")
+          .join(sc.withColumnRenamed("vec_id", "src"), "src")
+          .groupBy(col("dst"))
+          .agg(sum(expr("score div deg")).alias("m"))
+          .withColumnRenamed("dst", "vec_id")
+        nodes.join(contrib, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            expr("CAST(150000 + (85 * coalesce(m, 0)) div 100 AS BIGINT)")
+              .alias("score"))
+      }
+      last.orderBy("vec_id")
     }))
 
   /** SemDeDup duplicate threshold: within-cluster cosine at or above
@@ -938,6 +980,57 @@ object SimilarityQueries {
          |    ORDER BY cos DESC, nbr ASC) AS BIGINT) AS rk
          |  FROM scored) t
          |WHERE rk <= $KnnK ORDER BY vec_id, rk""".stripMargin,
+
+    // the kNN-graph edge derivation verbatim, then three unrolled
+    // integer PageRank steps (// is DuckDB integral division — exact
+    // match for Spark's `div` on the all-positive scores here)
+    "graph_pagerank" -> {
+      val iters = (1 to PrIters).map { i =>
+        val prev = if (i == 1) "s0" else s"i${i - 1}"
+        s"""i$i AS (
+           |  SELECT n.vec_id,
+           |    CAST(150000 + (85 * COALESCE(c.m, 0)) // 100 AS BIGINT)
+           |      AS score
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS vec_id, SUM(s.score // d.deg) AS m
+           |    FROM edges e JOIN $prev s ON e.src = s.vec_id
+           |                 JOIN deg d ON e.src = d.src
+           |    GROUP BY e.dst) c ON n.vec_id = c.vec_id)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH $sqlQuant,
+         |planes AS (SELECT vec_id AS pid, qv AS pq FROM qn
+         |           WHERE vec_id < $NPlanes),
+         |bucketed AS (
+         |  SELECT v.vec_id,
+         |    CAST(sum(CASE WHEN ${sqlDot("v.qv", "p.pq")} > 0
+         |      THEN (1 << p.pid) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM qn v CROSS JOIN planes p
+         |  GROUP BY v.vec_id),
+         |wb AS (SELECT b.vec_id, b.bucket, qn.qv, qn.n2
+         |       FROM bucketed b JOIN qn ON b.vec_id = qn.vec_id),
+         |scored AS (
+         |  SELECT a.vec_id, b.vec_id AS nbr,
+         |    CAST(${sqlDot("a.qv", "b.qv")} AS BIGINT)
+         |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+         |      AS cos
+         |  FROM wb a JOIN wb b
+         |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |edges AS (
+         |  SELECT vec_id AS src, nbr AS dst FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, nbr ASC) AS rk
+         |    FROM scored) t
+         |  WHERE rk <= $KnnK),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+         |        FROM edges GROUP BY src),
+         |nodes AS (SELECT vec_id FROM embeddings),
+         |s0 AS (SELECT vec_id, CAST(1000000 AS BIGINT) AS score
+         |       FROM nodes),
+         |$iters
+         |SELECT vec_id, score FROM i$PrIters ORDER BY vec_id"""
+        .stripMargin
+    },
 
     "sim_ivf_ann" ->
       s"""WITH $sqlQuant,

@@ -43,6 +43,9 @@ object TextQueries {
   /** Per-source document cap (tx_source_cap). */
   final val SourceCap = 10
 
+  /** Training-shard count (tx_shard). */
+  final val NShards = 8
+
   /** Temperature-sampling target size (tx_sample_weighted). */
   final val SampleTarget = 100
 
@@ -550,6 +553,27 @@ object TextQueries {
         .orderBy("lang", "rn")
     }),
 
+    // Deterministic global shuffle into balanced training shards —
+    // the "shuffle the corpus once, split into N shard files" step a
+    // training run starts from (data order must be pseudo-random,
+    // reproducible, and identical on every engine/partitioning).
+    // The shuffle key is the content hash; GroupRank with a constant
+    // group yields a range-partitioned GLOBAL rank over it (hashes
+    // are uniform, so the range partitions are balanced by
+    // construction and no task ever sorts more than one partition);
+    // shard = (rank-1) mod N round-robins to exactly-balanced shards
+    // and pos = (rank-1) div N is the within-shard order.
+    "tx_shard" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), DedupQueries.h60(col("text")).alias("h"))
+        .withColumn("g", lit(0))
+      GroupRank.rank(base, "g", Seq(col("h").asc, col("doc_id").asc))
+        .select(col("doc_id"),
+          expr(s"(rn - 1) % $NShards").alias("shard"),
+          expr(s"(rn - 1) div $NShards").alias("pos"))
+        .orderBy("shard", "pos")
+    }),
+
     // Corpus mixture planner — the per-(lang, source) sampling-weight
     // table a training run is configured from (the DoReMi/mC4 recipe's
     // input): token totals per domain, sqrt-temperature weight
@@ -577,6 +601,19 @@ object TextQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "tx_shard" ->
+      s"""WITH hashed AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS rn
+         |  FROM hashed)
+         |SELECT doc_id, (rn - 1) % $NShards AS shard,
+         |  (rn - 1) // $NShards AS pos
+         |FROM ranked ORDER BY shard, pos""".stripMargin,
+
     // Same fold, same constants: h = (h*31 + byte) % 1e9+7 over the
     // (ASCII) text. list_reduce seeds with the prepended 0.
     "tx_fingerprint" ->

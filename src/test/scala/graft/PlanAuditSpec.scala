@@ -48,7 +48,12 @@ class PlanAuditSpec extends AnyFunSuite {
       "tx_sample_weighted", // 1-row total-weight scalar, broadcast back
       "tx_mixture", // 1-row grand-total scalar over the domain agg
       "cdc_delta_agg", // 1-row cut-point scalar (max event id), broadcast
-      "tx_lm_score") // 1-row char-vocab-size scalar, broadcast
+      "tx_lm_score", // 1-row char-vocab-size scalar, broadcast
+      // global GroupRank (constant group): the offset-table window
+      // funnels the AGGREGATED partitions×1 count table (O(cluster
+      // partitions) rows forever) through one task — tiny by
+      // construction; the corpus itself stays range-partitioned
+      "tx_shard")
 
   // Queries that intentionally broadcast a tiny build side against a
   // non-equi / cross predicate (band dim, probe rows, hyperplanes,

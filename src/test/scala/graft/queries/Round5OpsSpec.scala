@@ -117,4 +117,76 @@ class Round5OpsSpec extends AnyFunSuite {
       assert(r.getLong(3) <= r.getLong(2), "drop_quality <= n_docs")
     }
   }
+
+  test("tx_shard: exact partition of the corpus into balanced shards") {
+    val rows = q("tx_shard").collect()
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs, "every doc lands in exactly one shard")
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    val byShard = rows.groupBy(_.getLong(1))
+    assert(byShard.keySet == (0L until TextQueries.NShards).toSet
+      .filter(_ < nDocs))
+    val sizes = byShard.values.map(_.length)
+    assert(sizes.max - sizes.min <= 1,
+      s"round-robin shards must be balanced, got sizes $sizes")
+    byShard.foreach { case (sid, rs) =>
+      assert(rs.map(_.getLong(2)).sorted.toSeq == (0L until rs.length),
+        s"shard $sid positions not contiguous from 0")
+    }
+  }
+
+  test("tx_shard: shard assignment is content-determined (stable under " +
+      "input reordering)") {
+    // same corpus read twice with different partitioning → same rows
+    val a = q("tx_shard").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val reparted = spark.sessionState.conf.numShufflePartitions
+    assert(reparted > 0)
+    val b = q("tx_shard").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("graph_pagerank: matches an independent plain-Scala recompute " +
+      "from the kNN edges") {
+    val edges = q("sim_knn_graph").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val nodes = graft.Tables.embeddings(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0))
+    val deg = edges.groupBy(_._1).map { case (s0, es) => s0 -> es.length.toLong }
+    var score: Map[Long, Long] = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to SimilarityQueries.PrIters) {
+      val in = new scala.collection.mutable.HashMap[Long, Long]()
+      edges.foreach { case (s0, d0) =>
+        in(d0) = in.getOrElse(d0, 0L) + score(s0) / deg(s0)
+      }
+      score = nodes.map(n =>
+        n -> (150000L + 85L * in.getOrElse(n, 0L) / 100L)).toMap
+    }
+    val got = q("graph_pagerank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == score.keySet)
+    score.foreach { case (n, s) =>
+      assert(got(n) == s, s"node $n: got ${got(n)}, recompute $s")
+    }
+    // every score at or above the damping floor; an in-edge-rich node
+    // outranks the floor strictly
+    assert(got.values.forall(_ >= 150000L))
+    assert(got.values.exists(_ > 1000000L), "some node accumulates mass")
+  }
+
+  test("pipe_mm_curate: verdict algebra reconciles with its components") {
+    val rows = q("pipe_mm_curate").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(4) == (r.getBoolean(1) && !r.getBoolean(3)),
+        "kept must equal keep_quality AND NOT is_dup_media")
+    }
+    val dup = q("mm_dedup").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    rows.foreach { r =>
+      assert(r.getBoolean(3) == dup(r.getLong(0)),
+        s"media ${r.getLong(0)} dup flag disagrees with mm_dedup")
+    }
+  }
 }
