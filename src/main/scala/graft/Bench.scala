@@ -86,6 +86,7 @@ object BenchExpect {
     "sim_ivfpq_ann" -> 1.3,
     "sim_knn_graph" -> 1.0,
     "graph_pagerank" -> 1.0,
+    "sim_knn_label" -> 0.7,
     "sim_lsh_bucket" -> 0.6,
     "sim_recall_at_k" -> 1.5,
     "tx_bpe_tokens" -> 0.4,

@@ -374,6 +374,43 @@ object SimilarityQueries {
               .alias("score"))
       }
       last.orderBy("vec_id")
+    }),
+
+    // kNN label voting (Fix & Hodges 1951 / Cover & Hart 1967) over
+    // the same staged kNN-graph edges: each vector's predicted label
+    // is the majority label among its k nearest neighbors (ties →
+    // smallest label; isolated vectors predict -1). Agreement with
+    // the stored label is the embedding-space label-consistency
+    // audit — the standard mislabel / noisy-annotation detector run
+    // over a training corpus before the labels are trusted. Scale
+    // shape: edges ⋈ labels is a key-partitioned equi-join on dst,
+    // votes aggregate on (src, label), and the majority pick is a
+    // WindowGroupLimit-pruned rank on the corpus-cardinality src key.
+    "sim_knn_label" -> ((s, d) => {
+      val edges = StagedIndex.orStage(s, "graph_knn_edges_v1", d,
+        Seq(s"$d/embeddings.parquet")) {
+        queries("sim_knn_graph")(s, d)
+          .select(col("vec_id").alias("src"), col("nbr").alias("dst"))
+      }
+      val labels = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"))
+      val votes = edges
+        .join(labels.select(col("vec_id").alias("dst"),
+          col("label").alias("plabel")), "dst")
+        .groupBy(col("src"), col("plabel"))
+        .agg(count(lit(1)).alias("v"))
+      val wV = org.apache.spark.sql.expressions.Window
+        .partitionBy("src").orderBy(col("v").desc, col("plabel").asc)
+      val pred = votes
+        .withColumn("rn", row_number().over(wV))
+        .filter(col("rn") === 1)
+        .select(col("src").alias("vec_id"), col("plabel"))
+      labels.join(pred, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("label"),
+          coalesce(col("plabel"), lit(-1)).alias("pred"),
+          (col("label") === coalesce(col("plabel"), lit(-1)))
+            .alias("correct"))
+        .orderBy("vec_id")
     }))
 
   /** SemDeDup duplicate threshold: within-cluster cosine at or above
@@ -1031,6 +1068,49 @@ object SimilarityQueries {
          |SELECT vec_id, score FROM i$PrIters ORDER BY vec_id"""
         .stripMargin
     },
+
+    // same edge derivation; majority vote with (count desc, label asc)
+    // tie-break, -1 for isolated vectors
+    "sim_knn_label" ->
+      s"""WITH $sqlQuant,
+         |planes AS (SELECT vec_id AS pid, qv AS pq FROM qn
+         |           WHERE vec_id < $NPlanes),
+         |bucketed AS (
+         |  SELECT v.vec_id,
+         |    CAST(sum(CASE WHEN ${sqlDot("v.qv", "p.pq")} > 0
+         |      THEN (1 << p.pid) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM qn v CROSS JOIN planes p
+         |  GROUP BY v.vec_id),
+         |wb AS (SELECT b.vec_id, b.bucket, qn.qv, qn.n2
+         |       FROM bucketed b JOIN qn ON b.vec_id = qn.vec_id),
+         |scored AS (
+         |  SELECT a.vec_id, b.vec_id AS nbr,
+         |    CAST(${sqlDot("a.qv", "b.qv")} AS BIGINT)
+         |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+         |      AS cos
+         |  FROM wb a JOIN wb b
+         |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |edges AS (
+         |  SELECT vec_id AS src, nbr AS dst FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, nbr ASC) AS rk
+         |    FROM scored) t
+         |  WHERE rk <= $KnnK),
+         |votes AS (
+         |  SELECT e.src, l.label AS plabel, count(*) AS v
+         |  FROM edges e JOIN embeddings l ON e.dst = l.vec_id
+         |  GROUP BY e.src, l.label),
+         |pred AS (
+         |  SELECT src, plabel FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY src
+         |      ORDER BY v DESC, plabel ASC) AS rn
+         |    FROM votes) t
+         |  WHERE rn = 1)
+         |SELECT n.vec_id, n.label,
+         |  COALESCE(p.plabel, -1) AS pred,
+         |  n.label = COALESCE(p.plabel, -1) AS correct
+         |FROM embeddings n LEFT JOIN pred p ON n.vec_id = p.src
+         |ORDER BY n.vec_id""".stripMargin,
 
     "sim_ivf_ann" ->
       s"""WITH $sqlQuant,

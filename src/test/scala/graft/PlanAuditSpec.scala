@@ -152,7 +152,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "rel_window_nav", "sim_cosine_topk", "sim_filtered_ann",
     "sim_ivf_ann", "sim_ivf_kmeans", "sim_lsh_ann", "sim_pq_ann",
     "sim_ivfpq_ann", "sim_recall_at_k", "tx_tfidf", "tx_source_cap",
-    "tx_sample_weighted", "sim_knn_graph", "tx_langid_ngram")
+    "tx_sample_weighted", "sim_knn_graph", "tx_langid_ngram",
+    "sim_knn_label") // majority-vote rn=1 pick over (src, label) votes
 
   test("rank-limit pushdown (WindowGroupLimit) fires for the top-k family") {
     plans.foreach { case (sf, n, p) =>

@@ -175,6 +175,34 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(got.values.exists(_ > 1000000L), "some node accumulates mass")
   }
 
+  test("sim_knn_label: matches a plain-Scala majority vote over the " +
+      "kNN edges") {
+    val edges = q("sim_knn_graph").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val labels = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expect = labels.map { case (v, lab) =>
+      val nbrLabels = edges.filter(_._1 == v).map(e => labels(e._2))
+      val pred =
+        if (nbrLabels.isEmpty) -1
+        else nbrLabels.groupBy(identity).toSeq
+          .map { case (l, xs) => (l, xs.length) }
+          .sortBy { case (l, n) => (-n, l) }.head._1
+      (v, lab, pred, lab == pred)
+    }.toSet
+    val got = q("sim_knn_label").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getBoolean(3)))
+      .toSet
+    assert(got == expect)
+    // the audit is informative on this corpus: some labels agree with
+    // their neighborhood, some don't, and every prediction is either a
+    // real label or the isolated-vector sentinel
+    assert(got.exists(_._4) && got.exists(!_._4))
+    val labelSet = labels.values.toSet + -1
+    assert(got.forall(r => labelSet(r._3)))
+  }
+
   test("pipe_mm_curate: verdict algebra reconciles with its components") {
     val rows = q("pipe_mm_curate").collect()
     assert(rows.nonEmpty)
