@@ -119,6 +119,39 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Char-bigram LM quality score behind `tx_lm_score` and
+    * `tx_quality_bins`: per-(doc, bigram) counts staged once per
+    * snapshot — BOTH consumers (model counts, doc scoring) want
+    * exactly this table, and deriving it runs the interpreted
+    * filter(transform(...)) chain plus an explode+agg — once per
+    * snapshot, not twice per query (same defect class the trigram
+    * staging fixed for tx_langid_ngram). Returns one row per doc with
+    * ≥1 bigram: (doc_id, n_bigrams, score_micro), unordered.
+    */
+  private def lmScoreOf(s: SparkSession, d: String): DataFrame = {
+    val occ = StagedIndex.orStage(s, "tx_bigram_tf_v1", d,
+      Seq(s"$d/documents.parquet")) {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(expr("filter(transform(sequence(1, length(text)), " +
+            "i -> substring(text, i, 2)), x -> length(x) = 2)")).alias("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).alias("tf"))
+    }
+    val cnt = occ.groupBy("g").agg(sum(col("tf")).alias("cnt"))
+      .withColumn("c1", substring(col("g"), 1, 1))
+    val ctx = cnt.groupBy("c1").agg(sum(col("cnt")).alias("c1n"))
+    val vocab = cnt.agg(countDistinct(col("c1")).alias("v"))
+    val probs = cnt.join(ctx, "c1").crossJoin(broadcast(vocab))
+      .select(col("g"),
+        ((col("cnt") + lit(1L)).cast("double") /
+          (col("c1n") + col("v")).cast("double")).alias("p"))
+    occ.join(broadcast(probs), "g")
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).alias("n_bigrams"),
+        sum(floor(col("tf").cast("double") * col("p") * lit(1e6))
+          .cast(LongType)).alias("score_micro"))
+  }
+
   /** TF-IDF core behind `tx_tfidf` (specs drive it on synthetic
     * frames): per-(doc, term) counts, vocabulary-sized df table
     * broadcast back, idf as the exact rational N/df (one double
@@ -303,34 +336,28 @@ object TextQueries {
     // way it is vocabulary-sized (|chars|²) and broadcast, so scoring
     // is explode + broadcast-join + keyed agg — the corpus never
     // shuffles unreduced.
-    "tx_lm_score" -> ((s, d) => {
-      // per-(doc, bigram) counts staged once per snapshot: BOTH
-      // consumers (model counts, doc scoring) want exactly this
-      // table, and deriving it runs the interpreted
-      // filter(transform(...)) chain plus an explode+agg — once per
-      // snapshot, not twice per query (same defect class the trigram
-      // staging fixed for tx_langid_ngram)
-      val occ = StagedIndex.orStage(s, "tx_bigram_tf_v1", d,
-        Seq(s"$d/documents.parquet")) {
-        Tables.documents(s, d)
-          .select(col("doc_id"),
-            explode(expr("filter(transform(sequence(1, length(text)), " +
-              "i -> substring(text, i, 2)), x -> length(x) = 2)")).alias("g"))
-          .groupBy("doc_id", "g").agg(count(lit(1)).alias("tf"))
-      }
-      val cnt = occ.groupBy("g").agg(sum(col("tf")).alias("cnt"))
-        .withColumn("c1", substring(col("g"), 1, 1))
-      val ctx = cnt.groupBy("c1").agg(sum(col("cnt")).alias("c1n"))
-      val vocab = cnt.agg(countDistinct(col("c1")).alias("v"))
-      val probs = cnt.join(ctx, "c1").crossJoin(broadcast(vocab))
-        .select(col("g"),
-          ((col("cnt") + lit(1L)).cast("double") /
-            (col("c1n") + col("v")).cast("double")).alias("p"))
-      occ.join(broadcast(probs), "g")
-        .groupBy("doc_id")
-        .agg(sum(col("tf")).alias("n_bigrams"),
-          sum(floor(col("tf").cast("double") * col("p") * lit(1e6))
-            .cast(LongType)).alias("score_micro"))
+    "tx_lm_score" -> ((s, d) => lmScoreOf(s, d).orderBy("doc_id")),
+
+    // Quality-decile binning for curriculum / quality-bucketed
+    // sampling (the FineWeb/DCLM recipe: train-time mixing keyed on a
+    // model-based quality bucket, not a hard keep/drop). Per-doc
+    // quality = LM score per bigram (length-normalized, exact
+    // integral division); the global decile comes from the same
+    // constant-group GroupRank as tx_shard — a range-partitioned
+    // global rank, never an ORDER-BY-everything window — and
+    // ntileFromRank turns (rank, n) into the SQL-standard ntile(10)
+    // arithmetically. Scale shape: lmScoreOf's staged/broadcast plan
+    // plus one balanced range shuffle of the doc-sized score table.
+    "tx_quality_bins" -> ((s, d) => {
+      val lm = lmScoreOf(s, d)
+        .select(col("doc_id"),
+          expr("score_micro div n_bigrams").alias("avg_micro"))
+        .withColumn("g0", lit(0))
+      GroupRank.rank(lm, "g0",
+          Seq(col("avg_micro").asc, col("doc_id").asc))
+        .select(col("doc_id"), col("avg_micro"),
+          GroupRank.ntileFromRank(10, col("rn"), col("grp_n"))
+            .alias("decile"))
         .orderBy("doc_id")
     }),
 
@@ -962,5 +989,37 @@ object TextQueries {
         |  CAST(sum(CAST(floor(CAST(tf AS DOUBLE) * p * 1000000.0)
         |       AS BIGINT)) AS BIGINT) AS score_micro
         |FROM occ JOIN probs USING (g)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the LM-score derivation verbatim, then length-normalize and
+    // ntile(10) over the deterministic (avg, doc_id) total order
+    "tx_quality_bins" ->
+      """WITH occ AS (
+        |  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id,
+        |          list_filter(list_transform(range(1, length(text) + 1),
+        |            i -> substr(text, CAST(i AS INTEGER), 2)),
+        |            x -> length(x) = 2) AS gs
+        |        FROM documents) t, UNNEST(gs) u(g)
+        |  GROUP BY doc_id, g),
+        |cnt AS (
+        |  SELECT g, CAST(sum(tf) AS BIGINT) AS cnt, substr(g, 1, 1) AS c1
+        |  FROM occ GROUP BY g),
+        |ctx AS (SELECT c1, CAST(sum(cnt) AS BIGINT) AS c1n
+        |        FROM cnt GROUP BY c1),
+        |vocab AS (SELECT CAST(count(DISTINCT c1) AS BIGINT) AS v FROM cnt),
+        |probs AS (
+        |  SELECT g, CAST(cnt + 1 AS DOUBLE) / CAST(c1n + v AS DOUBLE) AS p
+        |  FROM cnt JOIN ctx USING (c1) CROSS JOIN vocab),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CAST(floor(CAST(tf AS DOUBLE) * p * 1000000.0)
+        |         AS BIGINT)) AS BIGINT)
+        |      // CAST(sum(tf) AS BIGINT) AS avg_micro
+        |  FROM occ JOIN probs USING (g)
+        |  GROUP BY doc_id)
+        |SELECT doc_id, avg_micro,
+        |  CAST(ntile(10) OVER (ORDER BY avg_micro, doc_id) AS BIGINT)
+        |    AS decile
+        |FROM scored ORDER BY doc_id""".stripMargin)
 }

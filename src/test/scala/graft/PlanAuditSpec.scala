@@ -53,7 +53,8 @@ class PlanAuditSpec extends AnyFunSuite {
       // funnels the AGGREGATED partitions×1 count table (O(cluster
       // partitions) rows forever) through one task — tiny by
       // construction; the corpus itself stays range-partitioned
-      "tx_shard")
+      "tx_shard",
+      "tx_quality_bins") // global GroupRank + tx_lm_score's 1-row vocab
 
   // Queries that intentionally broadcast a tiny build side against a
   // non-equi / cross predicate (band dim, probe rows, hyperplanes,
@@ -73,7 +74,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_knn_graph", // hyperplane broadcast for the bucket assignment
     "pipe_report", // inherits pipe_curate's component broadcasts
     "cdc_delta_agg", // 1-row cut scalar vs the event stream
-    "tx_lm_score") // 1-row vocab scalar vs the bigram model table
+    "tx_lm_score", // 1-row vocab scalar vs the bigram model table
+    "tx_quality_bins") // inherits tx_lm_score's vocab-scalar broadcast
 
   test("no query plan contains a CartesianProduct") {
     plans.foreach { case (sf, n, p) =>

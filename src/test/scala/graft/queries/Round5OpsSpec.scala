@@ -203,6 +203,33 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(got.forall(r => labelSet(r._3)))
   }
 
+  test("tx_quality_bins: ntile sizing, monotone deciles, lm-score " +
+      "consistency") {
+    val bins = q("tx_quality_bins").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(bins.nonEmpty)
+    val n = bins.length
+    // SQL ntile: first (n mod 10) deciles hold ceil(n/10), rest floor
+    val byDecile = bins.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(byDecile.keySet.forall(d => d >= 1 && d <= 10))
+    val (big, small) = (n / 10 + (if (n % 10 > 0) 1 else 0), n / 10)
+    byDecile.foreach { case (d, sz) =>
+      val want = if (d <= n % 10 || n % 10 == 0) big.max(small) else small
+      assert(sz == (if (n % 10 == 0) small else want),
+        s"decile $d has $sz rows (n=$n)")
+    }
+    // decile order agrees with avg_micro order
+    val sorted = bins.sortBy(b => (b._2, b._1)).map(_._3)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
+    // avg matches tx_lm_score's fields
+    val lm = q("tx_lm_score").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    bins.foreach { case (id, avg, _) =>
+      val (nb, sc) = lm(id)
+      assert(avg == sc / nb, s"doc $id avg_micro mismatch")
+    }
+  }
+
   test("pipe_mm_curate: verdict algebra reconciles with its components") {
     val rows = q("pipe_mm_curate").collect()
     assert(rows.nonEmpty)
