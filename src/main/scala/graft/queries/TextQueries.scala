@@ -52,6 +52,9 @@ object TextQueries {
   /** Per-language profile size (tx_langid_ngram): top-K trigrams. */
   final val ProfileK = 40
 
+  /** Terms whose posting lists tx_inverted_index materializes. */
+  final val TopTerms = 50
+
   /** PII patterns — RE2-compatible (no backrefs/lookaround) so the
     * same source strings drive Spark (java.util.regex) and the DuckDB
     * oracle identically.
@@ -337,6 +340,30 @@ object TextQueries {
     // is explode + broadcast-join + keyed agg — the corpus never
     // shuffles unreduced.
     "tx_lm_score" -> ((s, d) => lmScoreOf(s, d).orderBy("doc_id")),
+
+    // Inverted-index build — the retrieval-side corpus structure
+    // (term → sorted posting list + df) a search/RAG stack derives
+    // from the same corpus it trains on. Scale discipline: posting
+    // lists are only COLLECTED for the TopTerms selected terms — the
+    // term-selection pass reduces the corpus to a vocabulary-sized df
+    // table first (map-side-combined agg), picks top-K there
+    // (TakeOrdered over the aggregate, never a corpus sort), and only
+    // then joins back to gather postings for those K terms, so no
+    // stop-word-sized list ever materializes for an unselected term;
+    // the posting string for a selected term is bounded by its df.
+    "tx_inverted_index" -> ((s, d) => {
+      val pairs = Tables.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(w)).alias("term"))
+      val df = pairs.groupBy("term").agg(count(lit(1)).alias("df"))
+      val top = df.orderBy(col("df").desc, col("term").asc)
+        .limit(TopTerms)
+      pairs.join(broadcast(top), "term")
+        .groupBy("term", "df")
+        .agg(expr("array_join(transform(sort_array(collect_list(" +
+          "doc_id)), x -> cast(x as string)), ',')").alias("postings"))
+        .select(col("term"), col("df"), col("postings"))
+        .orderBy(col("df").desc, col("term").asc)
+    }),
 
     // Quality-decile binning for curriculum / quality-bucketed
     // sampling (the FineWeb/DCLM recipe: train-time mixing keyed on a
@@ -990,6 +1017,22 @@ object TextQueries {
         |       AS BIGINT)) AS BIGINT) AS score_micro
         |FROM occ JOIN probs USING (g)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "tx_inverted_index" ->
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT doc_id, wd AS term
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+         |        FROM documents) t, UNNEST(ws) u(wd)),
+         |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |        FROM pairs GROUP BY term),
+         |top AS (SELECT term, df FROM dft
+         |        ORDER BY df DESC, term ASC LIMIT $TopTerms)
+         |SELECT t.term, t.df,
+         |  string_agg(CAST(p.doc_id AS VARCHAR), ','
+         |    ORDER BY p.doc_id) AS postings
+         |FROM top t JOIN pairs p USING (term)
+         |GROUP BY t.term, t.df
+         |ORDER BY t.df DESC, t.term ASC""".stripMargin,
 
     // the LM-score derivation verbatim, then length-normalize and
     // ntile(10) over the deterministic (avg, doc_id) total order

@@ -203,6 +203,22 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(got.forall(r => labelSet(r._3)))
   }
 
+  test("tx_inverted_index: df = posting length, sorted postings, " +
+      "top-df selection") {
+    val rows = q("tx_inverted_index").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(rows.nonEmpty && rows.length <= TextQueries.TopTerms)
+    rows.foreach { case (term, df, postings) =>
+      val ids = postings.split(",").map(_.toLong)
+      assert(ids.length == df, s"term $term: df $df != ${ids.length}")
+      assert(ids.sorted.sameElements(ids), s"term $term postings unsorted")
+      assert(ids.distinct.length == ids.length, s"term $term dup postings")
+    }
+    val dfs = rows.map(_._2)
+    assert(dfs.zip(dfs.tail).forall { case (a, b) => a >= b },
+      "terms must come in non-increasing df order")
+  }
+
   test("tx_quality_bins: ntile sizing, monotone deciles, lm-score " +
       "consistency") {
     val bins = q("tx_quality_bins").collect()
