@@ -103,6 +103,7 @@ object BenchExpect {
     "tx_shard" -> 0.5,
     "tx_quality_bins" -> 1.5,
     "tx_inverted_index" -> 0.8,
+    "tx_bm25_topk" -> 0.8,
     "tx_pii" -> 0.5,
     "tx_tfidf" -> 1.0,
     "tx_quality" -> 0.3,

@@ -365,6 +365,52 @@ object TextQueries {
         .orderBy(col("df").desc, col("term").asc)
     }),
 
+    // BM25-shaped lexical retrieval (Robertson & Walker 1994; the
+    // idf is the same exact-rational N/df variant tx_tfidf uses —
+    // BM25's ln() idf is a transcendental no cross-engine oracle can
+    // replay). Query terms are picked FROM the corpus (df ranks
+    // 11-13: content words just below the stop-word plateau — same
+    // terms at any SF, no hardcoded vocabulary), per-(doc, term)
+    // scores floor to integer micro-units BEFORE the per-doc sum so
+    // the sum is order-independent (the tx_lm_score trick: a raw
+    // double sum varies with shuffle order). Scale shape: tf and
+    // doc-length are corpus-keyed aggs/joins on doc_id, the query
+    // table is 3 rows broadcast, corpus stats are a 1-row scalar
+    // broadcast, and the top-10 is a TakeOrdered, never a global
+    // sort.
+    "tx_bm25_topk" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"), explode(w).alias("term"))
+      val tf = toks.groupBy("doc_id", "term")
+        .agg(count(lit(1)).alias("tf"))
+      val dlen = docs.select(col("doc_id"),
+        size(w).cast(LongType).alias("dl"))
+      val dft = tf.groupBy("term").agg(count(lit(1)).alias("df"))
+      val stats = docs.agg(count(lit(1)).alias("n"),
+        sum(size(w).cast(LongType)).alias("tot"))
+      val wQ = org.apache.spark.sql.expressions.Window
+        .orderBy(col("df").desc, col("term").asc)
+      val qterms = dft.withColumn("rn", row_number().over(wQ))
+        .filter(col("rn").between(11, 13))
+        .select(col("term"), col("df"))
+      val sm = floor(
+        (col("n").cast("double") / col("df")) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") +
+            lit(1.2) * (lit(0.25) +
+              lit(0.75) * col("dl") * col("n") / col("tot"))) *
+          lit(1000000.0)).cast(LongType)
+      tf.join(broadcast(qterms), "term")
+        .join(dlen, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), sm.alias("sm"))
+        .groupBy("doc_id")
+        .agg(sum(col("sm")).alias("bm25_micro"),
+          count(lit(1)).alias("n_terms"))
+        .orderBy(col("bm25_micro").desc, col("doc_id").asc)
+        .limit(10)
+    }),
+
     // Quality-decile binning for curriculum / quality-bucketed
     // sampling (the FineWeb/DCLM recipe: train-time mixing keyed on a
     // model-based quality bucket, not a hard keep/drop). Per-doc
@@ -1017,6 +1063,40 @@ object TextQueries {
         |       AS BIGINT)) AS BIGINT) AS score_micro
         |FROM occ JOIN probs USING (g)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same arithmetic, same left-associative evaluation order — the
+    // per-(doc, term) micro-unit floor makes the per-doc sum exact
+    "tx_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, wd AS term
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |        FROM documents) t, UNNEST(ws) u(wd)),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM toks GROUP BY doc_id, term),
+        |dlen AS (SELECT doc_id,
+        |           CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |         FROM documents),
+        |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |        FROM tf GROUP BY term),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |            CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |              AS tot
+        |          FROM documents),
+        |q AS (SELECT term, df FROM (
+        |        SELECT *, row_number() OVER (
+        |          ORDER BY df DESC, term ASC) AS rn FROM dft) t
+        |      WHERE rn BETWEEN 11 AND 13),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |    CAST(floor((CAST(s.n AS DOUBLE) / q.df) * (t.tf * 2.2)
+        |      / (t.tf + 1.2 * (0.25 + 0.75 * d.dl * s.n / s.tot))
+        |      * 1000000.0) AS BIGINT) AS sm
+        |  FROM tf t JOIN q USING (term) JOIN dlen d USING (doc_id)
+        |       CROSS JOIN stats s)
+        |SELECT doc_id, CAST(sum(sm) AS BIGINT) AS bm25_micro,
+        |  CAST(count(*) AS BIGINT) AS n_terms
+        |FROM scored GROUP BY doc_id
+        |ORDER BY bm25_micro DESC, doc_id ASC LIMIT 10""".stripMargin,
 
     "tx_inverted_index" ->
       s"""WITH pairs AS (

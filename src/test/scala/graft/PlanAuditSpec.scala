@@ -54,7 +54,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // partitions) rows forever) through one task — tiny by
       // construction; the corpus itself stays range-partitioned
       "tx_shard",
-      "tx_quality_bins") // global GroupRank + tx_lm_score's 1-row vocab
+      "tx_quality_bins", // global GroupRank + tx_lm_score's 1-row vocab
+      // 1-row corpus-stats scalar + query-term rank over the
+      // aggregate-reduced vocabulary table
+      "tx_bm25_topk")
 
   // Queries that intentionally broadcast a tiny build side against a
   // non-equi / cross predicate (band dim, probe rows, hyperplanes,
@@ -75,7 +78,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "pipe_report", // inherits pipe_curate's component broadcasts
     "cdc_delta_agg", // 1-row cut scalar vs the event stream
     "tx_lm_score", // 1-row vocab scalar vs the bigram model table
-    "tx_quality_bins") // inherits tx_lm_score's vocab-scalar broadcast
+    "tx_quality_bins", // inherits tx_lm_score's vocab-scalar broadcast
+    "tx_bm25_topk") // 1-row corpus-stats scalar broadcast
 
   test("no query plan contains a CartesianProduct") {
     plans.foreach { case (sf, n, p) =>
