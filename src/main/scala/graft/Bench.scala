@@ -74,6 +74,8 @@ object BenchExpect {
     "rel_window_range" -> 0.9,
     "rel_window_running" -> 0.9,
     "rel_zorder" -> 0.4,
+    "rel_top_suppliers" -> 0.7,
+    "rel_large_orders" -> 0.7,
     "s1_scan_pushdown" -> 0.3,
     "s6_sequence" -> 0.5,
     "s7_sessions" -> 0.8,
@@ -87,6 +89,8 @@ object BenchExpect {
     "sim_knn_graph" -> 1.0,
     "graph_pagerank" -> 1.0,
     "sim_knn_label" -> 0.7,
+    "graph_label_prop" -> 1.2,
+    "sim_sq8_ann" -> 1.2,
     "sim_lsh_bucket" -> 0.6,
     "sim_recall_at_k" -> 1.5,
     "tx_bpe_tokens" -> 0.4,
@@ -98,6 +102,7 @@ object BenchExpect {
     "tx_lm_score" -> 1.5,
     "tx_mixture" -> 0.6,
     "tx_ngram_topk" -> 0.4,
+    "tx_collocations" -> 0.8,
     "tx_normalize" -> 0.5,
     "tx_pack" -> 0.8,
     "tx_shard" -> 0.5,

@@ -400,7 +400,55 @@ object RelationalQueries {
           (col("user_id") % 65536L).alias("x"),
           (col("event_id") % 65536L).alias("y"))
         .withColumn("zval", graft.functions.InterleaveBits(col("x"), col("y")))
-        .orderBy("event_id")))
+        .orderBy("event_id")),
+
+    // TPC-H Q15-shaped top supplier(s): quarterly revenue per supplier,
+    // then the supplier(s) achieving the maximum — the aggregate-then-
+    // join-on-the-aggregate's-extremum shape (Q15's revenue view +
+    // scalar subquery). Scale: the fact scan carries a pushed shipdate
+    // range filter, the per-supplier agg is map-side combined down to
+    // supplier cardinality, the max is a 1-row scalar whose equi-join
+    // back is a broadcast hash join, and the name lookup broadcasts the
+    // supplier dim. Exact integer cents keep the extremum and the
+    // equality deterministic under any shuffle order.
+    "rel_top_suppliers" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1996-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .alias("rev_cents"))
+      val mx = rev.agg(max(col("rev_cents")).alias("rev_cents"))
+      val sup = Tables.supplier(s, d).select("s_suppkey", "s_name")
+      rev.join(mx, "rev_cents")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("rev_cents"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q18-shaped large-order report: per-order quantity totals
+    // HAVING-filtered to the heavy tail, joined back to orders and the
+    // broadcast customer dim. Scale: the lineitem agg shuffles on the
+    // fact-cardinality orderkey (map-side combined), the filtered
+    // survivor set is tiny so AQE broadcasts it into the orders join,
+    // and quantities sum as exact integers. The timestamp surfaces as
+    // epoch seconds (cross-engine-stable representation).
+    "rel_large_orders" -> ((s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(round(col("l_quantity"), 0).cast(LongType)).alias("sum_qty"))
+        .filter(col("sum_qty") > 300L)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d).select("c_custkey", "c_name")
+      big.join(o, big("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          expr("unix_millis(cast(o_orderdate as timestamp)) div 1000")
+            .alias("order_sec"),
+          cents(col("o_totalprice")).alias("total_cents"),
+          col("sum_qty"))
+        .orderBy(col("total_cents").desc, col("o_orderkey").asc)
+    }))
 
   val oracles: Map[String, String] = Map(
     "rel_q1_agg" ->
@@ -661,5 +709,33 @@ object RelationalQueries {
         |      ((((event_id % 65536) >> i) & 1) << (2 * i + 1))), 'sum')
         |  AS BIGINT) AS zval
         |FROM events WHERE event_id < 1000
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+
+    "rel_top_suppliers" ->
+      """WITH r AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100,
+        |         0) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, rev_cents
+        |FROM r JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_cents = (SELECT max(rev_cents) FROM r)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "rel_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+        |      AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum_qty > 300)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  epoch_us(o_orderdate) // 1000000 AS order_sec,
+        |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS total_cents,
+        |  sum_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_cents DESC, o_orderkey ASC""".stripMargin)
 }

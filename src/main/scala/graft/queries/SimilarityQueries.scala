@@ -30,6 +30,9 @@ object SimilarityQueries {
   final val TopK = 10
   final val KnnK = 3   // neighbors per vector in the kNN graph
   final val PrIters = 3 // unrolled PageRank iterations (graph_pagerank)
+  final val LpIters = 2   // unrolled label-propagation rounds
+  final val LpSeedMod = 4 // vec_id % LpSeedMod == 0 keeps its seed label
+  final val Sq8Shortlist = 50 // SQ8 integer-score shortlist before rerank
   final val NQueries = 5   // probe vectors: vec_id < 5
   final val NPlanes = 6    // LSH: 2^6 = 64 buckets
   final val NCentroids = 8 // IVF: data-derived centroid seeds
@@ -411,6 +414,108 @@ object SimilarityQueries {
           (col("label") === coalesce(col("plabel"), lit(-1)))
             .alias("correct"))
         .orderBy("vec_id")
+    }),
+
+    // Label propagation (Zhu & Ghahramani 2002; Raghavan et al. 2007)
+    // over the same staged kNN edges: a quarter of the corpus keeps
+    // its label as a clamped seed, everyone else starts unlabeled and
+    // takes the majority label among its neighbors each round (ties →
+    // smallest label; no labeled neighbor → keep current). Two
+    // synchronous unrolled rounds — the semi-supervised label-
+    // spreading pass that turns a small annotated set into corpus-wide
+    // weak labels. All-integer state, so both engines replay the
+    // rounds exactly. Scale shape: per round one edges ⋈ state equi-
+    // join on dst, a (src, label) vote agg, a WindowGroupLimit-pruned
+    // rn=1 majority pick on the corpus-cardinality src key, and one
+    // left join back — node-sized state, two hash shuffles per round,
+    // the same plan class as graph_pagerank.
+    "graph_label_prop" -> ((s, d) => {
+      val edges = StagedIndex.orStage(s, "graph_knn_edges_v1", d,
+        Seq(s"$d/embeddings.parquet")) {
+        queries("sim_knn_graph")(s, d)
+          .select(col("vec_id").alias("src"), col("nbr").alias("dst"))
+      }
+      val nodes = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          (col("vec_id") % LpSeedMod === 0).alias("seed"))
+      val init = nodes
+        .select(col("vec_id"), col("seed"),
+          when(col("seed"), col("label")).otherwise(lit(-1)).alias("lbl"))
+      val last = (1 to LpIters).foldLeft(init) { (st, _) =>
+        val votes = edges
+          .join(st.select(col("vec_id").alias("dst"),
+            col("lbl").alias("nl")), "dst")
+          .filter(col("nl") >= 0)
+          .groupBy(col("src"), col("nl"))
+          .agg(count(lit(1)).alias("v"))
+        val wV = org.apache.spark.sql.expressions.Window
+          .partitionBy("src").orderBy(col("v").desc, col("nl").asc)
+        val maj = votes
+          .withColumn("rn", row_number().over(wV))
+          .filter(col("rn") === 1)
+          .select(col("src").alias("vec_id"), col("nl").alias("maj"))
+        st.join(maj, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("seed"),
+            when(col("seed"), col("lbl"))
+              .otherwise(coalesce(col("maj"), col("lbl"))).alias("lbl"))
+      }
+      last.join(nodes.select(col("vec_id"), col("label")), "vec_id")
+        .select(col("vec_id"), col("seed"), col("lbl"),
+          (col("lbl") === col("label")).alias("agrees"))
+        .orderBy("vec_id")
+    }),
+
+    // FAISS-style SQ8 scalar quantization (symmetric): each dimension
+    // affinely rescaled to an 8-bit code by the corpus-wide per-dim
+    // (min, span), candidates shortlisted by integer code dot product,
+    // then exact-cosine reranked — the 4-byte-per-dim → 1-byte-per-dim
+    // memory-compression ANN path that complements PQ (per-dim affine
+    // vs per-subspace codebooks). All arithmetic is integer until the
+    // rerank's one deterministic division, so the oracle replays it
+    // exactly ((x-mn)*255 is nonnegative, so Spark's div and DuckDB's
+    // // agree). Scale shape: the per-dim stats are a Dim-row agg
+    // packed to ONE broadcast row (never per-vector state), codes are
+    // built at scan speed, the shortlist/rerank top-k are
+    // WindowGroupLimit-pruned ranks keyed by probe, and the probe set
+    // broadcasts — nothing corpus-sized joins anything corpus-sized.
+    "sim_sq8_ann" -> ((s, d) => {
+      val all = quantized(s, d)
+      val packed = all
+        .select(posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy("pos").agg(min("v").alias("mn"), max("v").alias("mx"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mn"),
+          col("mx")))).alias("st"))
+        .select(
+          transform(col("st"), x => x.getField("mn")).alias("mns"),
+          transform(col("st"),
+            x => greatest(x.getField("mx") - x.getField("mn"), lit(1L)))
+            .alias("spans"))
+      val coded = all.crossJoin(broadcast(packed))
+        .select(col("vec_id"),
+          expr("transform(q, (x, i) -> ((x - mns[i]) * 255) div spans[i])")
+            .alias("c"))
+      val probes = coded.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").alias("qid"), col("c").alias("qc"))
+      val wS = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("iscore").desc, col("vec_id").asc)
+      val shortlist = coded
+        .join(broadcast(probes), col("vec_id") =!= col("qid"))
+        .withColumn("iscore", dot(col("c"), col("qc")))
+        .withColumn("srk", row_number().over(wS))
+        .filter(col("srk") <= Sq8Shortlist)
+        .select("qid", "vec_id")
+      val pv = all.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").alias("qid"), col("q").alias("qq"),
+          col("n2").alias("qn2"))
+      val wR = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+      shortlist.join(all, "vec_id").join(broadcast(pv), "qid")
+        .withColumn("cos",
+          cosine(dot(col("q"), col("qq")), col("n2"), col("qn2")))
+        .withColumn("rk", row_number().over(wR).cast(LongType))
+        .filter(col("rk") <= TopK)
+        .select(col("qid"), col("rk"), col("vec_id"), col("cos"))
+        .orderBy("qid", "rk")
     }))
 
   /** SemDeDup duplicate threshold: within-cluster cosine at or above
@@ -1161,5 +1266,104 @@ object SimilarityQueries {
          |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
          |    ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rk
          |  FROM scored) t
+         |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin,
+
+    // same edge derivation; clamped seeds (vec_id % LpSeedMod == 0),
+    // then LpIters unrolled majority-vote rounds (count desc, label
+    // asc tie-break; unlabeled neighbors excluded; no labeled
+    // neighbor → carry)
+    "graph_label_prop" -> {
+      val rounds = (1 to LpIters).map { i =>
+        val prev = if (i == 1) "s0" else s"i${i - 1}"
+        s"""v$i AS (
+           |  SELECT e.src, s.lbl AS nl, CAST(count(*) AS BIGINT) AS v
+           |  FROM edges e JOIN $prev s ON e.dst = s.vec_id
+           |  WHERE s.lbl >= 0 GROUP BY 1, 2),
+           |m$i AS (
+           |  SELECT src AS vec_id, nl AS maj FROM (
+           |    SELECT src, nl, row_number() OVER (PARTITION BY src
+           |      ORDER BY v DESC, nl ASC) AS rn FROM v$i) t
+           |  WHERE rn = 1),
+           |i$i AS (
+           |  SELECT s.vec_id, s.seed,
+           |    CASE WHEN s.seed THEN s.lbl
+           |         ELSE COALESCE(m.maj, s.lbl) END AS lbl
+           |  FROM $prev s LEFT JOIN m$i m ON s.vec_id = m.vec_id)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH $sqlQuant,
+         |planes AS (SELECT vec_id AS pid, qv AS pq FROM qn
+         |           WHERE vec_id < $NPlanes),
+         |bucketed AS (
+         |  SELECT v.vec_id,
+         |    CAST(sum(CASE WHEN ${sqlDot("v.qv", "p.pq")} > 0
+         |      THEN (1 << p.pid) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM qn v CROSS JOIN planes p
+         |  GROUP BY v.vec_id),
+         |wb AS (SELECT b.vec_id, b.bucket, qn.qv, qn.n2
+         |       FROM bucketed b JOIN qn ON b.vec_id = qn.vec_id),
+         |scored AS (
+         |  SELECT a.vec_id, b.vec_id AS nbr,
+         |    CAST(${sqlDot("a.qv", "b.qv")} AS BIGINT)
+         |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+         |      AS cos
+         |  FROM wb a JOIN wb b
+         |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |edges AS (
+         |  SELECT vec_id AS src, nbr AS dst FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, nbr ASC) AS rk
+         |    FROM scored) t
+         |  WHERE rk <= $KnnK),
+         |nodes AS (SELECT vec_id, label,
+         |          (vec_id % $LpSeedMod = 0) AS seed FROM embeddings),
+         |s0 AS (SELECT vec_id, seed,
+         |       CASE WHEN seed THEN label ELSE -1 END AS lbl FROM nodes),
+         |$rounds
+         |SELECT i.vec_id, i.seed, i.lbl, (i.lbl = n.label) AS agrees
+         |FROM i$LpIters i JOIN nodes n ON i.vec_id = n.vec_id
+         |ORDER BY i.vec_id""".stripMargin
+    },
+
+    // the SQ8 pipeline relationally: per-dim (min, span) over the
+    // exploded quantized corpus, codes rebuilt as dimension-ordered
+    // lists, integer-dot shortlist, exact-cosine rerank ((x-mn)*255
+    // is nonnegative, so // matches Spark's div)
+    "sim_sq8_ann" ->
+      s"""WITH $sqlQuant,
+         |exploded AS (
+         |  SELECT vec_id, i, qv[i] AS v
+         |  FROM qn, UNNEST(range(1, len(qv) + 1)) u(i)),
+         |stats AS (
+         |  SELECT i, min(v) AS mn,
+         |    GREATEST(max(v) - min(v), 1) AS span
+         |  FROM exploded GROUP BY i),
+         |coded AS (
+         |  SELECT vec_id, list(((v - mn) * 255) // span ORDER BY i) AS c
+         |  FROM exploded JOIN stats USING (i)
+         |  GROUP BY vec_id),
+         |short AS (
+         |  SELECT p.vec_id AS qid, x.vec_id,
+         |    ${sqlDot("x.c", "p.c")} AS iscore
+         |  FROM coded x JOIN coded p
+         |    ON p.vec_id < $NQueries AND x.vec_id <> p.vec_id),
+         |sl AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY iscore DESC, vec_id ASC) AS srk
+         |    FROM short) t
+         |  WHERE srk <= $Sq8Shortlist),
+         |rr AS (
+         |  SELECT sl.qid, sl.vec_id,
+         |    CAST(${sqlDot("a.qv", "b.qv")} AS BIGINT)
+         |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+         |      AS cos
+         |  FROM sl JOIN qn a ON sl.vec_id = a.vec_id
+         |          JOIN qn b ON sl.qid = b.vec_id)
+         |SELECT qid, rk, vec_id, cos FROM (
+         |  SELECT qid, vec_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rk
+         |  FROM rr) t
          |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin)
 }

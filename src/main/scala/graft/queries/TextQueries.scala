@@ -698,6 +698,47 @@ object TextQueries {
           expr("(wt * 1000000) div tw").alias("share_ppm"),
           expr("(tokens * 1000000) div tt").alias("raw_ppm"))
         .orderBy("lang", "source")
+    }),
+
+    // PMI collocation mining (Church & Hanks 1990): bigrams whose
+    // document co-occurrence outstrips what their parts' independent
+    // document frequencies predict — the phrase-detection pass that
+    // feeds tokenizer vocab curation (word2vec's phrase merging uses
+    // the same ratio). Score is the exact-rational PMI argument
+    // floor(1e6 · df(ab)·N / (df(a)·df(b))): log is monotone, so the
+    // integer ranking IS the PMI ranking, and both engines floor the
+    // same i64 products (at corpus scale the product would move to
+    // log-space doubles — ordering-equivalent, documented knob).
+    // Scale shape: two map-side-combined aggs collapse the corpus to
+    // the vocab-/bigram-sized count tables, the two unigram joins are
+    // plain equi-joins on the word key (AQE broadcasts if tiny), the
+    // 1-row N scalar broadcasts, and the top-20 is TakeOrdered —
+    // nothing corpus-sized survives past the first aggregation.
+    "tx_collocations" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val uni = docs
+        .select(explode(graft.functions.WordShingles(col("text"), 1))
+          .alias("wd"))
+        .groupBy("wd").agg(count(lit(1)).alias("wdf"))
+      val bi = docs
+        .select(explode(graft.functions.WordShingles(col("text"), 2))
+          .alias("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).alias("pair_df"))
+        .filter(col("pair_df") >= 5L)
+      val n = docs.agg(count(lit(1)).alias("n"))
+      bi
+        .withColumn("w1", split(col("bigram"), " ").getItem(0))
+        .withColumn("w2", split(col("bigram"), " ").getItem(1))
+        .join(uni.select(col("wd").alias("w1"), col("wdf").alias("w1_df")),
+          "w1")
+        .join(uni.select(col("wd").alias("w2"), col("wdf").alias("w2_df")),
+          "w2")
+        .crossJoin(broadcast(n))
+        .withColumn("pmi_micro",
+          expr("(1000000 * pair_df * n) div (w1_df * w2_df)"))
+        .orderBy(col("pmi_micro").desc, col("bigram").asc)
+        .limit(20)
+        .select("bigram", "pair_df", "w1_df", "w2_df", "pmi_micro")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1144,5 +1185,32 @@ object TextQueries {
         |SELECT doc_id, avg_micro,
         |  CAST(ntile(10) OVER (ORDER BY avg_micro, doc_id) AS BIGINT)
         |    AS decile
-        |FROM scored ORDER BY doc_id""".stripMargin)
+        |FROM scored ORDER BY doc_id""".stripMargin,
+
+    // document frequencies via the same distinct-per-doc token/bigram
+    // semantics as WordShingles; // on all-positive i64 products
+    // matches Spark's div
+    "tx_collocations" ->
+      """WITH uni AS (
+        |  SELECT wd, CAST(count(*) AS BIGINT) AS wdf FROM (
+        |    SELECT DISTINCT doc_id, wd FROM (
+        |      SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+        |      FROM documents) x) t
+        |  GROUP BY wd),
+        |bi AS (
+        |  SELECT bigram, CAST(count(*) AS BIGINT) AS pair_df FROM (
+        |    SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS bigram
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |          FROM documents) t,
+        |         UNNEST(range(1, len(w))) u(i)) b
+        |  GROUP BY bigram
+        |  HAVING count(*) >= 5),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+        |SELECT bigram, pair_df, u1.wdf AS w1_df, u2.wdf AS w2_df,
+        |  (1000000 * pair_df * n.n) // (u1.wdf * u2.wdf) AS pmi_micro
+        |FROM bi CROSS JOIN n
+        |JOIN uni u1 ON string_split(bigram, ' ')[1] = u1.wd
+        |JOIN uni u2 ON string_split(bigram, ' ')[2] = u2.wd
+        |ORDER BY pmi_micro DESC, bigram ASC
+        |LIMIT 20""".stripMargin)
 }

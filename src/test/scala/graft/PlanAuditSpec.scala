@@ -57,7 +57,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "tx_quality_bins", // global GroupRank + tx_lm_score's 1-row vocab
       // 1-row corpus-stats scalar + query-term rank over the
       // aggregate-reduced vocabulary table
-      "tx_bm25_topk")
+      "tx_bm25_topk",
+      "tx_collocations", // 1-row corpus-count scalar, broadcast back
+      "sim_sq8_ann", // Dim-row stats packed to ONE broadcast row
+      "rel_top_suppliers") // 1-row max-revenue scalar, equi-joined back
 
   // Queries that intentionally broadcast a tiny build side against a
   // non-equi / cross predicate (band dim, probe rows, hyperplanes,
@@ -79,7 +82,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "cdc_delta_agg", // 1-row cut scalar vs the event stream
     "tx_lm_score", // 1-row vocab scalar vs the bigram model table
     "tx_quality_bins", // inherits tx_lm_score's vocab-scalar broadcast
-    "tx_bm25_topk") // 1-row corpus-stats scalar broadcast
+    "tx_bm25_topk", // 1-row corpus-stats scalar broadcast
+    "tx_collocations", // 1-row corpus-count scalar broadcast
+    "sim_sq8_ann") // 1-row stats row + probe codes vs every vector
 
   test("no query plan contains a CartesianProduct") {
     plans.foreach { case (sf, n, p) =>
@@ -159,7 +164,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_ivf_ann", "sim_ivf_kmeans", "sim_lsh_ann", "sim_pq_ann",
     "sim_ivfpq_ann", "sim_recall_at_k", "tx_tfidf", "tx_source_cap",
     "tx_sample_weighted", "sim_knn_graph", "tx_langid_ngram",
-    "sim_knn_label") // majority-vote rn=1 pick over (src, label) votes
+    "sim_knn_label", // majority-vote rn=1 pick over (src, label) votes
+    "graph_label_prop", // per-round majority pick on the src key
+    "sim_sq8_ann") // integer-dot shortlist + exact rerank windows
 
   test("rank-limit pushdown (WindowGroupLimit) fires for the top-k family") {
     plans.foreach { case (sf, n, p) =>
@@ -187,7 +194,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_lsh_bucket", "sim_lsh_ann", "sim_ivf_ann", "sim_ivf_kmeans",
     "sim_pq_ann", "sim_ivfpq_ann", "sim_recall_at_k", "sim_filtered_ann",
     "dd_embed_cosine", "dd_semdedup", "pipe_curate", "sim_knn_graph",
-    "pipe_report") // inherits pipe_curate's staged-component derivation
+    "pipe_report", // inherits pipe_curate's staged-component derivation
+    "sim_sq8_ann") // id-bounded probe codes / probe vectors
 
   test("broadcast hints only on aggregated or generated (tiny) sides") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
