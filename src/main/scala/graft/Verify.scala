@@ -24,6 +24,8 @@ object Verify {
     val oracleCoupledKnobs = Map(
       "graft.cms.width" -> graft.queries.TextQueries.CmsWidth.toString,
       "graft.pq.shortlist" -> "50",
+      "graft.sq8.shortlist" ->
+        graft.queries.SimilarityQueries.Sq8Shortlist.toString,
       "graft.kmeans.cells" -> graft.queries.SimilarityQueries.NCentroids.toString,
       "graft.ivf.probes" -> "2",
       "graft.media.decoder" -> "stub")

@@ -32,7 +32,18 @@ object SimilarityQueries {
   final val PrIters = 3 // unrolled PageRank iterations (graph_pagerank)
   final val LpIters = 2   // unrolled label-propagation rounds
   final val LpSeedMod = 4 // vec_id % LpSeedMod == 0 keeps its seed label
-  final val Sq8Shortlist = 50 // SQ8 integer-score shortlist before rerank
+  final val Sq8Shortlist = 50 // SQ8 shortlist default (oracle replays this)
+
+  /** SQ8 integer-score shortlist width before the exact rerank —
+    * session-configurable like `graft.pq.shortlist`; the DuckDB
+    * oracle hard-codes the default (Verify refuses a tuned knob).
+    */
+  private def sq8Shortlist(s: SparkSession): Int = {
+    val n = s.conf.get("graft.sq8.shortlist", Sq8Shortlist.toString).toInt
+    require(n > 0 && n <= (1 << 20),
+      s"graft.sq8.shortlist must be in (0, 2^20], got $n")
+    n
+  }
   final val NQueries = 5   // probe vectors: vec_id < 5
   final val NPlanes = 6    // LSH: 2^6 = 64 buckets
   final val NCentroids = 8 // IVF: data-derived centroid seeds
@@ -465,19 +476,22 @@ object SimilarityQueries {
         .orderBy("vec_id")
     }),
 
-    // FAISS-style SQ8 scalar quantization (symmetric): each dimension
-    // affinely rescaled to an 8-bit code by the corpus-wide per-dim
-    // (min, span), candidates shortlisted by integer code dot product,
-    // then exact-cosine reranked — the 4-byte-per-dim → 1-byte-per-dim
-    // memory-compression ANN path that complements PQ (per-dim affine
-    // vs per-subspace codebooks). All arithmetic is integer until the
-    // rerank's one deterministic division, so the oracle replays it
-    // exactly ((x-mn)*255 is nonnegative, so Spark's div and DuckDB's
-    // // agree). Scale shape: the per-dim stats are a Dim-row agg
-    // packed to ONE broadcast row (never per-vector state), codes are
-    // built at scan speed, the shortlist/rerank top-k are
-    // WindowGroupLimit-pruned ranks keyed by probe, and the probe set
-    // broadcasts — nothing corpus-sized joins anything corpus-sized.
+    // FAISS-style SQ8 scalar quantization: each dimension affinely
+    // rescaled to an 8-bit code by the corpus-wide per-dim (min,
+    // span) — the 8-byte-per-dim → 1-byte-per-dim memory-compression
+    // ANN path that complements PQ (per-dim affine vs per-subspace
+    // codebooks). Candidates are shortlisted by the integer dot of
+    // the DECODED codes (recon·255 = mn·255 + code·span — scoring raw
+    // affine codes would be offset-dominated and track nothing; FAISS
+    // likewise decodes before distance), then exact-cosine reranked.
+    // All arithmetic is integer until the rerank's one deterministic
+    // division, so the oracle replays it exactly ((x-mn)*255 is
+    // nonnegative, so Spark's div and DuckDB's // agree). Scale
+    // shape: the per-dim stats are a Dim-row agg packed to ONE
+    // broadcast row (never per-vector state), codes decode at scan
+    // speed, the shortlist/rerank top-k are WindowGroupLimit-pruned
+    // ranks keyed by probe, and the probe set broadcasts — nothing
+    // corpus-sized joins anything corpus-sized.
     "sim_sq8_ann" -> ((s, d) => {
       val all = quantized(s, d)
       val packed = all
@@ -493,16 +507,20 @@ object SimilarityQueries {
       val coded = all.crossJoin(broadcast(packed))
         .select(col("vec_id"),
           expr("transform(q, (x, i) -> ((x - mns[i]) * 255) div spans[i])")
-            .alias("c"))
+            .alias("c"),
+          col("mns"), col("spans"))
+        .select(col("vec_id"),
+          expr("transform(c, (x, i) -> mns[i] * 255 + x * spans[i])")
+            .alias("r"))
       val probes = coded.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").alias("qid"), col("c").alias("qc"))
+        .select(col("vec_id").alias("qid"), col("r").alias("qc"))
       val wS = org.apache.spark.sql.expressions.Window
         .partitionBy("qid").orderBy(col("iscore").desc, col("vec_id").asc)
       val shortlist = coded
         .join(broadcast(probes), col("vec_id") =!= col("qid"))
-        .withColumn("iscore", dot(col("c"), col("qc")))
+        .withColumn("iscore", dot(col("r"), col("qc")))
         .withColumn("srk", row_number().over(wS))
-        .filter(col("srk") <= Sq8Shortlist)
+        .filter(col("srk") <= sq8Shortlist(s))
         .select("qid", "vec_id")
       val pv = all.filter(col("vec_id") < NQueries)
         .select(col("vec_id").alias("qid"), col("q").alias("qq"),
@@ -1326,8 +1344,9 @@ object SimilarityQueries {
     },
 
     // the SQ8 pipeline relationally: per-dim (min, span) over the
-    // exploded quantized corpus, codes rebuilt as dimension-ordered
-    // lists, integer-dot shortlist, exact-cosine rerank ((x-mn)*255
+    // exploded quantized corpus, 8-bit codes DECODED back to
+    // dimension-ordered reconstruction lists (mn*255 + code*span),
+    // integer decoded-dot shortlist, exact-cosine rerank ((x-mn)*255
     // is nonnegative, so // matches Spark's div)
     "sim_sq8_ann" ->
       s"""WITH $sqlQuant,
@@ -1339,7 +1358,9 @@ object SimilarityQueries {
          |    GREATEST(max(v) - min(v), 1) AS span
          |  FROM exploded GROUP BY i),
          |coded AS (
-         |  SELECT vec_id, list(((v - mn) * 255) // span ORDER BY i) AS c
+         |  SELECT vec_id,
+         |    list(mn * 255 + (((v - mn) * 255) // span) * span
+         |         ORDER BY i) AS c
          |  FROM exploded JOIN stats USING (i)
          |  GROUP BY vec_id),
          |short AS (
