@@ -76,6 +76,9 @@ object BenchExpect {
     "rel_zorder" -> 0.4,
     "rel_top_suppliers" -> 0.7,
     "rel_large_orders" -> 0.7,
+    "rel_min_cost" -> 0.7,
+    "rel_small_qty" -> 0.7,
+    "rel_idle_customers" -> 0.5,
     "s1_scan_pushdown" -> 0.3,
     "s6_sequence" -> 0.5,
     "s7_sessions" -> 0.8,

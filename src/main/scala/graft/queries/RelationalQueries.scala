@@ -448,6 +448,93 @@ object RelationalQueries {
           cents(col("o_totalprice")).alias("total_cents"),
           col("sum_qty"))
         .orderBy(col("total_cents").desc, col("o_orderkey").asc)
+    }),
+
+    // TPC-H Q2-shaped minimum-cost supplier: for every part in a dim-
+    // filtered subset, the supplier quoting the minimum price — the
+    // correlated-min-subquery shape, decorrelated the Spark way:
+    // aggregate the min per part, equi-join it back, tie-break with a
+    // second tiny agg. Scale: the broadcast semi-join of the filtered
+    // part list prunes the fact scan FIRST (so the per-(part, supp)
+    // agg only sees matching rows), both aggs are map-side combined,
+    // the join back is key-partitioned on partkey, and both dims
+    // broadcast. Exact integer cents keep every extremum and the
+    // equality deterministic.
+    "rel_min_cost" -> ((s, d) => {
+      val pt = Tables.part(s, d)
+        .filter(col("p_size") === 15)
+        .select(col("p_partkey"), col("p_name"))
+      val costs = Tables.lineitem(s, d)
+        .join(broadcast(pt.select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(cents(col("l_extendedprice"))).alias("cost_cents"))
+      val minc = costs.groupBy(col("l_partkey"))
+        .agg(min(col("cost_cents")).alias("min_cents"))
+        .withColumnRenamed("l_partkey", "mk")
+      val best = costs
+        .join(minc, col("l_partkey") === col("mk") &&
+          col("cost_cents") === col("min_cents"))
+        .groupBy(col("l_partkey"), col("cost_cents"))
+        .agg(min(col("l_suppkey")).alias("s_suppkey"))
+      val sup = Tables.supplier(s, d).select("s_suppkey", "s_name")
+      best
+        .join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), "s_suppkey")
+        .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
+          col("s_name"), col("cost_cents"))
+        .orderBy("p_partkey")
+    }),
+
+    // TPC-H Q17-shaped small-quantity revenue: total revenue of
+    // lineitems whose quantity is below 20% of their part's average —
+    // the correlated-average shape. Decorrelated as (count, sum) per
+    // part joined back, and the fractional comparison cross-multiplied
+    // into exact integers (5·q·cnt < Σq ⇔ q < avg/5), so no division
+    // ever happens and both engines agree bit-for-bit. Scale: one
+    // map-side-combined agg to part cardinality, one key-partitioned
+    // join back on partkey (the agg side is part-sized, AQE broadcasts
+    // it), and a final 1-row scalar aggregate.
+    "rel_small_qty" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey"),
+          round(col("l_quantity"), 0).cast(LongType).alias("q"),
+          cents(col("l_extendedprice")).alias("pc"))
+      val st = li.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).alias("cnt"), sum(col("q")).alias("sumq"))
+      li.join(st, "l_partkey")
+        .filter(col("q") * lit(5L) * col("cnt") < col("sumq"))
+        .agg(sum(col("pc")).alias("revenue_cents"),
+          count(lit(1)).alias("n"))
+    }),
+
+    // TPC-H Q22-shaped idle high-balance customers: customers whose
+    // balance exceeds the positive-balance average but who placed no
+    // order since 2000 — the scalar-subquery + anti-join shape. The
+    // average never divides: bal·cnt > Σbal cross-multiplies into
+    // exact integer cents, the (cnt, Σ) scalar is a 1-row broadcast,
+    // and the NOT EXISTS is a left-anti equi-join on custkey (both
+    // sides key-partitioned; the orders side carries a pushed
+    // orderdate filter so only the recent slice shuffles). Output
+    // aggregates to nation cardinality with the dim broadcast.
+    "rel_idle_customers" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"),
+          cents(col("c_acctbal")).alias("bal"))
+      val st = c.filter(col("bal") > 0L)
+        .agg(count(lit(1)).alias("cnt"), sum(col("bal")).alias("tot"))
+      val recent = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("2000-01-01"))
+        .select(col("o_custkey"))
+      val nat = Tables.nation(s, d).select("n_nationkey", "n_name")
+      c.crossJoin(broadcast(st))
+        .filter(col("bal") * col("cnt") > col("tot"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).alias("n_custs"), sum(col("bal")).alias("bal_cents"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("n_custs"), col("bal_cents"))
+        .orderBy("n_name")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -737,5 +824,65 @@ object RelationalQueries {
         |  sum_qty
         |FROM big JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
-        |ORDER BY total_cents DESC, o_orderkey ASC""".stripMargin)
+        |ORDER BY total_cents DESC, o_orderkey ASC""".stripMargin,
+
+    "rel_min_cost" ->
+      """WITH pt AS (
+        |  SELECT p_partkey, p_name FROM part WHERE p_size = 15),
+        |costs AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |      AS cost_cents
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM pt)
+        |  GROUP BY 1, 2),
+        |minc AS (
+        |  SELECT l_partkey, min(cost_cents) AS min_cents
+        |  FROM costs GROUP BY 1),
+        |best AS (
+        |  SELECT c.l_partkey, c.cost_cents,
+        |    min(c.l_suppkey) AS s_suppkey
+        |  FROM costs c JOIN minc m
+        |    ON c.l_partkey = m.l_partkey AND c.cost_cents = m.min_cents
+        |  GROUP BY 1, 2)
+        |SELECT p_partkey, p_name, s_suppkey, s_name, cost_cents
+        |FROM best JOIN pt ON l_partkey = p_partkey
+        |JOIN supplier USING (s_suppkey)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "rel_small_qty" ->
+      """WITH li AS (
+        |  SELECT l_partkey,
+        |    CAST(round(l_quantity, 0) AS BIGINT) AS q,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS pc
+        |  FROM lineitem),
+        |st AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(q) AS BIGINT) AS sumq
+        |  FROM li GROUP BY 1)
+        |SELECT CAST(sum(pc) AS BIGINT) AS revenue_cents,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM li JOIN st USING (l_partkey)
+        |WHERE 5 * li.q * st.cnt < st.sumq""".stripMargin,
+
+    "rel_idle_customers" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal
+        |  FROM customer),
+        |st AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(bal) AS BIGINT) AS tot
+        |  FROM c WHERE bal > 0),
+        |idle AS (
+        |  SELECT c.* FROM c, st
+        |  WHERE c.bal * st.cnt > st.tot
+        |    AND NOT EXISTS (
+        |      SELECT 1 FROM orders o
+        |      WHERE o.o_custkey = c.c_custkey
+        |        AND o.o_orderdate >= TIMESTAMP '2000-01-01'))
+        |SELECT n_name, CAST(count(*) AS BIGINT) AS n_custs,
+        |  CAST(sum(bal) AS BIGINT) AS bal_cents
+        |FROM idle JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

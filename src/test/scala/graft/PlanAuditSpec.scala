@@ -60,7 +60,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "tx_bm25_topk",
       "tx_collocations", // 1-row corpus-count scalar, broadcast back
       "sim_sq8_ann", // Dim-row stats packed to ONE broadcast row
-      "rel_top_suppliers") // 1-row max-revenue scalar, equi-joined back
+      "rel_top_suppliers", // 1-row max-revenue scalar, equi-joined back
+      "rel_small_qty", // the RESULT is a 1-row scalar aggregate
+      "rel_idle_customers") // 1-row balance-stats scalar, broadcast back
 
   // Queries that intentionally broadcast a tiny build side against a
   // non-equi / cross predicate (band dim, probe rows, hyperplanes,
@@ -84,7 +86,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "tx_quality_bins", // inherits tx_lm_score's vocab-scalar broadcast
     "tx_bm25_topk", // 1-row corpus-stats scalar broadcast
     "tx_collocations", // 1-row corpus-count scalar broadcast
-    "sim_sq8_ann") // 1-row stats row + probe codes vs every vector
+    "sim_sq8_ann", // 1-row stats row + probe codes vs every vector
+    "rel_idle_customers") // 1-row balance-stats scalar vs customers
 
   test("no query plan contains a CartesianProduct") {
     plans.foreach { case (sf, n, p) =>
