@@ -77,6 +77,8 @@ object BenchExpect {
     "rel_top_suppliers" -> 0.7,
     "rel_large_orders" -> 0.7,
     "rel_min_cost" -> 0.7,
+    "graph_triangles" -> 1.0,
+    "graph_jaccard" -> 1.0,
     "rel_small_qty" -> 0.7,
     "rel_idle_customers" -> 0.5,
     "s1_scan_pushdown" -> 0.3,

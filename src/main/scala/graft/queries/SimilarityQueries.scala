@@ -534,6 +534,98 @@ object SimilarityQueries {
         .filter(col("rk") <= TopK)
         .select(col("qid"), col("rk"), col("vec_id"), col("cos"))
         .orderBy("qid", "rk")
+    }),
+
+    // Triangle counting + local clustering coefficient over the staged
+    // kNN edges — the node-iterator join (Suri & Vassilvitskii 2011,
+    // "Counting Triangles and the Curse of the Last Reducer"): orient
+    // every undirected edge low→high id, join wedges on the middle
+    // vertex, close them with a semi-join against the oriented edge
+    // set. Each triangle (a<b<c) is found exactly once. The embedding-
+    // space community-structure signal (how clique-ish each vector's
+    // neighborhood is) that complements per-node degree. Scale shape:
+    // every join is a key-partitioned equi-join on vertex ids; wedge
+    // count is bounded by Σ deg² with deg ≤ 2·KnnK — never corpus-
+    // quadratic; the per-node count is one keyed agg. All integers,
+    // and the coefficient's one division is integral micro-units, so
+    // the oracle replays it exactly.
+    "graph_triangles" -> ((s, d) => {
+      val edges = StagedIndex.orStage(s, "graph_knn_edges_v1", d,
+        Seq(s"$d/embeddings.parquet")) {
+        queries("sim_knn_graph")(s, d)
+          .select(col("vec_id").alias("src"), col("nbr").alias("dst"))
+      }
+      val sym = edges.select(col("src"), col("dst"))
+        .union(edges.select(col("dst").alias("src"),
+          col("src").alias("dst")))
+        .distinct()
+      val o = sym.filter(col("src") < col("dst"))
+        .select(col("src").alias("a"), col("dst").alias("b"))
+      val tri = o
+        .join(o.select(col("a").alias("b2"), col("b").alias("c")),
+          col("b") === col("b2"))
+        .select(col("a"), col("b"), col("c"))
+        .join(o.select(col("a").alias("a3"), col("b").alias("c3")),
+          col("a") === col("a3") && col("c") === col("c3"), "left_semi")
+      val pern = tri.select(col("a").alias("tv"))
+        .union(tri.select(col("b").alias("tv")))
+        .union(tri.select(col("c").alias("tv")))
+        .groupBy("tv").agg(count(lit(1)).alias("tri"))
+      val deg = sym.groupBy("src").agg(count(lit(1)).alias("deg"))
+        .withColumnRenamed("src", "dv")
+      Tables.embeddings(s, d).select(col("vec_id"))
+        .join(deg, col("vec_id") === col("dv"), "left")
+        .join(pern, col("vec_id") === col("tv"), "left")
+        .select(col("vec_id"),
+          coalesce(col("deg"), lit(0L)).alias("deg"),
+          coalesce(col("tri"), lit(0L)).alias("tri"))
+        .withColumn("cc_micro",
+          when(col("deg") >= 2L,
+            expr("(2 * tri * 1000000) div (deg * (deg - 1))"))
+            .otherwise(lit(0L)))
+        .orderBy("vec_id")
+    }),
+
+    // Neighbor-set Jaccard link prediction over the staged kNN edges
+    // (the classic common-neighbors/Jaccard link predictor, Liben-
+    // Nowell & Kleinberg 2003): for every NON-edge pair sharing at
+    // least one neighbor, |N(a)∩N(b)| / |N(a)∪N(b)| in exact integer
+    // micro-units — the "these two should probably be connected"
+    // candidates a dedup/retrieval graph audit reviews. Scale shape:
+    // the common-neighbor pairs come from one self-equi-join on the
+    // shared neighbor (Σ deg² bounded, deg ≤ 2·KnnK), existing edges
+    // leave via a left-anti equi-join, degrees attach by two keyed
+    // joins of the node-sized degree table, and the global top-20 is
+    // a TakeOrdered (no full sort ever materializes).
+    "graph_jaccard" -> ((s, d) => {
+      val edges = StagedIndex.orStage(s, "graph_knn_edges_v1", d,
+        Seq(s"$d/embeddings.parquet")) {
+        queries("sim_knn_graph")(s, d)
+          .select(col("vec_id").alias("src"), col("nbr").alias("dst"))
+      }
+      val sym = edges.select(col("src"), col("dst"))
+        .union(edges.select(col("dst").alias("src"),
+          col("src").alias("dst")))
+        .distinct()
+      val deg = sym.groupBy("src").agg(count(lit(1)).alias("deg"))
+      val inter = sym.select(col("src").alias("a"), col("dst").alias("n"))
+        .join(sym.select(col("src").alias("b"), col("dst").alias("n")),
+          Seq("n"))
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).alias("inter"))
+      val cand = inter.join(
+        sym.select(col("src").alias("a"), col("dst").alias("b")),
+        Seq("a", "b"), "left_anti")
+      cand
+        .join(deg.select(col("src").alias("a"), col("deg").alias("da")),
+          "a")
+        .join(deg.select(col("src").alias("b"), col("deg").alias("db")),
+          "b")
+        .select(col("a"), col("b"), col("inter"), col("da"), col("db"),
+          expr("(inter * 1000000) div (da + db - inter)")
+            .alias("jac_micro"))
+        .orderBy(col("jac_micro").desc, col("a").asc, col("b").asc)
+        .limit(20)
     }))
 
   /** SemDeDup duplicate threshold: within-cluster cosine at or above
@@ -832,6 +924,36 @@ object SimilarityQueries {
 
   private def sqlDotSub(a: String, b: String) =
     s"list_sum(list_transform(range(1, ${PqSubDim + 1}), i -> $a[i] * $b[i]))"
+
+  /** The kNN-graph edge derivation as a reusable WITH prefix (ends at
+    * `edges (src, dst)`) — verbatim the sim_knn_graph pipeline, shared
+    * by the graph-operator oracles built on the staged edge list.
+    */
+  private lazy val sqlKnnEdgesWith: String =
+    s"""WITH $sqlQuant,
+       |planes AS (SELECT vec_id AS pid, qv AS pq FROM qn
+       |           WHERE vec_id < $NPlanes),
+       |bucketed AS (
+       |  SELECT v.vec_id,
+       |    CAST(sum(CASE WHEN ${sqlDot("v.qv", "p.pq")} > 0
+       |      THEN (1 << p.pid) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM qn v CROSS JOIN planes p
+       |  GROUP BY v.vec_id),
+       |wb AS (SELECT b.vec_id, b.bucket, qn.qv, qn.n2
+       |       FROM bucketed b JOIN qn ON b.vec_id = qn.vec_id),
+       |scored AS (
+       |  SELECT a.vec_id, b.vec_id AS nbr,
+       |    CAST(${sqlDot("a.qv", "b.qv")} AS BIGINT)
+       |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+       |      AS cos
+       |  FROM wb a JOIN wb b
+       |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |edges AS (
+       |  SELECT vec_id AS src, nbr AS dst FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos DESC, nbr ASC) AS rk
+       |    FROM scored) t
+       |  WHERE rk <= $KnnK)""".stripMargin
 
   private lazy val sqlCosineTopk: String =
       s"""WITH $sqlQuant,
@@ -1386,5 +1508,57 @@ object SimilarityQueries {
          |    CAST(row_number() OVER (PARTITION BY qid
          |      ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rk
          |  FROM rr) t
-         |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin)
+         |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin,
+
+    // edge derivation verbatim, then oriented-wedge triangle closure
+    // and the integral-micro-unit clustering coefficient
+    "graph_triangles" ->
+      s"""$sqlKnnEdgesWith,
+         |sym AS (SELECT src, dst FROM edges
+         |        UNION SELECT dst AS src, src AS dst FROM edges),
+         |o AS (SELECT src AS a, dst AS b FROM sym WHERE src < dst),
+         |tri AS (
+         |  SELECT e1.a, e1.b, e2.b AS c
+         |  FROM o e1 JOIN o e2 ON e1.b = e2.a
+         |  WHERE EXISTS (SELECT 1 FROM o e3
+         |                WHERE e3.a = e1.a AND e3.b = e2.b)),
+         |pern AS (
+         |  SELECT tv, CAST(count(*) AS BIGINT) AS tri FROM (
+         |    SELECT a AS tv FROM tri
+         |    UNION ALL SELECT b FROM tri
+         |    UNION ALL SELECT c FROM tri) GROUP BY 1),
+         |deg AS (SELECT src AS dv, CAST(count(*) AS BIGINT) AS deg
+         |        FROM sym GROUP BY 1)
+         |SELECT n.vec_id,
+         |  CAST(COALESCE(d.deg, 0) AS BIGINT) AS deg,
+         |  CAST(COALESCE(p.tri, 0) AS BIGINT) AS tri,
+         |  CAST(CASE WHEN COALESCE(d.deg, 0) >= 2
+         |    THEN (2 * COALESCE(p.tri, 0) * 1000000)
+         |         // (d.deg * (d.deg - 1))
+         |    ELSE 0 END AS BIGINT) AS cc_micro
+         |FROM embeddings n LEFT JOIN deg d ON n.vec_id = d.dv
+         |LEFT JOIN pern p ON n.vec_id = p.tv
+         |ORDER BY n.vec_id""".stripMargin,
+
+    // edge derivation verbatim, then common-neighbor pairs, existing
+    // edges removed, Jaccard in integer micro-units, top-20
+    "graph_jaccard" ->
+      s"""$sqlKnnEdgesWith,
+         |sym AS (SELECT src, dst FROM edges
+         |        UNION SELECT dst AS src, src AS dst FROM edges),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+         |        FROM sym GROUP BY 1),
+         |inter AS (
+         |  SELECT x.src AS a, y.src AS b, CAST(count(*) AS BIGINT) AS inter
+         |  FROM sym x JOIN sym y ON x.dst = y.dst AND x.src < y.src
+         |  GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT i.* FROM inter i
+         |  WHERE NOT EXISTS (SELECT 1 FROM sym e
+         |                    WHERE e.src = i.a AND e.dst = i.b))
+         |SELECT a, b, inter, da.deg AS da, db.deg AS db,
+         |  CAST((inter * 1000000) // (da.deg + db.deg - inter)
+         |    AS BIGINT) AS jac_micro
+         |FROM cand JOIN deg da ON a = da.src JOIN deg db ON b = db.src
+         |ORDER BY jac_micro DESC, a, b LIMIT 20""".stripMargin)
 }
