@@ -30,6 +30,7 @@ object BenchExpect {
     "dd_minhash_lsh" -> 0.8,
     "dd_containment" -> 3.0,
     "dd_ngram_jaccard" -> 2.5,
+    "dd_winnow" -> 2.5,
     "dd_semdedup" -> 1.5,
     "dd_simhash" -> 0.8,
     "dd_span_dedup" -> 1.9,

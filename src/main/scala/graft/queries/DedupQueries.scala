@@ -372,12 +372,67 @@ object DedupQueries {
           (coalesce(col("label"), col("doc_id")) =!= col("doc_id"))
             .alias("is_dup"))
         .orderBy("doc_id")
+    }),
+
+    // Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    // MOSS local-fingerprinting algorithm): hash every word 5-gram,
+    // slide a 4-hash window, select each window's minimum hash
+    // (rightmost on ties — the paper's rule), and report document
+    // pairs sharing >= 2 selected fingerprints. Winnowing guarantees
+    // any shared run of >= w+k-1 = 8 words produces at least one
+    // SHARED fingerprint, so the pair list catches local plagiarism /
+    // partial overlap that whole-document signatures dilute. Scale
+    // shape: the entire select-in-window pass is per-row array
+    // arithmetic at scan speed — ZERO shuffle until the fingerprints
+    // explode into the (hash → docs) posting join, whose cost is
+    // Σ|posting|² over selected (≈ 1/w of all) grams — the same
+    // bounded posting-list class as dd_ngram_jaccard's verifier. The
+    // 60-bit md5-prefix gram hash is the engine-portable h60.
+    "dd_winnow" -> ((s, d) => {
+      val fps = winnowFingerprintsOf(Tables.documents(s, d))
+      fps.select(col("doc_id").alias("ida"), col("h"))
+        .join(fps.select(col("doc_id").alias("idb"), col("h")), Seq("h"))
+        .filter(col("ida") < col("idb"))
+        .groupBy("ida", "idb")
+        .agg(count(lit(1)).alias("shared"))
+        .filter(col("shared") >= 2L)
+        .orderBy("ida", "idb")
     }))
 
   /** Verify-stage threshold: signature agreement (of K) at or above
     * which an LSH candidate pair is accepted as a true near-duplicate.
     */
   final val VerifyAgree = 31
+
+  /** Winnowing core behind `dd_winnow` (specs drive it on synthetic
+    * frames): word-5-gram h60 hashes, window w = 4, rightmost-min
+    * selection, distinct (doc_id, h) fingerprints. Pure per-row array
+    * arithmetic — zero shuffle up to the returned distinct.
+    */
+  private[queries] def winnowFingerprintsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").alias("wds"))
+      .withColumn("hs", expr(
+        """CASE WHEN size(wds) >= 5 THEN
+          |  transform(sequence(1, size(wds) - 4),
+          |    i -> named_struct(
+          |      'h', cast(conv(substring(
+          |             md5(array_join(slice(wds, i, 5), ' ')),
+          |             1, 15), 16, 10) as bigint),
+          |      'p', i))
+          |ELSE array() END""".stripMargin))
+      .withColumn("sel", expr(
+        """CASE WHEN size(hs) >= 4 THEN
+          |  array_distinct(transform(sequence(1, size(hs) - 3),
+          |    j -> aggregate(slice(hs, j, 4),
+          |           element_at(slice(hs, j, 4), 1),
+          |           (acc, x) -> CASE WHEN x.h < acc.h OR
+          |             (x.h = acc.h AND x.p > acc.p)
+          |             THEN x ELSE acc END)))
+          |ELSE array() END""".stripMargin))
+      .select(col("doc_id"), explode(col("sel")).alias("f"))
+      .select(col("doc_id"), col("f.h").alias("h"))
+      .distinct()
 
   /** MinHash signatures computed directly from a documents frame —
     * the unstaged pipeline behind `signatures` (specs drive it on
@@ -748,5 +803,36 @@ object DedupQueries {
          |  coalesce(l.label, d.doc_id) <> d.doc_id AS is_dup
          |FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
          |ORDER BY d.doc_id""".stripMargin
-    })
+    },
+
+    // the same winnowing pass relationally: every gram joins to the
+    // windows it can win (p-3 <= j <= p), rightmost-min per window
+    // via row_number (h ASC, p DESC), shared-fingerprint pair counts
+    "dd_winnow" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w
+        |              FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS p,
+        |    CAST(('0x' || substr(md5(array_to_string(w[i:i+4], ' ')),
+        |      1, 15)) AS BIGINT) AS h,
+        |    len(w) - 4 AS m
+        |  FROM docs, UNNEST(range(1, len(w) - 3)) t(i)
+        |  WHERE len(w) >= 5),
+        |wj AS (
+        |  SELECT doc_id, p, h, j
+        |  FROM g, UNNEST(range(greatest(1, p - 3),
+        |                       least(m - 3, p) + 1)) t(j)
+        |  WHERE m >= 4),
+        |sel AS (
+        |  SELECT DISTINCT doc_id, h FROM (
+        |    SELECT doc_id, j, h,
+        |      row_number() OVER (PARTITION BY doc_id, j
+        |        ORDER BY h ASC, p DESC) AS rn
+        |    FROM wj) t
+        |  WHERE rn = 1)
+        |SELECT a.doc_id AS ida, b.doc_id AS idb,
+        |  CAST(count(*) AS BIGINT) AS shared
+        |FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY 1, 2""".stripMargin)
 }
