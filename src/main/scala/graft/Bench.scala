@@ -82,6 +82,8 @@ object BenchExpect {
     "graph_jaccard" -> 1.0,
     "rel_small_qty" -> 0.7,
     "rel_idle_customers" -> 0.5,
+    "rel_wait_suppliers" -> 0.8,
+    "rel_event_paths" -> 0.8,
     "s1_scan_pushdown" -> 0.3,
     "s6_sequence" -> 0.5,
     "s7_sessions" -> 0.8,

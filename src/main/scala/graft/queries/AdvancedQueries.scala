@@ -370,6 +370,31 @@ object AdvancedQueries {
           min(col("ms")).alias("start_ms"),
           max(col("ms")).alias("end_ms"))
         .orderBy("user_id", "session_no")
+    }),
+
+    // Top event paths: the most common 3-step event-type sequences
+    // across per-user ordered streams — the product-analytics "what do
+    // users actually do" miner behind funnel design. Consecutive
+    // triples via two leads on the user-keyed window (fact-cardinality
+    // partitioning — one shuffle on user_id), then a count per path.
+    // The path key space is |event_type|³ (tiny), but the agg is
+    // skew-immune anyway: partial aggregation reduces every partition
+    // to at most that many rows before the final exchange. Top-20 is
+    // a TakeOrdered with a full deterministic tiebreak.
+    "rel_event_paths" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type").alias("s1"))
+        .withColumn("s2", lead(col("s1"), 1).over(w))
+        .withColumn("s3", lead(col("s1"), 2).over(w))
+        .filter(col("s2").isNotNull && col("s3").isNotNull)
+        .groupBy("s1", "s2", "s3")
+        .agg(count(lit(1)).alias("n"))
+        .orderBy(col("n").desc, col("s1").asc, col("s2").asc,
+          col("s3").asc)
+        .limit(20)
     }))
 
   // one oracle for both exact-percentile algorithms (rank-based and
@@ -561,5 +586,18 @@ object AdvancedQueries {
          |  CAST(count(*) AS BIGINT) AS n_events,
          |  min(ms) AS start_ms, max(ms) AS end_ms
          |FROM sess GROUP BY user_id, session_no
-         |ORDER BY user_id, session_no""".stripMargin)
+         |ORDER BY user_id, session_no""".stripMargin,
+
+    "rel_event_paths" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS s1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS s2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS s3
+        |  FROM events)
+        |SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n
+        |FROM seq WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, s1, s2, s3 LIMIT 20""".stripMargin)
 }

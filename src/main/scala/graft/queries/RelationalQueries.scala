@@ -535,6 +535,42 @@ object RelationalQueries {
         .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
         .select(col("n_name"), col("n_custs"), col("bal_cents"))
         .orderBy("n_name")
+    }),
+
+    // TPC-H Q21-shaped sole-late-supplier report: suppliers who were
+    // the ONLY late shipper in a multi-supplier order (late = shipped
+    // more than 90 days after the order date) — the EXISTS + NOT
+    // EXISTS correlated pair, decorrelated into pure aggregation:
+    // per-(order, supplier) late flags, per-order (supplier count,
+    // late-supplier count), and the verdict is a filter on the two
+    // counts — no correlated subquery survives. Scale: lineitem ⋈
+    // orders is one orderkey-partitioned equi-join, both aggs are
+    // map-side combined and REUSE the same orderkey partitioning
+    // (agg → agg → join back, zero extra shuffles), the final agg is
+    // supplier-sized, and the name dim broadcasts. All flags/counts
+    // integer-exact.
+    "rel_wait_suppliers" -> ((s, d) => {
+      val j = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").alias("ok"), col("l_suppkey"),
+          when(col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1L)
+            .otherwise(0L).alias("late"))
+      val per = j.groupBy(col("ok"), col("l_suppkey"))
+        .agg(max(col("late")).alias("late"))
+      val os = per.groupBy(col("ok"))
+        .agg(count(lit(1)).alias("n_supp"), sum(col("late")).alias("n_late"))
+      val sup = Tables.supplier(s, d).select("s_suppkey", "s_name")
+      per.filter(col("late") === 1L)
+        .join(os.filter(col("n_supp") > 1L && col("n_late") === 1L), "ok")
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).alias("numwait"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey").asc)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -884,5 +920,23 @@ object RelationalQueries {
         |SELECT n_name, CAST(count(*) AS BIGINT) AS n_custs,
         |  CAST(sum(bal) AS BIGINT) AS bal_cents
         |FROM idle JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "rel_wait_suppliers" ->
+      """WITH j AS (
+        |  SELECT l_orderkey AS ok, l_suppkey,
+        |    CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |      THEN 1 ELSE 0 END AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |per AS (
+        |  SELECT ok, l_suppkey, max(late) AS late
+        |  FROM j GROUP BY 1, 2),
+        |os AS (
+        |  SELECT ok, count(*) AS n_supp, sum(late) AS n_late
+        |  FROM per GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM per p JOIN os USING (ok)
+        |JOIN supplier ON p.l_suppkey = s_suppkey
+        |WHERE p.late = 1 AND os.n_supp > 1 AND os.n_late = 1
+        |GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey""".stripMargin)
 }
