@@ -83,6 +83,7 @@ object BenchExpect {
     "rel_small_qty" -> 0.7,
     "rel_idle_customers" -> 0.5,
     "rel_wait_suppliers" -> 0.8,
+    "rel_skyline" -> 0.6,
     "rel_event_paths" -> 0.8,
     "s1_scan_pushdown" -> 0.3,
     "s6_sequence" -> 0.5,

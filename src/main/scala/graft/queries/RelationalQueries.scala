@@ -571,6 +571,40 @@ object RelationalQueries {
         .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("numwait"))
         .orderBy(col("numwait").desc, col("s_suppkey").asc)
+    }),
+
+    // Skyline operator (Börzsönyi, Kossmann & Stocker, ICDE 2001):
+    // the Pareto frontier of orders on (totalprice max, orderdate
+    // max) — "largest AND most recent", no order in the result
+    // dominated by another on both axes. The distributed plan never
+    // compares orders pairwise: aggregate max price per DATE (date-
+    // cardinality, map-side combined), compute each date's best
+    // strictly-later price with one window over that tiny aggregate
+    // (date-sized input — the corpus never touches the window), and
+    // broadcast the per-date frontier back onto the fact scan; an
+    // order survives iff it matches its date's max and strictly beats
+    // every later date. The oracle runs the textbook NOT EXISTS
+    // dominance self-join — an independent algorithm, so the
+    // hash-match pins the rewrite, not just the arithmetic. Exact
+    // integer cents; date ties and price ties both handled strictly.
+    "rel_skyline" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          cents(col("o_totalprice")).alias("pc"))
+      val byDay = o.groupBy(col("o_orderdate"))
+        .agg(max(col("pc")).alias("day_max"))
+      val wSuf = Window.orderBy(col("o_orderdate").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val frontier = byDay
+        .withColumn("later_best", max(col("day_max")).over(wSuf))
+      o.join(broadcast(frontier), Seq("o_orderdate"))
+        .filter(col("pc") === col("day_max") &&
+          (col("later_best").isNull || col("later_best") < col("pc")))
+        .select(col("o_orderkey"),
+          expr("unix_millis(cast(o_orderdate as timestamp)) div 1000")
+            .alias("order_sec"),
+          col("pc").alias("price_cents"))
+        .orderBy("o_orderkey")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -938,5 +972,22 @@ object RelationalQueries {
         |FROM per p JOIN os USING (ok)
         |JOIN supplier ON p.l_suppkey = s_suppkey
         |WHERE p.late = 1 AND os.n_supp > 1 AND os.n_late = 1
-        |GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey""".stripMargin,
+
+    // the textbook dominance definition, deliberately NOT the Spark
+    // plan's algorithm: the hash-match pins the rewrite itself
+    "rel_skyline" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderdate,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS pc
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  epoch_us(o_orderdate) // 1000000 AS order_sec,
+        |  pc AS price_cents
+        |FROM o p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM o q
+        |  WHERE q.pc >= p.pc AND q.o_orderdate >= p.o_orderdate
+        |    AND (q.pc > p.pc OR q.o_orderdate > p.o_orderdate))
+        |ORDER BY o_orderkey""".stripMargin)
 }

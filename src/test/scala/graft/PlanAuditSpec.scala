@@ -62,7 +62,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "sim_sq8_ann", // Dim-row stats packed to ONE broadcast row
       "rel_top_suppliers", // 1-row max-revenue scalar, equi-joined back
       "rel_small_qty", // the RESULT is a 1-row scalar aggregate
-      "rel_idle_customers") // 1-row balance-stats scalar, broadcast back
+      "rel_idle_customers", // 1-row balance-stats scalar, broadcast back
+      // suffix-max window over the DATE-cardinality aggregate (tiny
+      // by construction); the corpus never reaches the window
+      "rel_skyline")
 
   // Queries that intentionally broadcast a tiny build side against a
   // non-equi / cross predicate (band dim, probe rows, hyperplanes,
