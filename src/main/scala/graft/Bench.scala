@@ -84,6 +84,8 @@ object BenchExpect {
     "rel_idle_customers" -> 0.5,
     "rel_wait_suppliers" -> 2.5,
     "rel_skyline" -> 0.6,
+    "tx_length_profile" -> 0.4,
+    "cdc_reconcile" -> 1.0,
     "rel_event_paths" -> 0.8,
     "s1_scan_pushdown" -> 0.3,
     "s6_sequence" -> 0.5,

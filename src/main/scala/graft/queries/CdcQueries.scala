@@ -209,6 +209,49 @@ object CdcQueries {
             .alias("sum_cents"))
         .filter(col("n_users") > 0)
         .orderBy("bucket")
+    }),
+
+    // Snapshot reconciliation — the audit a CDC consumer runs when
+    // two materializations must be proven consistent (yesterday's cut
+    // vs today's, or a migrated store vs the source of truth): build
+    // the last-writer-wins snapshot at the two-thirds cut and at the
+    // head, full-outer-join them on the key, classify every key as
+    // added / removed / changed / same, and report per-status key
+    // counts and the net money drift. Scale: both snapshots are the
+    // same partial-aggregating groupBy as cdc_apply (the shuffle
+    // carries live keys, not events), the full-outer join is
+    // co-partitioned on the key, and the verdict agg collapses to 4
+    // rows map-side. The 1-row cut scalar broadcasts.
+    "cdc_reconcile" -> ((s, d) => {
+      val ev = dataEvents(s, d)
+      val cut = ev.agg(
+        (max(col("event_id")) - expr("max(event_id) div 3")).alias("cut"))
+      val evc = ev.crossJoin(broadcast(cut))
+      def snap(df: DataFrame): DataFrame =
+        df.groupBy("user_id").agg(
+          max_by(col("op"), col("event_id")).alias("op"),
+          max_by(col("doc"), col("event_id")).alias("doc"),
+          max_by(col("cents"), col("event_id")).alias("cents"))
+          .filter(col("op") =!= "d")
+      val t1 = snap(evc.filter(col("event_id") < col("cut")))
+        .select(col("user_id"), col("doc").alias("doc_a"),
+          col("cents").alias("cents_a"))
+      val t2 = snap(evc)
+        .select(col("user_id"), col("doc").alias("doc_b"),
+          col("cents").alias("cents_b"))
+      t1.join(t2, Seq("user_id"), "full_outer")
+        .select(
+          when(col("cents_a").isNull, "added")
+            .when(col("cents_b").isNull, "removed")
+            .when(col("doc_a") =!= col("doc_b") ||
+              col("cents_a") =!= col("cents_b"), "changed")
+            .otherwise("same").alias("status"),
+          (coalesce(col("cents_b"), lit(0L)) -
+            coalesce(col("cents_a"), lit(0L))).alias("drift"))
+        .groupBy("status")
+        .agg(count(lit(1)).alias("n_keys"),
+          sum(col("drift")).alias("cents_drift"))
+        .orderBy("status")
     }))
 
   /** The change stream projected to last-writer-wins inputs: data ops
@@ -337,5 +380,39 @@ object CdcQueries {
         |  CAST(count(*) AS BIGINT) AS n_users,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM snap WHERE op <> 'd'
-        |GROUP BY 1 ORDER BY bucket""".stripMargin)
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "cdc_reconcile" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN event_type = 'purchase' THEN 'c'
+        |         WHEN event_type IN ('click','view') THEN 'u'
+        |         ELSE 'd' END AS op,
+        |    props AS doc,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE event_type IN ('click','purchase','signup','view')),
+        |cut AS (SELECT max(event_id) - max(event_id) // 3 AS cut FROM ev),
+        |t1 AS (
+        |  SELECT user_id, arg_max(doc, event_id) AS doc_a,
+        |    arg_max(cents, event_id) AS cents_a
+        |  FROM ev, cut WHERE event_id < cut
+        |  GROUP BY user_id
+        |  HAVING arg_max(op, event_id) <> 'd'),
+        |t2 AS (
+        |  SELECT user_id, arg_max(doc, event_id) AS doc_b,
+        |    arg_max(cents, event_id) AS cents_b
+        |  FROM ev GROUP BY user_id
+        |  HAVING arg_max(op, event_id) <> 'd')
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(drift) AS BIGINT) AS cents_drift
+        |FROM (
+        |  SELECT CASE WHEN cents_a IS NULL THEN 'added'
+        |              WHEN cents_b IS NULL THEN 'removed'
+        |              WHEN doc_a <> doc_b OR cents_a <> cents_b
+        |                THEN 'changed'
+        |              ELSE 'same' END AS status,
+        |    coalesce(cents_b, 0) - coalesce(cents_a, 0) AS drift
+        |  FROM t1 FULL OUTER JOIN t2 USING (user_id)) v
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -739,7 +739,24 @@ object TextQueries {
         .orderBy(col("pmi_micro").desc, col("bigram").asc)
         .limit(20)
         .select("bigram", "pair_df", "w1_df", "w2_df", "pmi_micro")
-    }))
+    }),
+
+    // Length profile — the dataset-card histogram: per (lang,
+    // 10-token length bin) document counts, token totals and bin
+    // bounds. The table a mixture re-plan, a packing-efficiency
+    // estimate, or a truncation-policy decision reads first. One
+    // map-side-combined agg straight off the scan (the key space is
+    // |lang| × ~10 bins); everything integer.
+    "tx_length_profile" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), size(w).cast(LongType).alias("n_tokens"))
+        .withColumn("bin", expr("n_tokens div 10"))
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).alias("n_docs"),
+          sum(col("n_tokens")).alias("tokens"),
+          min(col("n_tokens")).alias("min_tokens"),
+          max(col("n_tokens")).alias("max_tokens"))
+        .orderBy("lang", "bin")))
 
   val oracles: Map[String, String] = Map(
     "tx_shard" ->
@@ -1212,5 +1229,16 @@ object TextQueries {
         |JOIN uni u1 ON string_split(bigram, ' ')[1] = u1.wd
         |JOIN uni u2 ON string_split(bigram, ' ')[2] = u2.wd
         |ORDER BY pmi_micro DESC, bigram ASC
-        |LIMIT 20""".stripMargin)
+        |LIMIT 20""".stripMargin,
+
+    "tx_length_profile" ->
+      """SELECT lang, n_tokens // 10 AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens,
+        |  CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+        |  CAST(max(n_tokens) AS BIGINT) AS max_tokens
+        |FROM (SELECT lang,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |      FROM documents)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

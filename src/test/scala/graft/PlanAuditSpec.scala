@@ -48,6 +48,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "tx_sample_weighted", // 1-row total-weight scalar, broadcast back
       "tx_mixture", // 1-row grand-total scalar over the domain agg
       "cdc_delta_agg", // 1-row cut-point scalar (max event id), broadcast
+      "cdc_reconcile", // same 1-row cut scalar shape as cdc_delta_agg
       "tx_lm_score", // 1-row char-vocab-size scalar, broadcast
       // global GroupRank (constant group): the offset-table window
       // funnels the AGGREGATED partitions×1 count table (O(cluster
@@ -85,6 +86,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_knn_graph", // hyperplane broadcast for the bucket assignment
     "pipe_report", // inherits pipe_curate's component broadcasts
     "cdc_delta_agg", // 1-row cut scalar vs the event stream
+    "cdc_reconcile", // 1-row cut scalar vs the event stream
     "tx_lm_score", // 1-row vocab scalar vs the bigram model table
     "tx_quality_bins", // inherits tx_lm_score's vocab-scalar broadcast
     "tx_bm25_topk", // 1-row corpus-stats scalar broadcast
