@@ -85,6 +85,8 @@ object BenchExpect {
     "rel_wait_suppliers" -> 2.5,
     "rel_skyline" -> 0.6,
     "tx_length_profile" -> 0.4,
+    "tx_class_tfidf" -> 0.8,
+    "dd_agreement" -> 1.5,
     "cdc_reconcile" -> 1.0,
     "rel_event_paths" -> 0.8,
     "s1_scan_pushdown" -> 0.3,

@@ -404,6 +404,49 @@ object DedupQueries {
         .agg(count(lit(1)).alias("shared"))
         .filter(col("shared") >= 2L)
         .orderBy("ida", "idb")
+    }),
+
+    // Cross-method agreement matrix: how much do the five pair-
+    // producing near-dup detectors (MinHash-LSH, n-gram Jaccard,
+    // winnowing, containment, embedding-cosine) agree on WHICH pairs
+    // are duplicates? For every method pair: candidates flagged by
+    // both, by either, and the agreement Jaccard in micro-units —
+    // the calibration table that justifies picking one method's
+    // threshold (or ensembling) before a 100-TB run. Every input is
+    // an already-oracle-checked query (the staged indexes make them
+    // cheap scans), so this oracle composes from the components' own
+    // SQL. The pair tables are candidate-sized (tiny): the joins/aggs
+    // here never touch the corpus.
+    "dd_agreement" -> ((s, d) => {
+      val methods: Seq[(String, DataFrame)] = Seq(
+        "minhash" -> queries("dd_minhash_lsh")(s, d),
+        "ngram" -> queries("dd_ngram_jaccard")(s, d),
+        "winnow" -> queries("dd_winnow")(s, d),
+        "contain" -> queries("dd_containment")(s, d),
+        "embed" -> SimilarityQueries.queries("dd_embed_cosine")(s, d))
+      val pm = methods.map { case (m, df) =>
+        df.select(lit(m).alias("m"), col("ida"), col("idb"))
+      }.reduce(_ union _)
+      val tot = pm.groupBy("m").agg(count(lit(1)).alias("n"))
+      val both = pm.select(col("m").alias("m1"), col("ida"), col("idb"))
+        .join(pm.select(col("m").alias("m2"), col("ida"), col("idb")),
+          Seq("ida", "idb"))
+        .filter(col("m1") < col("m2"))
+        .groupBy("m1", "m2")
+        .agg(count(lit(1)).alias("n_both"))
+      // all 10 method pairs, zero-filled where no overlap exists
+      // (5-row aggregate × 5-row aggregate — broadcast by design)
+      val pairs = tot.select(col("m").alias("m1"), col("n").alias("n1"))
+        .crossJoin(broadcast(
+          tot.select(col("m").alias("m2"), col("n").alias("n2"))))
+        .filter(col("m1") < col("m2"))
+      pairs.join(both, Seq("m1", "m2"), "left")
+        .select(col("m1"), col("m2"),
+          coalesce(col("n_both"), lit(0L)).alias("n_both"),
+          (col("n1") + col("n2") - coalesce(col("n_both"), lit(0L)))
+            .alias("n_either"))
+        .withColumn("jac_micro", expr("(n_both * 1000000) div n_either"))
+        .orderBy("m1", "m2")
     }))
 
   /** Verify-stage threshold: signature agreement (of K) at or above
@@ -612,7 +655,7 @@ object DedupQueries {
        |           ON a.band = b.band AND a.key = b.key
        |              AND a.doc_id < b.doc_id)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "dd_exact" ->
       """SELECT md5(array_to_string(w[1:5], ' ')) AS k,
         |  min(doc_id) AS keeper,
@@ -826,4 +869,37 @@ object DedupQueries {
         |FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY 1, 2""".stripMargin)
+
+  // composed from the five components' own oracles (each embeds its
+  // full WITH chain as a derived table, the pipe_curate pattern)
+  val oracles: Map[String, String] = baseOracles +
+    ("dd_agreement" -> {
+      val union = Seq(
+        "minhash" -> baseOracles("dd_minhash_lsh"),
+        "ngram" -> baseOracles("dd_ngram_jaccard"),
+        "winnow" -> baseOracles("dd_winnow"),
+        "contain" -> baseOracles("dd_containment"),
+        "embed" -> SimilarityQueries.oracles("dd_embed_cosine"))
+        .map { case (m, sql) =>
+          s"SELECT '$m' AS m, ida, idb FROM ($sql)"
+        }
+        .mkString("\nUNION ALL\n")
+      s"""WITH pm AS (
+         |$union),
+         |tot AS (SELECT m, CAST(count(*) AS BIGINT) AS n
+         |        FROM pm GROUP BY 1),
+         |b AS (SELECT a.m AS m1, c.m AS m2,
+         |        CAST(count(*) AS BIGINT) AS nb
+         |      FROM pm a JOIN pm c
+         |        ON a.ida = c.ida AND a.idb = c.idb AND a.m < c.m
+         |      GROUP BY 1, 2)
+         |SELECT m1, m2, coalesce(nb, 0) AS n_both,
+         |  n1 + n2 - coalesce(nb, 0) AS n_either,
+         |  (coalesce(nb, 0) * 1000000)
+         |    // (n1 + n2 - coalesce(nb, 0)) AS jac_micro
+         |FROM (SELECT t1.m AS m1, t1.n AS n1, t2.m AS m2, t2.n AS n2
+         |      FROM tot t1, tot t2 WHERE t1.m < t2.m) p
+         |LEFT JOIN b USING (m1, m2)
+         |ORDER BY 1, 2""".stripMargin
+    })
 }

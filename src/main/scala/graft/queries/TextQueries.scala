@@ -756,7 +756,42 @@ object TextQueries {
           sum(col("n_tokens")).alias("tokens"),
           min(col("n_tokens")).alias("min_tokens"),
           max(col("n_tokens")).alias("max_tokens"))
-        .orderBy("lang", "bin")))
+        .orderBy("lang", "bin")),
+
+    // Class-based TF-IDF (the c-TF-IDF of BERTopic, Grootendorst
+    // 2022): terms characteristic of each LANGUAGE rather than each
+    // document — tf within the class, idf over classes (how many
+    // languages contain the term), top-5 per language. The corpus-
+    // domain analysis pass a curation run uses to see what each
+    // slice is "about". Scale shape: the corpus collapses to the
+    // (lang, term) tf table in one map-side-combined agg; the
+    // per-term language count aggregates THAT table; the 1-row
+    // class-count scalar broadcasts; and the per-lang top-5 is a
+    // WindowGroupLimit-pruned rank whose window input is the
+    // vocabulary-sized aggregate — a dimension-key partition over
+    // reduced input, the exempt shape. Integer micro-unit scores.
+    "tx_class_tfidf" -> ((s, d) => {
+      val lt = Tables.documents(s, d)
+        .select(col("lang"), explode(w).alias("term"))
+        .groupBy("lang", "term")
+        .agg(count(lit(1)).alias("tf"))
+      val ldf = lt.groupBy("term")
+        .agg(count(lit(1)).alias("ldf"))
+      val nl = lt.select(col("lang")).distinct()
+        .agg(count(lit(1)).alias("nlang"))
+      val wR = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang")
+        .orderBy(col("score_micro").desc, col("term").asc)
+      lt.join(ldf, "term")
+        .crossJoin(broadcast(nl))
+        .withColumn("score_micro",
+          expr("(tf * 1000000 * nlang) div ldf"))
+        .withColumn("rk", row_number().over(wR).cast(LongType))
+        .filter(col("rk") <= 5)
+        .select(col("lang"), col("rk"), col("term"), col("tf"),
+          col("ldf"), col("score_micro"))
+        .orderBy("lang", "rk")
+    }))
 
   val oracles: Map[String, String] = Map(
     "tx_shard" ->
@@ -1240,5 +1275,24 @@ object TextQueries {
         |FROM (SELECT lang,
         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |      FROM documents)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "tx_class_tfidf" ->
+      """WITH lt AS (
+        |  SELECT lang, term, CAST(count(*) AS BIGINT) AS tf FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS term
+        |    FROM documents) x
+        |  GROUP BY 1, 2),
+        |ldf AS (SELECT term, CAST(count(*) AS BIGINT) AS ldf
+        |        FROM lt GROUP BY 1),
+        |nl AS (SELECT CAST(count(DISTINCT lang) AS BIGINT) AS nlang
+        |       FROM lt)
+        |SELECT lang, rk, term, tf, ldf, score_micro FROM (
+        |  SELECT lang, term, tf, ldf,
+        |    (tf * 1000000 * nlang) // ldf AS score_micro,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY (tf * 1000000 * nlang) // ldf DESC, term ASC)
+        |      AS BIGINT) AS rk
+        |  FROM lt JOIN ldf USING (term) CROSS JOIN nl) t
+        |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin)
 }

@@ -49,6 +49,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "tx_mixture", // 1-row grand-total scalar over the domain agg
       "cdc_delta_agg", // 1-row cut-point scalar (max event id), broadcast
       "cdc_reconcile", // same 1-row cut scalar shape as cdc_delta_agg
+      "tx_class_tfidf", // 1-row class-count scalar, broadcast back
       "tx_lm_score", // 1-row char-vocab-size scalar, broadcast
       // global GroupRank (constant group): the offset-table window
       // funnels the AGGREGATED partitions×1 count table (O(cluster
@@ -87,6 +88,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "pipe_report", // inherits pipe_curate's component broadcasts
     "cdc_delta_agg", // 1-row cut scalar vs the event stream
     "cdc_reconcile", // 1-row cut scalar vs the event stream
+    "dd_agreement", // 5-row × 5-row method-total cross, broadcast;
+                    // inherits dd_embed_cosine's hyperplane broadcast
+    "tx_class_tfidf", // 1-row class-count scalar vs the vocab agg
     "tx_lm_score", // 1-row vocab scalar vs the bigram model table
     "tx_quality_bins", // inherits tx_lm_score's vocab-scalar broadcast
     "tx_bm25_topk", // 1-row corpus-stats scalar broadcast
@@ -174,7 +178,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "tx_sample_weighted", "sim_knn_graph", "tx_langid_ngram",
     "sim_knn_label", // majority-vote rn=1 pick over (src, label) votes
     "graph_label_prop", // per-round majority pick on the src key
-    "sim_sq8_ann") // integer-dot shortlist + exact rerank windows
+    "sim_sq8_ann", // integer-dot shortlist + exact rerank windows
+    "tx_class_tfidf") // per-lang top-5 over the vocab-sized agg
 
   test("rank-limit pushdown (WindowGroupLimit) fires for the top-k family") {
     plans.foreach { case (sf, n, p) =>
