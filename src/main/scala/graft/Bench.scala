@@ -84,6 +84,7 @@ object BenchExpect {
     "rel_idle_customers" -> 0.5,
     "rel_wait_suppliers" -> 2.5,
     "rel_skyline" -> 0.6,
+    "rel_market_share" -> 0.8,
     "tx_length_profile" -> 0.4,
     "tx_class_tfidf" -> 0.8,
     "dd_agreement" -> 1.5,

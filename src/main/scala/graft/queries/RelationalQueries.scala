@@ -573,6 +573,36 @@ object RelationalQueries {
         .orderBy(col("numwait").desc, col("s_suppkey").asc)
     }),
 
+    // TPC-H Q8-shaped market share: NATION_9's share of yearly
+    // revenue — the conditional-aggregation-over-a-join shape
+    // (sum(CASE WHEN nation THEN rev END) / sum(rev)), with the
+    // share in exact integer ppm so no double division varies by
+    // engine. Scale: lineitem ⋈ orders is the one fact-fact join
+    // (orderkey-partitioned); the supplier→nation attribution is two
+    // broadcast dims folded into one CASE flag before aggregation,
+    // so the year-keyed agg is map-side combined to |years| rows.
+    "rel_market_share" -> ((s, d) => {
+      val supNat = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .alias("rev"))
+        .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+      li.join(Tables.orders(s, d).select(col("o_orderkey"),
+          year(col("o_orderdate")).cast(LongType).alias("yr")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("yr")
+        .agg(sum(col("rev")).alias("total_cents"),
+          sum(when(col("n_name") === "NATION_9", col("rev"))
+            .otherwise(0L)).alias("nation_cents"))
+        .withColumn("share_ppm",
+          expr("(nation_cents * 1000000) div total_cents"))
+        .orderBy("yr")
+    }),
+
     // Skyline operator (Börzsönyi, Kossmann & Stocker, ICDE 2001):
     // the Pareto frontier of orders on (totalprice max, orderdate
     // max) — "largest AND most recent", no order in the result
@@ -989,5 +1019,23 @@ object RelationalQueries {
         |  SELECT 1 FROM o q
         |  WHERE q.pc >= p.pc AND q.o_orderdate >= p.o_orderdate
         |    AND (q.pc > p.pc OR q.o_orderdate > p.o_orderdate))
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "rel_market_share" ->
+      """WITH li AS (
+        |  SELECT l_orderkey,
+        |    CAST(round(l_extendedprice * (1.0 - l_discount) * 100, 0)
+        |      AS BIGINT) AS rev,
+        |    n_name
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey)
+        |SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(sum(rev) AS BIGINT) AS total_cents,
+        |  CAST(sum(CASE WHEN n_name = 'NATION_9' THEN rev ELSE 0 END)
+        |    AS BIGINT) AS nation_cents,
+        |  (sum(CASE WHEN n_name = 'NATION_9' THEN rev ELSE 0 END)
+        |    * 1000000) // sum(rev) AS share_ppm
+        |FROM li JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

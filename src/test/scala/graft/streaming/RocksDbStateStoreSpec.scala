@@ -144,4 +144,55 @@ class RocksDbStateStoreSpec extends AnyFunSuite {
       } finally q.stop()
     }
   }
+
+  test("funnel stage anchors carry across micro-batches under RocksDB") {
+    withRocksDb {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[StreamingFunnel.Ev]
+      val q = StreamingFunnel.track(in.toDS(), windowUs = 1000L)
+        .writeStream.format("memory").queryName("rocks_funnel")
+        .outputMode("append").start()
+      try {
+        // each stage in its own batch: the purchase only completes if
+        // both earlier anchors survived two RocksDB batch boundaries
+        in.addData(StreamingFunnel.Ev(1L, "signup", 10L))
+        q.processAllAvailable()
+        in.addData(StreamingFunnel.Ev(1L, "click", 20L))
+        q.processAllAvailable()
+        in.addData(StreamingFunnel.Ev(1L, "purchase", 30L))
+        q.processAllAvailable()
+        val last = spark.table("rocks_funnel")
+          .as[StreamingFunnel.FunnelRow].collect().last
+        assert((last.tSignup, last.tClick, last.tPurchase) ===
+          ((10L, 20L, 30L)), "stage anchors lost across batches")
+        assert(last.reachedPurchase)
+      } finally q.stop()
+    }
+  }
+
+  test("retention credit bitmaps carry across micro-batches under RocksDB") {
+    withRocksDb {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[StreamingRetention.Ev]
+      val q = StreamingRetention.track(in.toDS())
+        .writeStream.format("memory").queryName("rocks_ret")
+        .outputMode("append").start()
+      try {
+        in.addData(StreamingRetention.Ev(1L, "signup", 10L))
+        q.processAllAvailable()
+        // same-offset event in a later batch must NOT re-credit (the
+        // bitmap survived); a day-1 event must credit exactly once
+        in.addData(StreamingRetention.Ev(1L, "click", 20L),
+          StreamingRetention.Ev(1L, "view",
+            StreamingRetention.DayUs + 20L))
+        q.processAllAvailable()
+        val got = spark.table("rocks_ret")
+          .as[StreamingRetention.Credit].collect().toSeq
+        assert(got.map(_.offset).sorted === Seq(0L, 1L),
+          s"bitmap lost or re-credited across batches: $got")
+      } finally q.stop()
+    }
+  }
 }
