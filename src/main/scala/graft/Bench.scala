@@ -88,6 +88,7 @@ object BenchExpect {
     "tx_length_profile" -> 0.4,
     "tx_class_tfidf" -> 0.8,
     "dd_agreement" -> 1.5,
+    "sim_threshold_sweep" -> 0.8,
     "cdc_reconcile" -> 1.0,
     "rel_event_paths" -> 0.8,
     "s1_scan_pushdown" -> 0.3,

@@ -166,6 +166,45 @@ object SimilarityQueries {
         .orderBy("ida", "idb")
     }),
 
+    // Threshold calibration sweep: how many near-dup pairs would each
+    // candidate cosine threshold flag? The curve an operator reads
+    // before committing a dedup threshold to a 100-TB run (too low →
+    // mass false-merges, too high → misses) — the dd_embed_cosine
+    // pipeline with the threshold swept instead of fixed. Scale
+    // shape: the bucketed pair scan happens ONCE; pairs collapse to a
+    // ≤200-row 1%-bin histogram (map-side combined), and the
+    // per-threshold cumulative counts come from joining that tiny
+    // aggregate against a 5-row literal threshold table — the corpus
+    // is never rescanned per threshold. floor(cos·100) is the same
+    // double expression in both engines, so binning is exact.
+    "sim_threshold_sweep" -> ((s, d) => {
+      val all = quantized(s, d)
+      val planes = all.filter(col("vec_id") < NPlanes)
+        .select(col("vec_id").alias("pid"), col("q").alias("pq"))
+      val withBucket = all.crossJoin(broadcast(planes))
+        .withColumn("bit",
+          when(dot(col("q"), col("pq")) > 0,
+            pow(lit(2.0), col("pid")).cast(LongType)).otherwise(0L))
+        .groupBy(col("vec_id"))
+        .agg(sum(col("bit")).alias("bucket"))
+        .join(all, "vec_id")
+      val a = withBucket.select(col("bucket"), col("vec_id").alias("ida"),
+        col("q").alias("qa"), col("n2").alias("na"))
+      val b = withBucket.select(col("bucket"), col("vec_id").alias("idb"),
+        col("q").alias("qb"), col("n2").alias("nb"))
+      val hist = a.join(b, Seq("bucket")).filter(col("ida") < col("idb"))
+        .withColumn("cos", cosine(dot(col("qa"), col("qb")),
+          col("na"), col("nb")))
+        .select(floor(col("cos") * 100).cast(LongType).alias("bin"))
+        .groupBy("bin").agg(count(lit(1)).alias("n"))
+      import s.implicits._
+      val taus = (20L to 50L by 5L).toDF("tau_pct")
+      hist.join(broadcast(taus), col("bin") >= col("tau_pct"))
+        .groupBy("tau_pct")
+        .agg(sum(col("n")).alias("n_pairs"))
+        .orderBy("tau_pct")
+    }),
+
     // IVF variant: assign every vector to its nearest centroid
     // (centroids = quantized vectors 0..7 — deterministic, available
     // to the oracle), then search only the probe's cell. Same
@@ -1509,6 +1548,36 @@ object SimilarityQueries {
          |      ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rk
          |  FROM rr) t
          |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin,
+
+    // the dd_embed_cosine bucket pipeline with the threshold swept:
+    // 1%-bin histogram of bucket-pair cosines, then cumulative counts
+    // per candidate threshold (identical floor(cos*100) binning)
+    "sim_threshold_sweep" ->
+      s"""WITH $sqlQuant,
+         |planes AS (SELECT vec_id AS pid, qv AS pq FROM qn
+         |           WHERE vec_id < $NPlanes),
+         |bucketed AS (
+         |  SELECT v.vec_id,
+         |    CAST(sum(CASE WHEN ${sqlDot("v.qv", "p.pq")} > 0
+         |      THEN (1 << p.pid) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM qn v CROSS JOIN planes p
+         |  GROUP BY v.vec_id),
+         |wb AS (SELECT b.vec_id, b.bucket, qn.qv, qn.n2
+         |       FROM bucketed b JOIN qn ON b.vec_id = qn.vec_id),
+         |hist AS (
+         |  SELECT CAST(floor(
+         |    CAST(${sqlDot("a.qv", "b.qv")} AS BIGINT)
+         |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+         |      * 100) AS BIGINT) AS bin,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM wb a JOIN wb b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  GROUP BY 1),
+         |taus AS (SELECT CAST(unnest(range(20, 55, 5)) AS BIGINT)
+         |         AS tau_pct)
+         |SELECT tau_pct, CAST(sum(n) AS BIGINT) AS n_pairs
+         |FROM hist JOIN taus ON bin >= tau_pct
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // edge derivation verbatim, then oriented-wedge triangle closure
     // and the integral-micro-unit clustering coefficient

@@ -91,6 +91,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "dd_agreement", // 5-row × 5-row method-total cross, broadcast;
                     // inherits dd_embed_cosine's hyperplane broadcast
     "tx_class_tfidf", // 1-row class-count scalar vs the vocab agg
+    "sim_threshold_sweep", // hyperplane broadcast + 5-row literal
+                           // threshold table vs the bin histogram
     "tx_lm_score", // 1-row vocab scalar vs the bigram model table
     "tx_quality_bins", // inherits tx_lm_score's vocab-scalar broadcast
     "tx_bm25_topk", // 1-row corpus-stats scalar broadcast
