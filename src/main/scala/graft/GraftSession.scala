@@ -9,9 +9,11 @@ import org.apache.spark.sql.SparkSession
   *    would size this to 2-3× total cores or rely on AQE coalescing)
   *  - AQE on (runtime re-plan: skew joins, partition coalescing)
   *  - UTC session timezone (oracle parity)
-  *  - nanosAsLong: the driver's `events.parquet` stores TIMESTAMP(NANOS),
-  *    which Spark's vectorized reader otherwise rejects; with this
-  *    flag `ts` surfaces as LongType nanoseconds-since-epoch.
+  *  - nanosAsLong: some driver refreshes store `events.ts` as parquet
+  *    TIMESTAMP(NANOS), which Spark's vectorized reader otherwise
+  *    rejects; with this flag it surfaces as LongType nanos. Other
+  *    refreshes store TIMESTAMP(MICROS); `Tables.events` normalizes
+  *    both spellings to LongType nanos for every consumer.
   */
 object GraftSession {
   def builder(cpus: String): SparkSession.Builder =

@@ -29,7 +29,7 @@ class StreamingFunnelSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
 
     // the corpus events in event-time order, chunked into 3 batches
-    val evs = spark.read.parquet(s"$sf/events.parquet")
+    val evs = graft.Tables.events(spark, sf)
       .select(col("user_id"), col("event_type"),
         expr("ts div 1000").alias("t"))
       .as[(Long, String, Long)].collect()

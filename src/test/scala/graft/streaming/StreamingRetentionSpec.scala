@@ -16,7 +16,7 @@ class StreamingRetentionSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
 
-    val evs = spark.read.parquet(s"$sf/events.parquet")
+    val evs = graft.Tables.events(spark, sf)
       .select(col("user_id"), col("event_type"),
         expr("ts div 1000").alias("t"))
       .as[(Long, String, Long)].collect()
