@@ -44,6 +44,7 @@ object BenchExpect {
     "pipe_curate" -> 1.0,
     "pipe_report" -> 1.2,
     "pipe_pack" -> 1.8,
+    "pipe_split" -> 2.5,
     "pipe_mm_curate" -> 1.2,
     "p3_topic_route" -> 0.3,
     "p4_hash_route" -> 0.3,
@@ -265,9 +266,10 @@ object Bench {
     val maxSweeps = sys.env.getOrElse("SPARK_GRAFT_SWEEPS", "99").toInt
 
     var sweep = 0
+    var lastSweepRan = true // a sweep that ran zero queries ends the loop
     def allCalm = names.forall(calm)
     while (sweep == 0 ||
-        (sweep < maxSweeps && elapsedSec < sweepBudget &&
+        (sweep < maxSweeps && lastSweepRan && elapsedSec < sweepBudget &&
           !(allCalm && sweep >= 3))) {
       val targets =
         if (sweep == 0) names.sortBy(BenchExpect(_)) // cheapest-first
@@ -279,13 +281,19 @@ object Bench {
           // shadow the same block of queries every sweep.
           ts.sortBy(n => scala.util.hashing.MurmurHash3.stringHash(s"$n#$sweep"))
         }
+      var ran = 0
       for (n <- targets) {
         // sweep 0 must finish (every query needs >= 1 sample); later
         // sweeps skip a query when its cap no longer fits the budget
         if (sweep == 0 ||
-            elapsedSec + BenchExpect.capSec(n, maxCap) <= sweepBudget)
-          run(n)
+            elapsedSec + BenchExpect.capSec(n, maxCap) <= sweepBudget) {
+          run(n); ran += 1
+        }
       }
+      // When the remaining budget fits none of the pending queries'
+      // caps, further sweeps would be empty spins up to maxSweeps —
+      // stop so the reported sweep count means "sweeps that sampled".
+      lastSweepRan = ran > 0
       sweep += 1
     }
 

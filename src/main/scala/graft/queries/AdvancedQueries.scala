@@ -101,6 +101,36 @@ object AdvancedQueries {
       TextQueries.packOf(Tables.documents(s, d).join(keptIds, "doc_id"))
     }),
 
+    // Leakage-safe train/valid/test split: the split is a
+    // deterministic hash of the document's NEAR-DUP CLUSTER
+    // representative (dd_cluster's min-reachable-id label; documents
+    // in no candidate pair are their own representative), so
+    // near-duplicates can never straddle train and test — the
+    // split-contamination failure mode decontamination work warns
+    // about (a test document's near-dup leaking into train scores as
+    // memorization). 80/10/10 by hash bucket of the representative;
+    // same corpus ⇒ same split on any engine, any partitioning, and
+    // adding unrelated documents never moves an existing one between
+    // splits (the bucket depends only on the representative id).
+    // Scale shape: the cluster table is O(paired docs), joined to the
+    // corpus on the doc_id equi-key (AQE broadcasts it while small; a
+    // plain hash join at scale), then per-row hash arithmetic — no
+    // new shuffle class beyond the id join.
+    "pipe_split" -> ((s, d) => {
+      val clusters = DedupQueries.queries("dd_cluster")(s, d)
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).alias("rep"))
+        .withColumn("bucket",
+          DedupQueries.h60(col("rep").cast("string")) % 100L)
+        .withColumn("split",
+          when(col("bucket") < 80L, "train")
+            .when(col("bucket") < 90L, "valid")
+            .otherwise("test"))
+        .orderBy("doc_id")
+    }),
+
     // The curation dashboard: per-(lang, source) funnel counts — how
     // many documents each domain contributed, what each gate dropped
     // (quality / text-dup / semantic-dup), what survived, and the
@@ -482,6 +512,26 @@ object AdvancedQueries {
          |  (cum - n_tokens) // ${TextQueries.PackLen} AS bin,
          |  (cum - n_tokens) % ${TextQueries.PackLen} AS offset
          |FROM packed ORDER BY doc_id""".stripMargin,
+
+    // the dd_cluster oracle (recursive transitive closure) as a
+    // derived table: representative = cluster label where one exists,
+    // else the doc's own id; bucket = the shared 60-bit hash of the
+    // representative, mod 100
+    "pipe_split" ->
+      s"""WITH rep AS (
+         |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS rep
+         |  FROM documents d
+         |  LEFT JOIN (${DedupQueries.oracles("dd_cluster")}) c
+         |    ON d.doc_id = c.doc_id),
+         |b AS (
+         |  SELECT doc_id, rep,
+         |    ${DedupQueries.SqlH60("CAST(rep AS VARCHAR)")} % 100 AS bucket
+         |  FROM rep)
+         |SELECT doc_id, rep, bucket,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
 
     "rel_retention" ->
       """WITH ev AS (
