@@ -110,8 +110,85 @@ object SimilarityQueries {
       .orderBy("qid", "rk")
   }
 
+  /** Per-probe lexical top-k: the probe DOCUMENT's distinct terms act
+    * as the query, candidates score by the same exact-rational BM25
+    * micro-units tx_bm25_topk pins (integer floor per (doc, term)
+    * BEFORE the sum, so the cross-row sum is shuffle-order-
+    * independent). Scale shape: the probe term set is bounded by a
+    * constant number of probe documents, so it broadcasts; the
+    * corpus-side tf/df/dlen tables are the standard retrieval
+    * aggregates (doc- and term-keyed, map-side combined); the
+    * per-probe rank is a `row_number <= k` window that
+    * WindowGroupLimit bounds — retrieval cost is posting-list-sized
+    * (Σ df over probe terms), the inherent cost of running a query.
+    */
+  private def lexicalTopK(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val w = split(col("text"), " ")
+    val toks = docs.select(col("doc_id"), explode(w).alias("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).alias("tf"))
+    val dlen = docs.select(col("doc_id"), size(w).cast(LongType).alias("dl"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).alias("df"))
+    val stats = docs.agg(count(lit(1)).alias("n"),
+      sum(size(w).cast(LongType)).alias("tot"))
+    val probeTerms = toks.filter(col("doc_id") < NQueries).distinct()
+      .select(col("doc_id").alias("qid"), col("term"))
+    val sm = floor(
+      (col("n").cast("double") / col("df")) *
+        (col("tf") * lit(2.2)) /
+        (col("tf") +
+          lit(1.2) * (lit(0.25) +
+            lit(0.75) * col("dl") * col("n") / col("tot"))) *
+        lit(1000000.0)).cast(LongType)
+    val scored = tf.join(broadcast(probeTerms), "term")
+      .filter(col("doc_id") =!= col("qid"))
+      .join(dft, "term")
+      .join(dlen, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("doc_id"), sm.alias("sm"))
+      .groupBy("qid", "doc_id")
+      .agg(sum(col("sm")).alias("lex_micro"))
+    val wL = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("lex_micro").desc, col("doc_id").asc)
+    scored
+      .withColumn("lex_rank", row_number().over(wL).cast(LongType))
+      .filter(col("lex_rank") <= TopK)
+      .select(col("qid"), col("doc_id"), col("lex_rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> (cosineTopK(_, _)),
+
+    // Hybrid retrieval via reciprocal rank fusion (Cormack, Clarke &
+    // Buettcher 2009): for each probe document, fuse its lexical
+    // (doc-as-query BM25) and vector (cosine) top-k lists by
+    // rrf = Σ floor(1e6 / (60 + rank)) — rank-only fusion, so the
+    // incomparable score scales of the two retrievers never meet, and
+    // the integer division makes the fused score exact in any engine.
+    // A document in only one list contributes only that list's term
+    // (the standard RRF convention). Scale shape: both inputs are
+    // already-bounded rank lists (≤ probes × k rows each), fused by a
+    // full-outer equi-join and re-ranked by a WindowGroupLimit-bounded
+    // row_number — everything after the component retrievals is
+    // constant-sized.
+    "sim_rrf_fusion" -> ((s, d) => {
+      val lex = lexicalTopK(s, d)
+      val vec = cosineTopK(s, d)
+        .select(col("qid"), col("vec_id").alias("doc_id"),
+          col("rk").alias("vec_rank"))
+      val fused = lex.join(vec, Seq("qid", "doc_id"), "full_outer")
+        .withColumn("rrf_micro",
+          coalesce(expr("1000000 div (60 + lex_rank)"), lit(0L)) +
+            coalesce(expr("1000000 div (60 + vec_rank)"), lit(0L)))
+      val wF = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("rrf_micro").desc, col("doc_id").asc)
+      fused
+        .withColumn("rk", row_number().over(wF).cast(LongType))
+        .filter(col("rk") <= TopK)
+        .select(col("qid"), col("rk"), col("doc_id"), col("lex_rank"),
+          col("vec_rank"), col("rrf_micro"))
+        .orderBy("qid", "rk")
+    }),
 
     // Hyperplane-LSH buckets: sign of dot(v, plane_s) for 6 shared
     // hyperplanes (planes = quantized vectors 0..5 — deterministic,
@@ -1071,6 +1148,59 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "sim_cosine_topk" -> sqlCosineTopk,
+
+    // lexical leg replayed from the documents table (the tx_bm25_topk
+    // derivation with the probe document's terms as the query), the
+    // vector leg as the cosine-topk oracle verbatim, fused by the
+    // same integer RRF arithmetic
+    "sim_rrf_fusion" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, wd AS term
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+         |        FROM documents) t, UNNEST(ws) u(wd)),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM toks GROUP BY doc_id, term),
+         |dlen AS (SELECT doc_id,
+         |           CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+         |         FROM documents),
+         |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |        FROM tf GROUP BY term),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |            CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+         |              AS tot
+         |          FROM documents),
+         |probes AS (SELECT DISTINCT doc_id AS qid, term FROM toks
+         |           WHERE doc_id < $NQueries),
+         |lex_scored AS (
+         |  SELECT p.qid, t.doc_id,
+         |    CAST(sum(CAST(floor((CAST(s.n AS DOUBLE) / f.df)
+         |      * (t.tf * 2.2)
+         |      / (t.tf + 1.2 * (0.25 + 0.75 * d.dl * s.n / s.tot))
+         |      * 1000000.0) AS BIGINT)) AS BIGINT) AS lex_micro
+         |  FROM tf t JOIN probes p USING (term) JOIN dft f USING (term)
+         |       JOIN dlen d ON t.doc_id = d.doc_id CROSS JOIN stats s
+         |  WHERE t.doc_id <> p.qid
+         |  GROUP BY p.qid, t.doc_id),
+         |lex AS (
+         |  SELECT qid, doc_id, rn AS lex_rank FROM (
+         |    SELECT qid, doc_id,
+         |      CAST(row_number() OVER (PARTITION BY qid
+         |        ORDER BY lex_micro DESC, doc_id ASC) AS BIGINT) AS rn
+         |    FROM lex_scored) t
+         |  WHERE rn <= $TopK),
+         |vec AS (SELECT qid, vec_id AS doc_id, rk AS vec_rank
+         |        FROM ($sqlCosineTopk) c),
+         |fused AS (
+         |  SELECT qid, doc_id, l.lex_rank, v.vec_rank,
+         |    coalesce(1000000 // (60 + l.lex_rank), 0)
+         |      + coalesce(1000000 // (60 + v.vec_rank), 0) AS rrf_micro
+         |  FROM lex l FULL JOIN vec v USING (qid, doc_id))
+         |SELECT qid, rn AS rk, doc_id, lex_rank, vec_rank, rrf_micro
+         |FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY rrf_micro DESC, doc_id ASC) AS BIGINT) AS rn
+         |  FROM fused) t
+         |WHERE rn <= $TopK ORDER BY qid, rk""".stripMargin,
     "sim_ivf_kmeans" -> sqlIvfKmeans,
 
     // filtered search: predicate applied BEFORE the top-k

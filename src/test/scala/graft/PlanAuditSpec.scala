@@ -60,6 +60,7 @@ class PlanAuditSpec extends AnyFunSuite {
       // 1-row corpus-stats scalar + query-term rank over the
       // aggregate-reduced vocabulary table
       "tx_bm25_topk",
+      "sim_rrf_fusion", // inherits tx_bm25_topk's 1-row stats scalar
       "tx_collocations", // 1-row corpus-count scalar, broadcast back
       "sim_sq8_ann", // Dim-row stats packed to ONE broadcast row
       "rel_top_suppliers", // 1-row max-revenue scalar, equi-joined back
@@ -96,6 +97,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "tx_lm_score", // 1-row vocab scalar vs the bigram model table
     "tx_quality_bins", // inherits tx_lm_score's vocab-scalar broadcast
     "tx_bm25_topk", // 1-row corpus-stats scalar broadcast
+    "sim_rrf_fusion", // inherits both legs: the bm25 stats scalar and
+                      // sim_cosine_topk's broadcast probe rows
     "tx_collocations", // 1-row corpus-count scalar broadcast
     "sim_sq8_ann", // 1-row stats row + probe codes vs every vector
     "rel_idle_customers") // 1-row balance-stats scalar vs customers

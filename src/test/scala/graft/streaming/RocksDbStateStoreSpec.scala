@@ -195,4 +195,35 @@ class RocksDbStateStoreSpec extends AnyFunSuite {
       } finally q.stop()
     }
   }
+
+  test("session windows merge and close across micro-batches under RocksDB") {
+    withRocksDb {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val gap = 1000L
+      val in = MemoryStream[StreamingSessions.Ev]
+      val q = StreamingSessions.track(in.toDS(), gap)
+        .writeStream.format("memory").queryName("rocks_sess")
+        .outputMode("append").start()
+      try {
+        // the open session extends across a batch boundary (its
+        // window state lives in RocksDB between the two), then a
+        // far-future event advances the watermark and closes it
+        in.addData(StreamingSessions.Ev(1L, 1L, 0L))
+        q.processAllAvailable()
+        in.addData(StreamingSessions.Ev(1L, 2L, 500L))
+        q.processAllAvailable()
+        in.addData(StreamingSessions.Ev(9L, -1L, 100L * gap))
+        q.processAllAvailable()
+        in.addData(StreamingSessions.Ev(9L, -2L, 200L * gap))
+        q.processAllAvailable()
+        val got = spark.table("rocks_sess")
+          .filter($"user_id" === 1L)
+          .select("start_ms", "end_ms", "n_events").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(got === Set((0L, 500L, 2L)),
+          s"session state lost across batches: $got")
+      } finally q.stop()
+    }
+  }
 }
