@@ -44,8 +44,8 @@ object BenchExpect {
     "pipe_curate" -> 1.0,
     "pipe_report" -> 1.2,
     "pipe_pack" -> 1.8,
-    "pipe_split" -> 2.5,
-    "sim_rrf_fusion" -> 1.5,
+    "pipe_split" -> 1.8,
+    "sim_rrf_fusion" -> 1.6,
     "pipe_mm_curate" -> 1.2,
     "p3_topic_route" -> 0.3,
     "p4_hash_route" -> 0.3,
