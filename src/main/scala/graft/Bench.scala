@@ -320,7 +320,20 @@ object Bench {
     // (replay source → EnvelopeTransform → noop streaming sink).
     val streamEps = BenchStreaming.envelopeEventsPerSec(spark)
     val stagedJson = stagedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"capped":$cappedFinal,"sweeps":$sweep,"stage_build_sec":$stageBuildSec,"staged":$stagedJson,"envelope_events_per_sec":$eventsPerSec,"streaming_envelope_events_per_sec":$streamEps,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"capped":$cappedFinal,"sweeps":$sweep,"stage_build_sec":$stageBuildSec,"staged":$stagedJson,"envelope_events_per_sec":$eventsPerSec,"streaming_envelope_events_per_sec":$streamEps,"sf":"$sfDir"}"""
+    println(line)
+    // The driver captures stdout with `tail`, which can start
+    // mid-artifact and truncate the per-query map. Persist the full
+    // JSON in the repo too, so the committed snapshot is always
+    // self-contained regardless of how the console capture slices it.
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_out.json"),
+        (line + "\n").getBytes("UTF-8"))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

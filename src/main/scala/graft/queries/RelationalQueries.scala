@@ -1034,8 +1034,8 @@ object RelationalQueries {
         |  CAST(sum(rev) AS BIGINT) AS total_cents,
         |  CAST(sum(CASE WHEN n_name = 'NATION_9' THEN rev ELSE 0 END)
         |    AS BIGINT) AS nation_cents,
-        |  (sum(CASE WHEN n_name = 'NATION_9' THEN rev ELSE 0 END)
-        |    * 1000000) // sum(rev) AS share_ppm
+        |  CAST((sum(CASE WHEN n_name = 'NATION_9' THEN rev ELSE 0 END)
+        |    * 1000000) // sum(rev) AS BIGINT) AS share_ppm
         |FROM li JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -1068,7 +1068,8 @@ object TextQueries {
          |  FROM counts),
          |tot AS (SELECT sum(wt) AS tw FROM w),
          |quota AS (SELECT lang,
-         |  ($SampleTarget * wt + tw - 1) // tw AS quota FROM w, tot),
+         |  CAST(($SampleTarget * wt + tw - 1) // tw AS BIGINT) AS quota
+         |  FROM w, tot),
          |hashed AS (
          |  SELECT doc_id, lang,
          |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h

@@ -68,8 +68,9 @@ class StreamingSessionsSpec extends AnyFunSuite {
       .outputMode("append").start()
     try {
       in.addData(
-        Ev(1L, 1L, 0L), Ev(1L, 2L, GapMs), // contiguous (gap-1 apart is
-        Ev(1L, 3L, 2L * GapMs + 1L), // inclusive); this one splits
+        Ev(1L, 1L, 0L), Ev(1L, 2L, GapMs), // exactly gap apart merges
+        // (batch splits only on diff > gap); gap+1 past it splits
+        Ev(1L, 3L, 2L * GapMs + 1L),
         Ev(FlushUser, -1L, 100L * GapMs))
       q.processAllAvailable()
       in.addData(Ev(FlushUser, -2L, 200L * GapMs))

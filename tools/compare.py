@@ -53,6 +53,25 @@ def main(sf_dir: str, out_dir: str) -> None:
             print(f"FAIL {name}: rows {len(g)} != {len(w)}")
             fails += 1
             continue
+        # dtype guard: the driver's hasher canonicalizes by dtype, so an
+        # oracle column that DuckDB types HUGEINT (-> float64/object in
+        # pandas) or DOUBLE where Spark emits an integer hash-mismatches
+        # even when every value is equal. Catch that class here: integer
+        # on the Spark side must be integer on the oracle side.
+        drift = [
+            c
+            for c in g.columns
+            if g[c].dtype.kind in "iu" and w[c].dtype.kind not in "iu"
+        ]
+        if drift:
+            print(
+                f"FAIL {name}: oracle dtype drift on {drift} "
+                f"(got {[str(g[c].dtype) for c in drift]}, "
+                f"oracle {[str(w[c].dtype) for c in drift]}) — "
+                f"likely un-CAST HUGEINT/DOUBLE in the oracle SQL"
+            )
+            fails += 1
+            continue
         # exact value compare after canonicalization
         try:
             eq = g.astype(object).where(pd.notna(g), None).equals(
