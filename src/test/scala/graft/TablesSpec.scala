@@ -54,6 +54,76 @@ class TablesSpec extends AnyFunSuite {
     }
   }
 
+  /** The full normalized-schema contract, one pin per table: column
+    * names, order, and types as every query and oracle assumes them.
+    * A driver testdata refresh that changes ANY column silently (as
+    * the 2026-08-13 one did to `events.ts`) must fail here, in one
+    * place with a readable diff — not as a scatter of
+    * DATATYPE_MISMATCH failures across the query suites. Timestamp
+    * columns accept both TIMESTAMP spellings (NTZ vs LTZ — parquet
+    * isAdjustedToUTC flips between generator versions; the session
+    * timezone is pinned UTC so both cast identically), everything
+    * else is exact.
+    */
+  private val TsLike: Set[DataType] = Set(TimestampType, TimestampNTZType)
+
+  private val expectedSchemas: Map[String, Seq[(String, Any)]] = Map(
+    "region" -> Seq("r_regionkey" -> IntegerType, "r_name" -> StringType),
+    "nation" -> Seq("n_nationkey" -> IntegerType, "n_name" -> StringType,
+      "n_regionkey" -> IntegerType),
+    "customer" -> Seq("c_custkey" -> LongType, "c_name" -> StringType,
+      "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+      "c_mktsegment" -> StringType),
+    "supplier" -> Seq("s_suppkey" -> LongType, "s_name" -> StringType,
+      "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+    "part" -> Seq("p_partkey" -> LongType, "p_name" -> StringType,
+      "p_brand" -> StringType, "p_type" -> StringType,
+      "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
+    "orders" -> Seq("o_orderkey" -> LongType, "o_custkey" -> LongType,
+      "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+      "o_orderdate" -> TsLike, "o_orderpriority" -> StringType),
+    "lineitem" -> Seq("l_orderkey" -> LongType, "l_partkey" -> LongType,
+      "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+      "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+      "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+      "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+      "l_shipdate" -> TsLike),
+    // events is pinned POST-normalization: ts must always be Long nanos
+    "events" -> Seq("event_id" -> LongType, "ts" -> LongType,
+      "user_id" -> LongType, "event_type" -> StringType,
+      "value" -> DoubleType, "props" -> StringType),
+    "documents" -> Seq("doc_id" -> LongType, "text" -> StringType,
+      "lang" -> StringType, "source" -> StringType, "n_chars" -> LongType),
+    "embeddings" -> Seq("vec_id" -> LongType,
+      "embedding" -> ArrayType(FloatType), "label" -> IntegerType))
+
+  test("all ten live tables match the pinned normalized schema") {
+    val loaders: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      Map("region" -> Tables.region, "nation" -> Tables.nation,
+        "customer" -> Tables.customer, "supplier" -> Tables.supplier,
+        "part" -> Tables.part, "orders" -> Tables.orders,
+        "lineitem" -> Tables.lineitem, "events" -> Tables.events,
+        "documents" -> Tables.documents, "embeddings" -> Tables.embeddings)
+    assert(loaders.keySet === Tables.names.toSet)
+    val diffs = Tables.names.flatMap { t =>
+      val got = loaders(t)(spark, "/root/testdata/sf0.001").schema
+        .map(f => f.name -> f.dataType)
+      val want = expectedSchemas(t)
+      if (got.size != want.size ||
+          got.zip(want).exists { case ((gn, gt), (wn, wt)) =>
+            gn != wn || (wt match {
+              case s: Set[_] => !s.asInstanceOf[Set[DataType]].contains(gt)
+              case d: DataType => gt != d
+              case other => fail(s"bad expectation $other")
+            })
+          })
+        Some(s"$t:\n  got  $got\n  want $want")
+      else None
+    }
+    assert(diffs.isEmpty,
+      "testdata refresh changed table schemas:\n" + diffs.mkString("\n"))
+  }
+
   test("the live testdata reads as Long nanos in a sane range") {
     val ts = Tables.events(spark, "/root/testdata/sf0.001")
       .agg(min(col("ts")), max(col("ts"))).head()
