@@ -123,29 +123,18 @@ object SimilarityQueries {
     * (Σ df over probe terms), the inherent cost of running a query.
     */
   private def lexicalTopK(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val w = split(col("text"), " ")
-    val toks = docs.select(col("doc_id"), explode(w).alias("term"))
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).alias("tf"))
-    val dlen = docs.select(col("doc_id"), size(w).cast(LongType).alias("dl"))
-    val dft = tf.groupBy("term").agg(count(lit(1)).alias("df"))
-    val stats = docs.agg(count(lit(1)).alias("n"),
-      sum(size(w).cast(LongType)).alias("tot"))
-    val probeTerms = toks.filter(col("doc_id") < NQueries).distinct()
+    // tf/dlen/dft/stats and the micro-unit score come from the shared
+    // TextQueries.bm25Corpus/bm25Micro definition (single source of
+    // truth with tx_bm25_topk — see the Scaladoc there)
+    val c = TextQueries.bm25Corpus(Tables.documents(s, d))
+    val probeTerms = c.toks.filter(col("doc_id") < NQueries).distinct()
       .select(col("doc_id").alias("qid"), col("term"))
-    val sm = floor(
-      (col("n").cast("double") / col("df")) *
-        (col("tf") * lit(2.2)) /
-        (col("tf") +
-          lit(1.2) * (lit(0.25) +
-            lit(0.75) * col("dl") * col("n") / col("tot"))) *
-        lit(1000000.0)).cast(LongType)
-    val scored = tf.join(broadcast(probeTerms), "term")
+    val scored = c.tf.join(broadcast(probeTerms), "term")
       .filter(col("doc_id") =!= col("qid"))
-      .join(dft, "term")
-      .join(dlen, "doc_id")
-      .crossJoin(broadcast(stats))
-      .select(col("qid"), col("doc_id"), sm.alias("sm"))
+      .join(c.dft, "term")
+      .join(c.dlen, "doc_id")
+      .crossJoin(broadcast(c.stats))
+      .select(col("qid"), col("doc_id"), TextQueries.bm25Micro.alias("sm"))
       .groupBy("qid", "doc_id")
       .agg(sum(col("sm")).alias("lex_micro"))
     val wL = org.apache.spark.sql.expressions.Window
@@ -1154,29 +1143,13 @@ object SimilarityQueries {
     // vector leg as the cosine-topk oracle verbatim, fused by the
     // same integer RRF arithmetic
     "sim_rrf_fusion" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, wd AS term
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
-         |        FROM documents) t, UNNEST(ws) u(wd)),
-         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-         |       FROM toks GROUP BY doc_id, term),
-         |dlen AS (SELECT doc_id,
-         |           CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-         |         FROM documents),
-         |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df
-         |        FROM tf GROUP BY term),
-         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
-         |            CAST(sum(len(string_split(text, ' '))) AS BIGINT)
-         |              AS tot
-         |          FROM documents),
+      s"""WITH ${TextQueries.bm25OracleCte},
          |probes AS (SELECT DISTINCT doc_id AS qid, term FROM toks
          |           WHERE doc_id < $NQueries),
          |lex_scored AS (
          |  SELECT p.qid, t.doc_id,
-         |    CAST(sum(CAST(floor((CAST(s.n AS DOUBLE) / f.df)
-         |      * (t.tf * 2.2)
-         |      / (t.tf + 1.2 * (0.25 + 0.75 * d.dl * s.n / s.tot))
-         |      * 1000000.0) AS BIGINT)) AS BIGINT) AS lex_micro
+         |    CAST(sum(${TextQueries.bm25OracleMicro("f.df")})
+         |      AS BIGINT) AS lex_micro
          |  FROM tf t JOIN probes p USING (term) JOIN dft f USING (term)
          |       JOIN dlen d ON t.doc_id = d.doc_id CROSS JOIN stats s
          |  WHERE t.doc_id <> p.qid

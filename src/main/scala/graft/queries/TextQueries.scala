@@ -20,6 +20,72 @@ object TextQueries {
 
   private def w: Column = split(col("text"), " ")
 
+  /** Shared BM25 derivation — the single definition of the corpus-side
+    * retrieval tables (per-(doc, term) tf, doc length, document
+    * frequency, corpus stats over whitespace tokens), used by BOTH
+    * `tx_bm25_topk` here and `sim_rrf_fusion`'s lexical leg
+    * (`SimilarityQueries.lexicalTopK`). Their DuckDB oracles share
+    * [[bm25OracleCte]]/[[bm25OracleMicro]] the same way: hash parity
+    * requires the two queries' float ops to match to the last bit, so
+    * an edit to the formula must move Spark side and oracle side of
+    * both queries together — which is now the only possibility.
+    */
+  private[queries] case class Bm25Corpus(toks: DataFrame, tf: DataFrame,
+    dlen: DataFrame, dft: DataFrame, stats: DataFrame)
+
+  private[queries] def bm25Corpus(docs: DataFrame): Bm25Corpus = {
+    val toks = docs.select(col("doc_id"), explode(w).alias("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).alias("tf"))
+    val dlen = docs.select(col("doc_id"), size(w).cast(LongType).alias("dl"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).alias("df"))
+    val stats = docs.agg(count(lit(1)).alias("n"),
+      sum(size(w).cast(LongType)).alias("tot"))
+    Bm25Corpus(toks, tf, dlen, dft, stats)
+  }
+
+  /** Per-(doc, term) BM25 score floored to integer micro-units BEFORE
+    * any sum (so cross-row sums are shuffle-order-independent):
+    * k1 = 1.2, b = 0.75, idf = N/df (exact-rational — BM25's ln() idf
+    * is a transcendental no cross-engine oracle can replay). Expects
+    * columns `tf`, `df`, `dl`, `n`, `tot` in scope.
+    */
+  private[queries] def bm25Micro: Column = floor(
+    (col("n").cast("double") / col("df")) *
+      (col("tf") * lit(2.2)) /
+      (col("tf") +
+        lit(1.2) * (lit(0.25) +
+          lit(0.75) * col("dl") * col("n") / col("tot"))) *
+      lit(1000000.0)).cast(LongType)
+
+  /** Oracle twin of [[bm25Corpus]]: the DuckDB CTE block (spliced
+    * right after WITH).
+    */
+  private[queries] val bm25OracleCte: String =
+    """toks AS (
+      |  SELECT doc_id, wd AS term
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+      |        FROM documents) t, UNNEST(ws) u(wd)),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |       FROM toks GROUP BY doc_id, term),
+      |dlen AS (SELECT doc_id,
+      |           CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      |         FROM documents),
+      |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+      |        FROM tf GROUP BY term),
+      |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |            CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+      |              AS tot
+      |          FROM documents)""".stripMargin
+
+  /** Oracle twin of [[bm25Micro]]; `df` is the caller's alias for the
+    * document-frequency column (aliases t = tf, d = dlen, s = stats
+    * are fixed by convention in both consumers).
+    */
+  private[queries] def bm25OracleMicro(df: String): String =
+    s"""CAST(floor((CAST(s.n AS DOUBLE) / $df) * (t.tf * 2.2)
+       |      / (t.tf + 1.2 * (0.25 + 0.75 * d.dl * s.n / s.tot))
+       |      * 1000000.0) AS BIGINT)""".stripMargin
+
   /** Count-min sketch geometry: 4 hash rows × CmsWidth buckets.
     * Width is the error knob (overcount ≤ n/width per row): session-
     * configurable via `graft.cms.width` (power of two ≤ 2^15 — each
@@ -379,31 +445,16 @@ object TextQueries {
     // broadcast, and the top-10 is a TakeOrdered, never a global
     // sort.
     "tx_bm25_topk" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val toks = docs.select(col("doc_id"), explode(w).alias("term"))
-      val tf = toks.groupBy("doc_id", "term")
-        .agg(count(lit(1)).alias("tf"))
-      val dlen = docs.select(col("doc_id"),
-        size(w).cast(LongType).alias("dl"))
-      val dft = tf.groupBy("term").agg(count(lit(1)).alias("df"))
-      val stats = docs.agg(count(lit(1)).alias("n"),
-        sum(size(w).cast(LongType)).alias("tot"))
+      val c = bm25Corpus(Tables.documents(s, d))
       val wQ = org.apache.spark.sql.expressions.Window
         .orderBy(col("df").desc, col("term").asc)
-      val qterms = dft.withColumn("rn", row_number().over(wQ))
+      val qterms = c.dft.withColumn("rn", row_number().over(wQ))
         .filter(col("rn").between(11, 13))
         .select(col("term"), col("df"))
-      val sm = floor(
-        (col("n").cast("double") / col("df")) *
-          (col("tf") * lit(2.2)) /
-          (col("tf") +
-            lit(1.2) * (lit(0.25) +
-              lit(0.75) * col("dl") * col("n") / col("tot"))) *
-          lit(1000000.0)).cast(LongType)
-      tf.join(broadcast(qterms), "term")
-        .join(dlen, "doc_id")
-        .crossJoin(broadcast(stats))
-        .select(col("doc_id"), sm.alias("sm"))
+      c.tf.join(broadcast(qterms), "term")
+        .join(c.dlen, "doc_id")
+        .crossJoin(broadcast(c.stats))
+        .select(col("doc_id"), bm25Micro.alias("sm"))
         .groupBy("doc_id")
         .agg(sum(col("sm")).alias("bm25_micro"),
           count(lit(1)).alias("n_terms"))
@@ -1161,30 +1212,14 @@ object TextQueries {
     // same arithmetic, same left-associative evaluation order — the
     // per-(doc, term) micro-unit floor makes the per-doc sum exact
     "tx_bm25_topk" ->
-      """WITH toks AS (
-        |  SELECT doc_id, wd AS term
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
-        |        FROM documents) t, UNNEST(ws) u(wd)),
-        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-        |       FROM toks GROUP BY doc_id, term),
-        |dlen AS (SELECT doc_id,
-        |           CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-        |         FROM documents),
-        |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df
-        |        FROM tf GROUP BY term),
-        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
-        |            CAST(sum(len(string_split(text, ' '))) AS BIGINT)
-        |              AS tot
-        |          FROM documents),
+      s"""WITH $bm25OracleCte,
         |q AS (SELECT term, df FROM (
         |        SELECT *, row_number() OVER (
         |          ORDER BY df DESC, term ASC) AS rn FROM dft) t
         |      WHERE rn BETWEEN 11 AND 13),
         |scored AS (
         |  SELECT t.doc_id,
-        |    CAST(floor((CAST(s.n AS DOUBLE) / q.df) * (t.tf * 2.2)
-        |      / (t.tf + 1.2 * (0.25 + 0.75 * d.dl * s.n / s.tot))
-        |      * 1000000.0) AS BIGINT) AS sm
+        |    ${bm25OracleMicro("q.df")} AS sm
         |  FROM tf t JOIN q USING (term) JOIN dlen d USING (doc_id)
         |       CROSS JOIN stats s)
         |SELECT doc_id, CAST(sum(sm) AS BIGINT) AS bm25_micro,
