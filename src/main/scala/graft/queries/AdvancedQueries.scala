@@ -101,6 +101,30 @@ object AdvancedQueries {
       TextQueries.packOf(Tables.documents(s, d).join(keptIds, "doc_id"))
     }),
 
+    // Curriculum ordering (the quality-annealing recipe: train on the
+    // low-quality bulk first, end on the highest-quality data): every
+    // document gets a deterministic global curriculum position ordered
+    // by its LM-score quality decile ascending, with a content-hash
+    // shuffle INSIDE each decile so consecutive positions are not
+    // corpus-ordered (the within-stage shuffle any curriculum loader
+    // assumes). Composed from the independently-oracled
+    // tx_quality_bins decile table; same corpus ⇒ same curriculum on
+    // any engine. Scale shape: one doc_id equi-join, then the same
+    // constant-group GroupRank global rank as tx_shard — a range
+    // partition + broadcast offsets, never an ORDER-BY-everything
+    // window task.
+    "pipe_curriculum" -> ((s, d) => {
+      val bins = TextQueries.queries("tx_quality_bins")(s, d)
+        .select(col("doc_id"), col("decile"))
+      val hashed = Tables.documents(s, d)
+        .select(col("doc_id"), DedupQueries.h60(col("text")).alias("h"))
+      val base = bins.join(hashed, "doc_id").withColumn("g0", lit(0))
+      GroupRank.rank(base, "g0",
+          Seq(col("decile").asc, col("h").asc, col("doc_id").asc))
+        .select(col("doc_id"), col("decile"), col("rn").alias("pos"))
+        .orderBy("pos")
+    }),
+
     // Leakage-safe train/valid/test split: the split is a
     // deterministic hash of the document's NEAR-DUP CLUSTER
     // representative (dd_cluster's min-reachable-id label; documents
@@ -465,6 +489,22 @@ object AdvancedQueries {
 
   val oracles: Map[String, String] = Map(
     "pipe_curate" -> pipeCurateSql,
+
+    // tx_quality_bins' own oracle as a derived table, hash-shuffled
+    // inside each decile by the corpus content hash, globally ranked
+    "pipe_curriculum" ->
+      s"""WITH bins AS (
+         |  SELECT doc_id, decile
+         |  FROM (${TextQueries.oracles("tx_quality_bins")}) b),
+         |hashed AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+         |  FROM documents)
+         |SELECT doc_id, decile,
+         |  CAST(row_number() OVER (ORDER BY decile ASC, h ASC,
+         |    doc_id ASC) AS BIGINT) AS pos
+         |FROM bins JOIN hashed USING (doc_id)
+         |ORDER BY pos""".stripMargin,
 
     // the two components' own oracles joined on the shared id
     "pipe_mm_curate" ->

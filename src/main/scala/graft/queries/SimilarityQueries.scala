@@ -45,6 +45,8 @@ object SimilarityQueries {
     n
   }
   final val NQueries = 5   // probe vectors: vec_id < 5
+  final val MrlDim = 16        // Matryoshka prefix dims (stage-1 scan)
+  final val MrlShortlist = 50  // stage-1 shortlist width per probe
   final val NPlanes = 6    // LSH: 2^6 = 64 buckets
   final val NCentroids = 8 // IVF: data-derived centroid seeds
 
@@ -356,6 +358,51 @@ object SimilarityQueries {
     "sim_pq_ann" -> (pqAnn(_, _)),
 
     "sim_ivfpq_ann" -> (ivfPqAnn(_, _)),
+
+    // Matryoshka two-stage retrieval (Kusupati et al. 2022,
+    // "Matryoshka Representation Learning"): MRL-trained embeddings
+    // concentrate signal in their prefix dimensions, so stage 1
+    // scores every candidate with only the FIRST MrlDim of Dim
+    // coordinates — a 4× narrower scan, the adaptive-retrieval
+    // deployment pattern MRL papers ship — keeps the per-probe
+    // cosine shortlist of MrlShortlist, and stage 2 exact-reranks
+    // only the shortlist with full-width vectors. Scale shape: the
+    // prefix table is a narrow projection of the staged quantized
+    // index (at 100 TB it would be its own staged column family);
+    // probes broadcast in both stages; the shortlist is
+    // probes × MrlShortlist rows, so the full-width table is touched
+    // through one small equi-join; both ranks are
+    // WindowGroupLimit-prunable row_number ≤ k filters.
+    "sim_mrl_ann" -> ((s, d) => {
+      val all = quantized(s, d)
+      val pref = all.select(col("vec_id"),
+          slice(col("q"), 1, MrlDim).alias("p"))
+        .withColumn("pn2", dot(col("p"), col("p")))
+      val probesP = pref.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").alias("qid"), col("p").alias("pp"),
+          col("pn2").alias("ppn2"))
+      val wC = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("ccos").desc, col("vec_id").asc)
+      val short = pref.join(broadcast(probesP), col("vec_id") =!= col("qid"))
+        .withColumn("ccos", cosine(dot(col("pp"), col("p")),
+          col("ppn2"), col("pn2")))
+        .withColumn("crk", row_number().over(wC))
+        .filter(col("crk") <= MrlShortlist)
+        .select(col("qid"), col("vec_id"))
+      val probesF = all.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").alias("qid"), col("q").alias("qq"),
+          col("n2").alias("qn2"))
+      val wF = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+      short.join(all, "vec_id")
+        .join(broadcast(probesF), "qid")
+        .withColumn("cos", cosine(dot(col("qq"), col("q")),
+          col("qn2"), col("n2")))
+        .withColumn("rk", row_number().over(wF).cast(LongType))
+        .filter(col("rk") <= TopK)
+        .select(col("qid"), col("rk"), col("vec_id"), col("cos"))
+        .orderBy("qid", "rk")
+    }),
 
     // Filtered (hybrid) vector search — the vector-DB pattern where a
     // metadata predicate and a similarity query compose: top-k ONLY
@@ -1030,6 +1077,9 @@ object SimilarityQueries {
   private def sqlDotSub(a: String, b: String) =
     s"list_sum(list_transform(range(1, ${PqSubDim + 1}), i -> $a[i] * $b[i]))"
 
+  private def sqlDotMrl(a: String, b: String) =
+    s"list_sum(list_transform(range(1, ${MrlDim + 1}), i -> $a[i] * $b[i]))"
+
   /** The kNN-graph edge derivation as a reusable WITH prefix (ends at
     * `edges (src, dst)`) — verbatim the sim_knn_graph pipeline, shared
     * by the graph-operator oracles built on the staged edge list.
@@ -1199,6 +1249,41 @@ object SimilarityQueries {
     // PQ/ADC: encode per (vector, subspace), LUT = probe sub-vector ·
     // sub-centroid, approx_dot = Σ over subspaces, ADC top-50
     // shortlist, exact-cosine rerank to top-k.
+    // stage 1 on the 16-dim prefix (slice + prefix-dot), stage 2 the
+    // full-width rerank tail shared with the PQ/SQ8 oracles
+    "sim_mrl_ann" ->
+      s"""WITH $sqlQuant,
+         |pref AS (
+         |  SELECT vec_id, qv[1:$MrlDim] AS p,
+         |    list_sum(list_transform(qv[1:$MrlDim], x -> x * x)) AS pn2
+         |  FROM qn),
+         |pprobes AS (SELECT vec_id AS qid, p AS pp, pn2 AS ppn2
+         |            FROM pref WHERE vec_id < $NQueries),
+         |coarse AS (
+         |  SELECT b.qid, v.vec_id,
+         |    CAST(${sqlDotMrl("b.pp", "v.p")} AS BIGINT)
+         |      / (sqrt(CAST(b.ppn2 AS DOUBLE)) * sqrt(CAST(v.pn2 AS DOUBLE)))
+         |      AS ccos
+         |  FROM pref v CROSS JOIN pprobes b WHERE v.vec_id <> b.qid),
+         |short AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY ccos DESC, vec_id ASC) AS crk FROM coarse) t
+         |  WHERE crk <= $MrlShortlist),
+         |reranked AS (
+         |  SELECT sl.qid, sl.vec_id,
+         |    CAST(${sqlDot("p.qv", "v.qv")} AS BIGINT)
+         |      / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(v.n2 AS DOUBLE)))
+         |      AS cos
+         |  FROM short sl
+         |  JOIN qn v ON v.vec_id = sl.vec_id
+         |  JOIN qn p ON p.vec_id = sl.qid)
+         |SELECT qid, rk, vec_id, cos FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rk
+         |  FROM reranked) t
+         |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin,
+
     "sim_pq_ann" ->
       s"""WITH $sqlQuant,
          |sub AS (

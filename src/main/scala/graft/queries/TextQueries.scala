@@ -311,6 +311,42 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Gopher-style quality rules (Rae et al. 2021, "Scaling Language
+    // Models: ... Gopher", Table A1 — the heuristic rule family C4/
+    // Gopher/FineWeb pipelines apply before any model-based filter):
+    // word-count bounds, mean-word-length bounds, minimum alphabetic-
+    // word share, minimum stop-word hits, and a maximum single-word
+    // dominance share (the repetition gate). Every rule is exact
+    // integer arithmetic (mean word length in floor-micro units, the
+    // share rules as cross-multiplied inequalities), so the oracle
+    // replays the verdict bit-for-bit. One row per document with each
+    // rule's measurement, its boolean, and the conjunctive keep —
+    // per-row expressions at scan speed, no shuffle but the output
+    // ORDER BY.
+    "tx_gopher_rules" -> ((s, d) => {
+      val nW = size(w).cast(LongType)
+      val chars = aggregate(transform(w, x => length(x).cast(LongType)),
+        lit(0L), (a, x) => a + x)
+      val alphaN = size(filter(w, x => x.rlike("^[a-z]+$"))).cast(LongType)
+      val stopN = size(filter(w, x => x.isin("the", "a"))).cast(LongType)
+      val topCnt = array_max(transform(array_distinct(w),
+        x => size(filter(w, y => y === x)))).cast(LongType)
+      Tables.documents(s, d)
+        .select(col("doc_id"), nW.alias("n_words"), chars.alias("chars"),
+          alphaN.alias("alpha_n"), stopN.alias("stop_n"),
+          topCnt.alias("top_cnt"))
+        .withColumn("mwl_micro", expr("chars * 1000000 div n_words"))
+        .withColumn("r_words", col("n_words").between(20L, 80L))
+        .withColumn("r_mwl",
+          col("mwl_micro").between(3000000L, 10000000L))
+        .withColumn("r_alpha", col("alpha_n") * 10L >= col("n_words") * 8L)
+        .withColumn("r_stop", col("stop_n") >= 2L)
+        .withColumn("r_rep", col("top_cnt") * 5L <= col("n_words"))
+        .withColumn("keep", col("r_words") && col("r_mwl") &&
+          col("r_alpha") && col("r_stop") && col("r_rep"))
+        .orderBy("doc_id")
+    }),
+
     // BPE-ish regex tokenization: letter runs, digit runs, and
     // single punctuation as separate tokens (the pre-tokenizer shape
     // GPT-style BPE vocabularies use), plus distinct-token count.
@@ -897,6 +933,35 @@ object TextQueries {
         |    / CAST(len(w) AS BIGINT) AS ttr
         |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t
         |ORDER BY doc_id""".stripMargin,
+
+    "tx_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_words,
+        |  CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT)
+        |    AS chars,
+        |  CAST(len(list_filter(w,
+        |    x -> regexp_full_match(x, '[a-z]+'))) AS BIGINT) AS alpha_n,
+        |  CAST(len(list_filter(w, x -> x IN ('the','a'))) AS BIGINT)
+        |    AS stop_n,
+        |  CAST(list_max(list_transform(list_distinct(w),
+        |    x -> len(list_filter(w, y -> y = x)))) AS BIGINT) AS top_cnt
+        |  FROM t)
+        |SELECT doc_id, n_words, chars, alpha_n, stop_n, top_cnt,
+        |  CAST(chars * 1000000 // n_words AS BIGINT) AS mwl_micro,
+        |  n_words BETWEEN 20 AND 80 AS r_words,
+        |  chars * 1000000 // n_words BETWEEN 3000000 AND 10000000
+        |    AS r_mwl,
+        |  alpha_n * 10 >= n_words * 8 AS r_alpha,
+        |  stop_n >= 2 AS r_stop,
+        |  top_cnt * 5 <= n_words AS r_rep,
+        |  (n_words BETWEEN 20 AND 80)
+        |    AND (chars * 1000000 // n_words BETWEEN 3000000 AND 10000000)
+        |    AND (alpha_n * 10 >= n_words * 8)
+        |    AND (stop_n >= 2)
+        |    AND (top_cnt * 5 <= n_words) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "tx_bpe_tokens" ->
       """SELECT doc_id,

@@ -57,6 +57,7 @@ class PlanAuditSpec extends AnyFunSuite {
       // construction; the corpus itself stays range-partitioned
       "tx_shard",
       "tx_quality_bins", // global GroupRank + tx_lm_score's 1-row vocab
+      "pipe_curriculum", // inherits tx_quality_bins' shapes verbatim
       // 1-row corpus-stats scalar + query-term rank over the
       // aggregate-reduced vocabulary table
       "tx_bm25_topk",
@@ -81,7 +82,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "dd_embed_cosine",
     "dd_semdedup", // centroid table broadcast against every vector
     "sim_filtered_ann", // broadcast probe rows against the filtered corpus
+    "sim_mrl_ann", // broadcast prefix + full probe rows, both stages
     "pipe_curate", // inherits dd_semdedup's centroid broadcast
+    "pipe_curriculum", // inherits tx_quality_bins' vocab-scalar broadcast
     "tx_tfidf", // 1-row corpus-count scalar broadcast
     "tx_sample_weighted", // 1-row total-weight scalar vs 5-row weights
     "tx_mixture", // 1-row grand-total scalar vs the domain agg
@@ -96,6 +99,7 @@ class PlanAuditSpec extends AnyFunSuite {
                            // threshold table vs the bin histogram
     "tx_lm_score", // 1-row vocab scalar vs the bigram model table
     "tx_quality_bins", // inherits tx_lm_score's vocab-scalar broadcast
+    "pipe_curriculum", // inherits tx_quality_bins' vocab scalar
     "tx_bm25_topk", // 1-row corpus-stats scalar broadcast
     "sim_rrf_fusion", // inherits both legs: the bm25 stats scalar and
                       // sim_cosine_topk's broadcast probe rows
