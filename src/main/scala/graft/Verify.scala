@@ -26,6 +26,8 @@ object Verify {
       "graft.pq.shortlist" -> "50",
       "graft.sq8.shortlist" ->
         graft.queries.SimilarityQueries.Sq8Shortlist.toString,
+      "graft.mrl.shortlist" ->
+        graft.queries.SimilarityQueries.MrlShortlist.toString,
       "graft.kmeans.cells" -> graft.queries.SimilarityQueries.NCentroids.toString,
       "graft.ivf.probes" -> "2",
       "graft.media.decoder" -> "stub")

@@ -47,6 +47,17 @@ object SimilarityQueries {
   final val NQueries = 5   // probe vectors: vec_id < 5
   final val MrlDim = 16        // Matryoshka prefix dims (stage-1 scan)
   final val MrlShortlist = 50  // stage-1 shortlist width per probe
+
+  /** MRL stage-1 shortlist width — session-configurable like
+    * `graft.pq.shortlist`; the DuckDB oracle hard-codes the default
+    * (Verify refuses a tuned knob).
+    */
+  private def mrlShortlist(s: SparkSession): Int = {
+    val n = s.conf.get("graft.mrl.shortlist", MrlShortlist.toString).toInt
+    require(n > 0 && n <= (1 << 20),
+      s"graft.mrl.shortlist must be in (0, 2^20], got $n")
+    n
+  }
   final val NPlanes = 6    // LSH: 2^6 = 64 buckets
   final val NCentroids = 8 // IVF: data-derived centroid seeds
 
@@ -387,7 +398,7 @@ object SimilarityQueries {
         .withColumn("ccos", cosine(dot(col("pp"), col("p")),
           col("ppn2"), col("pn2")))
         .withColumn("crk", row_number().over(wC))
-        .filter(col("crk") <= MrlShortlist)
+        .filter(col("crk") <= mrlShortlist(s))
         .select(col("qid"), col("vec_id"))
       val probesF = all.filter(col("vec_id") < NQueries)
         .select(col("vec_id").alias("qid"), col("q").alias("qq"),
