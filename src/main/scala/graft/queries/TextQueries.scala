@@ -57,6 +57,37 @@ object TextQueries {
           lit(0.75) * col("dl") * col("n") / col("tot"))) *
       lit(1000000.0)).cast(LongType)
 
+  /** The Gopher rule-family verdict as a pure per-row TRANSFORM over
+    * any frame with (doc_id, text) — batch or streaming, the
+    * expressions are identical, which `StreamingTextParitySpec` pins
+    * (the dedup-at-ingest story needs the quality gate to run on the
+    * change stream with bit-identical verdicts). No shuffle, no
+    * state; the `tx_gopher_rules` query is this transform plus the
+    * oracle's deterministic ORDER BY.
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val nW = size(w).cast(LongType)
+    val chars = aggregate(transform(w, x => length(x).cast(LongType)),
+      lit(0L), (a, x) => a + x)
+    val alphaN = size(filter(w, x => x.rlike("^[a-z]+$"))).cast(LongType)
+    val stopN = size(filter(w, x => x.isin("the", "a"))).cast(LongType)
+    val topCnt = array_max(transform(array_distinct(w),
+      x => size(filter(w, y => y === x)))).cast(LongType)
+    docs
+      .select(col("doc_id"), nW.alias("n_words"), chars.alias("chars"),
+        alphaN.alias("alpha_n"), stopN.alias("stop_n"),
+        topCnt.alias("top_cnt"))
+      .withColumn("mwl_micro", expr("chars * 1000000 div n_words"))
+      .withColumn("r_words", col("n_words").between(20L, 80L))
+      .withColumn("r_mwl",
+        col("mwl_micro").between(3000000L, 10000000L))
+      .withColumn("r_alpha", col("alpha_n") * 10L >= col("n_words") * 8L)
+      .withColumn("r_stop", col("stop_n") >= 2L)
+      .withColumn("r_rep", col("top_cnt") * 5L <= col("n_words"))
+      .withColumn("keep", col("r_words") && col("r_mwl") &&
+        col("r_alpha") && col("r_stop") && col("r_rep"))
+  }
+
   /** Oracle twin of [[bm25Corpus]]: the DuckDB CTE block (spliced
     * right after WITH).
     */
@@ -323,29 +354,8 @@ object TextQueries {
     // rule's measurement, its boolean, and the conjunctive keep —
     // per-row expressions at scan speed, no shuffle but the output
     // ORDER BY.
-    "tx_gopher_rules" -> ((s, d) => {
-      val nW = size(w).cast(LongType)
-      val chars = aggregate(transform(w, x => length(x).cast(LongType)),
-        lit(0L), (a, x) => a + x)
-      val alphaN = size(filter(w, x => x.rlike("^[a-z]+$"))).cast(LongType)
-      val stopN = size(filter(w, x => x.isin("the", "a"))).cast(LongType)
-      val topCnt = array_max(transform(array_distinct(w),
-        x => size(filter(w, y => y === x)))).cast(LongType)
-      Tables.documents(s, d)
-        .select(col("doc_id"), nW.alias("n_words"), chars.alias("chars"),
-          alphaN.alias("alpha_n"), stopN.alias("stop_n"),
-          topCnt.alias("top_cnt"))
-        .withColumn("mwl_micro", expr("chars * 1000000 div n_words"))
-        .withColumn("r_words", col("n_words").between(20L, 80L))
-        .withColumn("r_mwl",
-          col("mwl_micro").between(3000000L, 10000000L))
-        .withColumn("r_alpha", col("alpha_n") * 10L >= col("n_words") * 8L)
-        .withColumn("r_stop", col("stop_n") >= 2L)
-        .withColumn("r_rep", col("top_cnt") * 5L <= col("n_words"))
-        .withColumn("keep", col("r_words") && col("r_mwl") &&
-          col("r_alpha") && col("r_stop") && col("r_rep"))
-        .orderBy("doc_id")
-    }),
+    "tx_gopher_rules" -> ((s, d) =>
+      gopherRules(Tables.documents(s, d)).orderBy("doc_id")),
 
     // BPE-ish regex tokenization: letter runs, digit runs, and
     // single punctuation as separate tokens (the pre-tokenizer shape
