@@ -129,9 +129,9 @@ object BenchExpect {
     "tx_pii" -> 0.5,
     "tx_tfidf" -> 1.0,
     "tx_quality" -> 0.3,
-    "tx_gopher_rules" -> 0.5,
-    "sim_mrl_ann" -> 0.9,
-    "pipe_curriculum" -> 1.6,
+    "tx_gopher_rules" -> 1.6, // per-row top-word scan is O(u*n) per doc
+    "sim_mrl_ann" -> 0.5,
+    "pipe_curriculum" -> 2.0,
     "tx_repetition" -> 1.0,
     "tx_sample" -> 0.7,
     "tx_sample_weighted" -> 0.9,
