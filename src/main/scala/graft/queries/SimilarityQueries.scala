@@ -32,6 +32,8 @@ object SimilarityQueries {
   final val PrIters = 3 // unrolled PageRank iterations (graph_pagerank)
   final val LpIters = 2   // unrolled label-propagation rounds
   final val LpSeedMod = 4 // vec_id % LpSeedMod == 0 keeps its seed label
+  final val CoreK = 3     // k-core threshold (undirected kNN degree)
+  final val CoreIters = 3 // unrolled peeling rounds (graph_core)
   final val Sq8Shortlist = 50 // SQ8 shortlist default (oracle replays this)
 
   /** SQ8 integer-score shortlist width before the exact rerank —
@@ -603,6 +605,50 @@ object SimilarityQueries {
     // rn=1 majority pick on the corpus-cardinality src key, and one
     // left join back — node-sized state, two hash shuffles per round,
     // the same plan class as graph_pagerank.
+    // k-core decomposition (Seidman 1983, "Network structure and
+    // minimum degree") over the undirected staged kNN graph: CoreIters
+    // unrolled peeling rounds, each dropping nodes whose degree among
+    // surviving nodes is < CoreK — the density filter that separates
+    // the corpus's tightly-embedded core (topic clusters, likely
+    // near-dup neighborhoods) from peripheral vectors, a standard
+    // pre-step before community detection or dedup-cluster triage.
+    // Scale shape: each round is two id equi-joins of the O(N·k)
+    // staged edge list against the (shrinking) alive set plus one
+    // map-side-combined degree agg — the same per-round cost class as
+    // graph_pagerank, R rounds total, no corpus-sized state beyond
+    // the edge list. Deterministic (no tie-breaking needed: peeling
+    // is order-independent within a round), so the oracle replays the
+    // identical unrolled rounds.
+    "graph_core" -> ((s, d) => {
+      val edges0 = StagedIndex.orStage(s, "graph_knn_edges_v1", d,
+        Seq(s"$d/embeddings.parquet")) {
+        queries("sim_knn_graph")(s, d)
+          .select(col("vec_id").alias("src"), col("nbr").alias("dst"))
+      }
+      val und = edges0.select(col("src"), col("dst"))
+        .union(edges0.select(col("dst").alias("src"),
+          col("src").alias("dst")))
+        .distinct()
+      val nodes = Tables.embeddings(s, d).select(col("vec_id"))
+      def degOver(alive: DataFrame): DataFrame =
+        und.join(alive.withColumnRenamed("vec_id", "src"), "src")
+          .join(alive.select(col("vec_id").alias("dst")), "dst")
+          .groupBy("src").agg(count(lit(1)).cast(LongType).alias("deg"))
+      val aliveR = (1 to CoreIters).foldLeft(nodes) { (alive, _) =>
+        degOver(alive).filter(col("deg") >= CoreK)
+          .select(col("src").alias("vec_id"))
+      }
+      val coreDeg = degOver(aliveR)
+        .select(col("src").alias("vec_id"), col("deg").alias("core_deg"))
+      nodes
+        .join(aliveR.withColumn("alive", lit(true)), Seq("vec_id"), "left")
+        .join(coreDeg, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("alive"), lit(false)).alias("in_core"),
+          coalesce(col("core_deg"), lit(0L)).alias("core_deg"))
+        .orderBy("vec_id")
+    }),
+
     "graph_label_prop" -> ((s, d) => {
       val edges = StagedIndex.orStage(s, "graph_knn_edges_v1", d,
         Seq(s"$d/embeddings.parquet")) {
@@ -1807,6 +1853,38 @@ object SimilarityQueries {
          |FROM embeddings n LEFT JOIN deg d ON n.vec_id = d.dv
          |LEFT JOIN pern p ON n.vec_id = p.tv
          |ORDER BY n.vec_id""".stripMargin,
+
+    // edge derivation verbatim, then CoreIters unrolled peel rounds
+    // over the symmetrized edges; peeling is order-independent within
+    // a round so both engines converge identically
+    "graph_core" -> {
+      val rounds = (1 to CoreIters).map { i =>
+        val prev = if (i == 1) "a0" else s"a${i - 1}"
+        s"""d$i AS (
+           |  SELECT e.src, CAST(count(*) AS BIGINT) AS deg
+           |  FROM sym e JOIN $prev s ON e.src = s.vec_id
+           |             JOIN $prev t ON e.dst = t.vec_id
+           |  GROUP BY 1),
+           |a$i AS (SELECT src AS vec_id FROM d$i WHERE deg >= $CoreK)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""$sqlKnnEdgesWith,
+         |sym AS (SELECT src, dst FROM edges
+         |        UNION SELECT dst AS src, src AS dst FROM edges),
+         |a0 AS (SELECT vec_id FROM embeddings),
+         |$rounds,
+         |fd AS (
+         |  SELECT e.src AS vec_id, CAST(count(*) AS BIGINT) AS core_deg
+         |  FROM sym e JOIN a$CoreIters s ON e.src = s.vec_id
+         |             JOIN a$CoreIters t ON e.dst = t.vec_id
+         |  GROUP BY 1)
+         |SELECT n.vec_id, a.vec_id IS NOT NULL AS in_core,
+         |  CAST(COALESCE(fd.core_deg, 0) AS BIGINT) AS core_deg
+         |FROM embeddings n
+         |LEFT JOIN a$CoreIters a ON n.vec_id = a.vec_id
+         |LEFT JOIN fd ON n.vec_id = fd.vec_id
+         |ORDER BY n.vec_id""".stripMargin
+    },
 
     // edge derivation verbatim, then common-neighbor pairs, existing
     // edges removed, Jaccard in integer micro-units, top-20
