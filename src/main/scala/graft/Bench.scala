@@ -131,6 +131,7 @@ object BenchExpect {
     "tx_tfidf" -> 1.0,
     "tx_quality" -> 0.3,
     "tx_gopher_rules" -> 1.6, // per-row top-word scan is O(u*n) per doc
+    "tx_bpe_learn" -> 2.5, // 6 eager merge rounds (localCheckpoint each)
     "sim_mrl_ann" -> 0.5,
     "pipe_curriculum" -> 2.0,
     "tx_repetition" -> 1.0,

@@ -127,6 +127,9 @@ object TextQueries {
   final val CmsDepth = 4
   final val CmsWidth = 1024
 
+  /** Unrolled BPE merge rounds learned by tx_bpe_learn. */
+  final val BpeMerges = 6
+
   private def cmsWidth(s: SparkSession): Int = {
     val w = s.conf.get("graft.cms.width", CmsWidth.toString).toInt
     require(w > 0 && w <= (1 << 15) && (w & (w - 1)) == 0,
@@ -356,6 +359,61 @@ object TextQueries {
     // ORDER BY.
     "tx_gopher_rules" -> ((s, d) =>
       gopherRules(Tables.documents(s, d)).orderBy("doc_id")),
+
+    // BPE vocabulary INDUCTION (Sennrich, Haddow & Birch 2016,
+    // "Neural Machine Translation of Rare Words with Subword Units"):
+    // learn the first BpeMerges merge rules from the corpus — the
+    // actual tokenizer-training step, distributed. Each round counts
+    // adjacent symbol pairs over the word-frequency table (NOT the
+    // corpus: BPE trains on distinct words weighted by count, so the
+    // scan is vocabulary-sized), picks the most frequent pair
+    // (count desc, pair asc — deterministic), and rewrites every
+    // word's symbol sequence with the merged token. Sequences are
+    // space-joined symbol strings with sentinel spaces, so the merge
+    // IS string replace — left-to-right non-overlapping in both
+    // engines, applied twice to catch the boundary-adjacent repeat
+    // case, hence bit-identical cross-engine (the greedy-left quirk
+    // on runs like 'a a a a' is part of the pinned contract).
+    // Scale shape: per round one map-side-combined pair count over
+    // O(vocab × word-length) rows, a vocab-sized TakeOrdered(1), and
+    // a 1-row broadcast merge rule onto the vocab table; the corpus
+    // is touched once (the initial word count). localCheckpoint cuts
+    // the per-round lineage — the same iterative-algorithm discipline
+    // as dd_cluster (at 100 TB each round's vocab table would stage
+    // to parquet like the other iteration states).
+    "tx_bpe_learn" -> ((s, d) => {
+      var wtab = Tables.documents(s, d)
+        .select(explode(w).alias("wd"))
+        .groupBy("wd").agg(count(lit(1)).alias("f"))
+        .withColumn("seq", concat(lit(" "),
+          trim(regexp_replace(col("wd"), "(.)", "$1 ")), lit(" ")))
+        .localCheckpoint()
+      val rounds = Seq.newBuilder[DataFrame]
+      for (i <- 1 to BpeMerges) {
+        val pairs = wtab
+          .select(col("f"), split(trim(col("seq")), " ").alias("a"))
+          .filter(size(col("a")) >= 2)
+          .select(col("f"), explode(expr(
+            "transform(sequence(1, size(a) - 1), " +
+              "i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))"))
+            .alias("pair"))
+          .groupBy("pair").agg(sum(col("f")).alias("cnt"))
+        val top = pairs.orderBy(col("cnt").desc, col("pair").asc).limit(1)
+          .select(col("pair"), expr("replace(pair, ' ', '')").alias("merged"),
+            col("cnt"))
+          .localCheckpoint()
+        rounds += top.withColumn("round", lit(i.toLong))
+        wtab = wtab.crossJoin(broadcast(top))
+          .select(col("wd"), col("f"), expr(
+            "replace(replace(seq, concat(' ', pair, ' '), " +
+              "concat(' ', merged, ' ')), concat(' ', pair, ' '), " +
+              "concat(' ', merged, ' '))").alias("seq"))
+          .localCheckpoint()
+      }
+      rounds.result().reduce(_.unionAll(_))
+        .select(col("round"), col("pair"), col("merged"), col("cnt"))
+        .orderBy("round")
+    }),
 
     // BPE-ish regex tokenization: letter runs, digit runs, and
     // single punctuation as separate tokens (the pre-tokenizer shape
@@ -972,6 +1030,41 @@ object TextQueries {
         |    AND (stop_n >= 2)
         |    AND (top_cnt * 5 <= n_words) AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // the merge-learning rounds replayed as unrolled CTEs: same pair
+    // counting, same (cnt desc, pair asc) winner, same double-replace
+    // rewrite — the left-to-right non-overlap semantics of replace()
+    // agree between engines
+    "tx_bpe_learn" -> {
+      val rounds = (1 to BpeMerges).map { i =>
+        val prev = if (i == 1) "w0" else s"w${i - 1}"
+        s"""p$i AS (
+           |  SELECT arr[i] || ' ' || arr[i+1] AS pair,
+           |    CAST(sum(f) AS BIGINT) AS cnt
+           |  FROM (SELECT f, string_split(trim(seq), ' ') AS arr
+           |        FROM $prev) t,
+           |       UNNEST(range(1, len(arr))) u(i)
+           |  GROUP BY 1),
+           |t$i AS (SELECT pair, replace(pair, ' ', '') AS merged, cnt
+           |        FROM p$i ORDER BY cnt DESC, pair ASC LIMIT 1),
+           |w$i AS (SELECT wd, f,
+           |  replace(replace(seq, ' '||pair||' ', ' '||merged||' '),
+           |          ' '||pair||' ', ' '||merged||' ') AS seq
+           |  FROM $prev CROSS JOIN t$i)""".stripMargin
+      }.mkString(",\n")
+      val sel = (1 to BpeMerges)
+        .map(i => s"SELECT CAST($i AS BIGINT) AS round, * FROM t$i")
+        .mkString("\n|UNION ALL ")
+      s"""WITH toks AS (
+         |  SELECT wd FROM (SELECT string_split(text, ' ') AS ws
+         |        FROM documents) t, UNNEST(ws) u(wd)),
+         |w0 AS (SELECT wd, CAST(count(*) AS BIGINT) AS f,
+         |  ' ' || trim(regexp_replace(wd, '(.)', '\\1 ', 'g')) || ' ' AS seq
+         |  FROM toks GROUP BY wd),
+         |$rounds
+         |$sel
+         |ORDER BY round""".stripMargin
+    },
 
     "tx_bpe_tokens" ->
       """SELECT doc_id,
