@@ -132,6 +132,7 @@ object BenchExpect {
     "tx_quality" -> 0.3,
     "tx_gopher_rules" -> 1.6, // per-row top-word scan is O(u*n) per doc
     "tx_bpe_learn" -> 2.5, // 6 eager merge rounds (localCheckpoint each)
+    "tx_bpe_apply" -> 2.8, // the same rounds + the corpus tokenize join
     "sim_mrl_ann" -> 0.5,
     "pipe_curriculum" -> 2.0,
     "tx_repetition" -> 1.0,

@@ -130,6 +130,45 @@ object TextQueries {
   /** Unrolled BPE merge rounds learned by tx_bpe_learn. */
   final val BpeMerges = 6
 
+  /** The shared BPE merge-learning rounds (see tx_bpe_learn's
+    * Scaladoc for semantics and scale shape): returns the per-round
+    * 1-row merge tables (with `round`) and the final segmented word
+    * table (wd, f, seq) — the lookup tx_bpe_apply joins. Each round
+    * localCheckpoints to cut iterative lineage.
+    */
+  private def bpeRounds(s: SparkSession, d: String)
+      : (Seq[DataFrame], DataFrame) = {
+    var wtab = Tables.documents(s, d)
+      .select(explode(w).alias("wd"))
+      .groupBy("wd").agg(count(lit(1)).alias("f"))
+      .withColumn("seq", concat(lit(" "),
+        trim(regexp_replace(col("wd"), "(.)", "$1 ")), lit(" ")))
+      .localCheckpoint()
+    val rounds = Seq.newBuilder[DataFrame]
+    for (i <- 1 to BpeMerges) {
+      val pairs = wtab
+        .select(col("f"), split(trim(col("seq")), " ").alias("a"))
+        .filter(size(col("a")) >= 2)
+        .select(col("f"), explode(expr(
+          "transform(sequence(1, size(a) - 1), " +
+            "i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))"))
+          .alias("pair"))
+        .groupBy("pair").agg(sum(col("f")).alias("cnt"))
+      val top = pairs.orderBy(col("cnt").desc, col("pair").asc).limit(1)
+        .select(col("pair"), expr("replace(pair, ' ', '')").alias("merged"),
+          col("cnt"))
+        .localCheckpoint()
+      rounds += top.withColumn("round", lit(i.toLong))
+      wtab = wtab.crossJoin(broadcast(top))
+        .select(col("wd"), col("f"), expr(
+          "replace(replace(seq, concat(' ', pair, ' '), " +
+            "concat(' ', merged, ' ')), concat(' ', pair, ' '), " +
+            "concat(' ', merged, ' '))").alias("seq"))
+        .localCheckpoint()
+    }
+    (rounds.result(), wtab)
+  }
+
   private def cmsWidth(s: SparkSession): Int = {
     val w = s.conf.get("graft.cms.width", CmsWidth.toString).toInt
     require(w > 0 && w <= (1 << 15) && (w & (w - 1)) == 0,
@@ -381,38 +420,32 @@ object TextQueries {
     // the per-round lineage — the same iterative-algorithm discipline
     // as dd_cluster (at 100 TB each round's vocab table would stage
     // to parquet like the other iteration states).
-    "tx_bpe_learn" -> ((s, d) => {
-      var wtab = Tables.documents(s, d)
-        .select(explode(w).alias("wd"))
-        .groupBy("wd").agg(count(lit(1)).alias("f"))
-        .withColumn("seq", concat(lit(" "),
-          trim(regexp_replace(col("wd"), "(.)", "$1 ")), lit(" ")))
-        .localCheckpoint()
-      val rounds = Seq.newBuilder[DataFrame]
-      for (i <- 1 to BpeMerges) {
-        val pairs = wtab
-          .select(col("f"), split(trim(col("seq")), " ").alias("a"))
-          .filter(size(col("a")) >= 2)
-          .select(col("f"), explode(expr(
-            "transform(sequence(1, size(a) - 1), " +
-              "i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))"))
-            .alias("pair"))
-          .groupBy("pair").agg(sum(col("f")).alias("cnt"))
-        val top = pairs.orderBy(col("cnt").desc, col("pair").asc).limit(1)
-          .select(col("pair"), expr("replace(pair, ' ', '')").alias("merged"),
-            col("cnt"))
-          .localCheckpoint()
-        rounds += top.withColumn("round", lit(i.toLong))
-        wtab = wtab.crossJoin(broadcast(top))
-          .select(col("wd"), col("f"), expr(
-            "replace(replace(seq, concat(' ', pair, ' '), " +
-              "concat(' ', merged, ' ')), concat(' ', pair, ' '), " +
-              "concat(' ', merged, ' '))").alias("seq"))
-          .localCheckpoint()
-      }
-      rounds.result().reduce(_.unionAll(_))
+    "tx_bpe_learn" -> ((s, d) =>
+      bpeRounds(s, d)._1.reduce(_.unionAll(_))
         .select(col("round"), col("pair"), col("merged"), col("cnt"))
-        .orderBy("round")
+        .orderBy("round")),
+
+    // Apply the learned vocabulary: the post-round-R word table IS
+    // the segmentation lookup (wd → its subword sequence), so
+    // tokenizing the corpus is one explode + one vocab-sized
+    // equi-join + a per-doc agg — how a trained tokenizer actually
+    // runs at scale (the merge learning cost amortizes over every
+    // corpus it tokenizes). Per doc: subword count after merging,
+    // raw symbol (char) count before, and word count — the
+    // compression the learned vocab bought.
+    "tx_bpe_apply" -> ((s, d) => {
+      val seg = bpeRounds(s, d)._2
+        .select(col("wd"),
+          size(split(trim(col("seq")), " ")).cast(LongType).alias("n_sub"),
+          length(col("wd")).cast(LongType).alias("n_sym"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(w).alias("wd"))
+        .join(seg, "wd")
+        .groupBy("doc_id")
+        .agg(sum(col("n_sub")).alias("n_subwords"),
+          sum(col("n_sym")).alias("n_symbols"),
+          count(lit(1)).alias("n_words"))
+        .orderBy("doc_id")
     }),
 
     // BPE-ish regex tokenization: letter runs, digit runs, and
@@ -1064,6 +1097,46 @@ object TextQueries {
          |$rounds
          |$sel
          |ORDER BY round""".stripMargin
+    },
+
+    // the same learned rounds, then tokenize: per-doc word explode
+    // joined against the round-R segmentation table
+    "tx_bpe_apply" -> {
+      val rounds = (1 to BpeMerges).map { i =>
+        val prev = if (i == 1) "w0" else s"w${i - 1}"
+        s"""p$i AS (
+           |  SELECT arr[i] || ' ' || arr[i+1] AS pair,
+           |    CAST(sum(f) AS BIGINT) AS cnt
+           |  FROM (SELECT f, string_split(trim(seq), ' ') AS arr
+           |        FROM $prev) t,
+           |       UNNEST(range(1, len(arr))) u(i)
+           |  GROUP BY 1),
+           |t$i AS (SELECT pair, replace(pair, ' ', '') AS merged, cnt
+           |        FROM p$i ORDER BY cnt DESC, pair ASC LIMIT 1),
+           |w$i AS (SELECT wd, f,
+           |  replace(replace(seq, ' '||pair||' ', ' '||merged||' '),
+           |          ' '||pair||' ', ' '||merged||' ') AS seq
+           |  FROM $prev CROSS JOIN t$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH toksd AS (
+         |  SELECT doc_id, wd FROM (SELECT doc_id,
+         |        string_split(text, ' ') AS ws
+         |        FROM documents) t, UNNEST(ws) u(wd)),
+         |toks AS (SELECT wd FROM toksd),
+         |w0 AS (SELECT wd, CAST(count(*) AS BIGINT) AS f,
+         |  ' ' || trim(regexp_replace(wd, '(.)', '\\1 ', 'g')) || ' ' AS seq
+         |  FROM toks GROUP BY wd),
+         |$rounds,
+         |seg AS (SELECT wd,
+         |  CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS n_sub,
+         |  CAST(length(wd) AS BIGINT) AS n_sym
+         |  FROM w$BpeMerges)
+         |SELECT doc_id,
+         |  CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+         |  CAST(sum(n_sym) AS BIGINT) AS n_symbols,
+         |  CAST(count(*) AS BIGINT) AS n_words
+         |FROM toksd JOIN seg USING (wd)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
     "tx_bpe_tokens" ->
