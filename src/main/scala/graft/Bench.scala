@@ -134,6 +134,7 @@ object BenchExpect {
     "tx_bpe_learn" -> 2.5, // 6 eager merge rounds (localCheckpoint each)
     "tx_bpe_apply" -> 2.8, // the same rounds + the corpus tokenize join
     "sim_mrl_ann" -> 0.5,
+    "sim_label_centroids" -> 0.6,
     "pipe_curriculum" -> 2.0,
     "tx_repetition" -> 1.0,
     "tx_sample" -> 0.7,

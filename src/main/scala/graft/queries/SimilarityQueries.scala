@@ -605,6 +605,28 @@ object SimilarityQueries {
     // rn=1 majority pick on the corpus-cardinality src key, and one
     // left join back — node-sized state, two hash shuffles per round,
     // the same plan class as graph_pagerank.
+    // Per-label centroid table — the embedding-QA aggregate a corpus
+    // owner materializes before trusting a labeled embedding space:
+    // for every (label, dimension), the member count and the integer
+    // dimension sum over the staged quantized vectors (consumers
+    // derive means; the sums stay exact integers so the table
+    // hash-matches — a mean would need float division whose
+    // truncate-vs-floor semantics differ between engines on negative
+    // sums). Scale shape: posexplode multiplies rows by Dim but the
+    // aggregate combines map-side down to labels × Dim rows — nothing
+    // corpus-sized crosses the shuffle.
+    "sim_label_centroids" -> ((s, d) => {
+      val lbl = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      quantized(s, d).join(lbl, "vec_id")
+        .select(col("label"), posexplode(col("q")))
+        .withColumnRenamed("pos", "dim")
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).alias("n"), sum(col("col")).alias("dim_sum"))
+        .select(col("label").cast(LongType).alias("label"),
+          col("dim").cast(LongType).alias("dim"), col("n"), col("dim_sum"))
+        .orderBy("label", "dim")
+    }),
+
     // k-core decomposition (Seidman 1983, "Network structure and
     // minimum degree") over the undirected staged kNN graph: CoreIters
     // unrolled peeling rounds, each dropping nodes whose degree among
@@ -1853,6 +1875,17 @@ object SimilarityQueries {
          |FROM embeddings n LEFT JOIN deg d ON n.vec_id = d.dv
          |LEFT JOIN pern p ON n.vec_id = p.tv
          |ORDER BY n.vec_id""".stripMargin,
+
+    // 0-based UNNEST ordinality matches posexplode's 0-based pos
+    "sim_label_centroids" ->
+      s"""WITH $sqlQuant
+         |SELECT CAST(e.label AS BIGINT) AS label,
+         |  CAST(u.i - 1 AS BIGINT) AS dim,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(v.qv[u.i]) AS BIGINT) AS dim_sum
+         |FROM qn v JOIN embeddings e ON v.vec_id = e.vec_id,
+         |     UNNEST(range(1, $Dim + 1)) u(i)
+         |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
 
     // edge derivation verbatim, then CoreIters unrolled peel rounds
     // over the symmetrized edges; peeling is order-independent within
