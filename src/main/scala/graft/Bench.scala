@@ -105,7 +105,7 @@ object BenchExpect {
     "sim_ivfpq_ann" -> 1.3,
     "sim_knn_graph" -> 1.0,
     "graph_pagerank" -> 1.0,
-    "graph_core" -> 1.2,
+    "graph_core" -> 1.6,
     "sim_knn_label" -> 0.7,
     "graph_label_prop" -> 1.2,
     "sim_sq8_ann" -> 1.2,
