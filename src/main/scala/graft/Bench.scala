@@ -136,6 +136,8 @@ object BenchExpect {
     "sim_mrl_ann" -> 0.5,
     "sim_label_centroids" -> 0.6,
     "pipe_curriculum" -> 2.0,
+    "pipe_datacard" -> 1.2, // pipe_report re-agg, staged verdicts
+    "tx_pack_stats" -> 0.9,
     "tx_repetition" -> 1.0,
     "tx_sample" -> 0.7,
     "tx_sample_weighted" -> 0.9,

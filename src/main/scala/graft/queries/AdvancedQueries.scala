@@ -101,6 +101,35 @@ object AdvancedQueries {
       TextQueries.packOf(Tables.documents(s, d).join(keptIds, "doc_id"))
     }),
 
+    // The one-row dataset card — the summary a corpus release ships:
+    // corpus-wide document/language/source counts, every gate's drop
+    // totals, the kept set and its token budget, and the dominant
+    // language of the KEPT corpus (docs desc, lang asc tie-break).
+    // Composed entirely from pipe_report's already-oracled
+    // (lang, source) funnel table, so this is an O(langs × sources)
+    // re-aggregation — nothing corpus-sized is touched again. The
+    // final agg is a deliberate one-row scalar (whitelisted shape).
+    "pipe_datacard" -> ((s, d) => {
+      val rep = AdvancedQueries.queries("pipe_report")(s, d)
+      val byLang = rep.groupBy("lang")
+        .agg(sum(col("kept")).alias("lang_kept"))
+      val wT = Window.orderBy(col("lang_kept").desc, col("lang").asc)
+      val top = byLang.withColumn("rn", row_number().over(wT))
+        .filter(col("rn") === 1)
+        .select(col("lang").alias("top_lang"),
+          col("lang_kept").alias("top_lang_kept"))
+      rep.agg(
+          sum(col("n_docs")).alias("n_docs"),
+          countDistinct(col("lang")).alias("n_langs"),
+          countDistinct(col("source")).alias("n_sources"),
+          sum(col("drop_quality")).alias("drop_quality"),
+          sum(col("dup_text")).alias("dup_text"),
+          sum(col("dup_sem")).alias("dup_sem"),
+          sum(col("kept")).alias("kept"),
+          sum(col("kept_tokens")).alias("kept_tokens"))
+        .crossJoin(broadcast(top))
+    }),
+
     // Curriculum ordering (the quality-annealing recipe: train on the
     // low-quality bulk first, end on the highest-quality data): every
     // document gets a deterministic global curriculum position ordered
@@ -487,6 +516,20 @@ object AdvancedQueries {
        |  ON fv.doc_id = sd.vec_id
        |ORDER BY fv.doc_id""".stripMargin
 
+  private lazy val pipeReportSql: String =
+    s"""SELECT d.lang, d.source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(*) FILTER (NOT c.keep_quality) AS BIGINT)
+         |    AS drop_quality,
+         |  CAST(count(*) FILTER (c.is_dup_text) AS BIGINT) AS dup_text,
+         |  CAST(count(*) FILTER (c.is_dup_sem) AS BIGINT) AS dup_sem,
+         |  CAST(count(*) FILTER (c.kept) AS BIGINT) AS kept,
+         |  CAST(coalesce(sum(CASE WHEN c.kept
+         |    THEN len(string_split(d.text, ' ')) ELSE 0 END), 0) AS BIGINT)
+         |    AS kept_tokens
+         |FROM documents d JOIN ($pipeCurateSql) c USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY lang, source""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "pipe_curate" -> pipeCurateSql,
 
@@ -516,19 +559,31 @@ object AdvancedQueries {
          |  ON m.media_id = fv.doc_id
          |ORDER BY m.media_id""".stripMargin,
 
-    "pipe_report" ->
-      s"""SELECT d.lang, d.source,
-         |  CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(count(*) FILTER (NOT c.keep_quality) AS BIGINT)
-         |    AS drop_quality,
-         |  CAST(count(*) FILTER (c.is_dup_text) AS BIGINT) AS dup_text,
-         |  CAST(count(*) FILTER (c.is_dup_sem) AS BIGINT) AS dup_sem,
-         |  CAST(count(*) FILTER (c.kept) AS BIGINT) AS kept,
-         |  CAST(coalesce(sum(CASE WHEN c.kept
-         |    THEN len(string_split(d.text, ' ')) ELSE 0 END), 0) AS BIGINT)
-         |    AS kept_tokens
-         |FROM documents d JOIN ($pipeCurateSql) c USING (doc_id)
-         |GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
+    "pipe_report" -> pipeReportSql,
+
+    // pipe_report's oracle as a derived table, re-aggregated to the
+    // one-row card + the deterministic dominant-language pick
+    "pipe_datacard" ->
+      s"""WITH rep AS ($pipeReportSql),
+         |top AS (
+         |  SELECT lang AS top_lang, lang_kept AS top_lang_kept FROM (
+         |    SELECT lang, CAST(sum(kept) AS BIGINT) AS lang_kept,
+         |      row_number() OVER (ORDER BY sum(kept) DESC, lang ASC)
+         |        AS rn
+         |    FROM rep GROUP BY lang) t
+         |  WHERE rn = 1)
+         |SELECT
+         |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |  CAST(sum(drop_quality) AS BIGINT) AS drop_quality,
+         |  CAST(sum(dup_text) AS BIGINT) AS dup_text,
+         |  CAST(sum(dup_sem) AS BIGINT) AS dup_sem,
+         |  CAST(sum(kept) AS BIGINT) AS kept,
+         |  CAST(sum(kept_tokens) AS BIGINT) AS kept_tokens,
+         |  top.top_lang, top.top_lang_kept
+         |FROM rep CROSS JOIN top
+         |GROUP BY top.top_lang, top.top_lang_kept""".stripMargin,
 
     // the last hop of the training-data story: pack ONLY the curated
     // kept set — pipe_curate's oracle as a derived table, filtered to

@@ -771,6 +771,27 @@ object TextQueries {
     // corpus-sized shard through one task; see packOf/GroupRank.
     "tx_pack" -> ((s, d) => packOf(Tables.documents(s, d))),
 
+    // Packing-efficiency report — the dataset-card table that says
+    // whether the context-window layout is actually tight: per
+    // language shard, document/token totals, bin count, the fill
+    // rate of the allocated bins in exact floored micro-units, and
+    // how many documents straddle a bin boundary (straddlers are the
+    // rows a loader must split or pad around). Scale shape: rides on
+    // tx_pack's GroupRank cumsum, then one map-side-combined agg to
+    // O(langs) rows.
+    "tx_pack_stats" -> ((s, d) => {
+      packOf(Tables.documents(s, d))
+        .groupBy("lang")
+        .agg(count(lit(1)).alias("n_docs"),
+          sum(col("n_tokens")).alias("total_tokens"),
+          (max(col("bin")) + 1L).alias("n_bins"),
+          sum(when(col("offset") + col("n_tokens") > PackLen, 1L)
+            .otherwise(0L)).alias("straddlers"))
+        .withColumn("fill_micro",
+          expr(s"total_tokens * 1000000 div (n_bins * $PackLen)"))
+        .orderBy("lang")
+    }),
+
     // Deterministic stratified sampling: rank docs inside each lang
     // stratum by a content hash and keep the top ceil(10%) — the
     // reproducible downsampling a training-data pipeline needs (same
@@ -1327,6 +1348,32 @@ object TextQueries {
         |  (cum - n_tokens) // $PackLen AS bin,
         |  (cum - n_tokens) % $PackLen AS offset
         |FROM packed ORDER BY doc_id""".stripMargin,
+
+    "tx_pack_stats" ->
+      s"""WITH sized AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |packed AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM sized),
+        |bins AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    (cum - n_tokens) // $PackLen AS bin,
+        |    (cum - n_tokens) % $PackLen AS "offset"
+        |  FROM packed)
+        |SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(max(bin) + 1 AS BIGINT) AS n_bins,
+        |  CAST(sum(CASE WHEN "offset" + n_tokens > $PackLen
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS straddlers,
+        |  CAST(sum(n_tokens) * 1000000
+        |    // ((max(bin) + 1) * $PackLen) AS BIGINT) AS fill_micro
+        |FROM bins GROUP BY lang ORDER BY lang""".stripMargin,
 
     "tx_sample" ->
       """WITH hashed AS (

@@ -58,6 +58,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "tx_shard",
       "tx_quality_bins", // global GroupRank + tx_lm_score's 1-row vocab
       "pipe_curriculum", // inherits tx_quality_bins' shapes verbatim
+      "pipe_datacard", // the RESULT is a 1-row card (langs x sources in)
       // 1-row corpus-stats scalar + query-term rank over the
       // aggregate-reduced vocabulary table
       "tx_bm25_topk",
@@ -85,6 +86,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_mrl_ann", // broadcast prefix + full probe rows, both stages
     "pipe_curate", // inherits dd_semdedup's centroid broadcast
     "pipe_curriculum", // inherits tx_quality_bins' vocab-scalar broadcast
+    "pipe_datacard", // 1-row top-language row crossed onto the 1-row card
     "tx_tfidf", // 1-row corpus-count scalar broadcast
     "tx_sample_weighted", // 1-row total-weight scalar vs 5-row weights
     "tx_mixture", // 1-row grand-total scalar vs the domain agg
