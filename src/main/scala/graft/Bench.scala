@@ -92,6 +92,7 @@ object BenchExpect {
     "dd_agreement" -> 1.5,
     "sim_threshold_sweep" -> 0.8,
     "cdc_reconcile" -> 1.0,
+    "cdc_topic_stats" -> 0.5,
     "rel_event_paths" -> 0.8,
     "s1_scan_pushdown" -> 0.3,
     "s6_sequence" -> 0.5,

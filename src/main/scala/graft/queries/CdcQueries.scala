@@ -222,6 +222,30 @@ object CdcQueries {
     // carries live keys, not events), the full-outer join is
     // co-partitioned on the key, and the verdict agg collapses to 4
     // rows map-side. The 1-row cut scalar broadcasts.
+    // Per-topic operational dashboard — what a CDC operator watches
+    // on the produced topics: per (topic, op-code) event counts, the
+    // covered sequence-number span (gaps between runs are the
+    // at-least-once redelivery/loss investigation trigger), and the
+    // distinct documentKey count. One map-side-combined agg over the
+    // envelope-path projection; the only shuffle carries
+    // O(topics × ops) partials plus the distinct-key pre-aggregation
+    // on the same grouping.
+    "cdc_topic_stats" -> ((s, d) =>
+      events(s, d)
+        .filter(col("event_type").isin(dataTypes: _*))
+        .select(
+          concat(lit("cdc.events."), col("event_type")).alias("topic"),
+          when(col("event_type") === "purchase", "c")
+            .when(col("event_type").isin("click", "view"), "u")
+            .otherwise("d").alias("op"),
+          col("event_id"), col("user_id"))
+        .groupBy("topic", "op")
+        .agg(count(lit(1)).alias("n_events"),
+          min(col("event_id")).alias("first_id"),
+          max(col("event_id")).alias("last_id"),
+          countDistinct(col("user_id")).alias("n_keys"))
+        .orderBy("topic", "op")),
+
     "cdc_reconcile" -> ((s, d) => {
       val ev = dataEvents(s, d)
       val cut = ev.agg(
@@ -381,6 +405,19 @@ object CdcQueries {
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM snap WHERE op <> 'd'
         |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "cdc_topic_stats" ->
+      """SELECT concat('cdc.events.', event_type) AS topic,
+        |  CASE WHEN event_type = 'purchase' THEN 'c'
+        |       WHEN event_type IN ('click','view') THEN 'u'
+        |       ELSE 'd' END AS op,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(min(event_id) AS BIGINT) AS first_id,
+        |  CAST(max(event_id) AS BIGINT) AS last_id,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys
+        |FROM events
+        |WHERE event_type IN ('click','purchase','signup','view')
+        |GROUP BY 1, 2 ORDER BY topic, op""".stripMargin,
 
     "cdc_reconcile" ->
       """WITH ev AS (
