@@ -635,6 +635,188 @@ object RelationalQueries {
             .alias("order_sec"),
           col("pc").alias("price_cents"))
         .orderBy("o_orderkey")
+    }),
+
+    // TPC-H Q3-shaped shipping priority: revenue still in flight for
+    // one market segment — orders placed before the cutoff whose
+    // lineitems ship after it, top-10 by outstanding revenue. Scale:
+    // the BUILDING customer keys broadcast into the orders scan (the
+    // segment predicate never touches the fact side), lineitem ⋈
+    // orders is the one fact-fact join (orderkey-partitioned, both
+    // date filters pushed to the scans), the per-order agg reuses
+    // that partitioning, and the top-10 is TakeOrderedAndProject —
+    // per-partition heaps, never a global sort.
+    "rel_ship_priority" -> ((s, d) => {
+      val cutoff = lit("1998-06-01").cast("timestamp")
+      val c = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > cutoff)
+        .select(col("l_orderkey"),
+          cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .alias("rev"))
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("o_orderkey"),
+          expr("unix_millis(cast(o_orderdate as timestamp)) div 1000")
+            .alias("order_sec"),
+          col("o_orderpriority"))
+        .agg(sum(col("rev")).alias("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
+    // TPC-H Q7-shaped bilateral trade volume: yearly revenue flowing
+    // between two nations in either direction (supplier nation ≠
+    // customer nation). Scale: both nation attributions are broadcast
+    // dims folded onto their fact sides BEFORE the one fact-fact
+    // lineitem ⋈ orders join; the inequality filter runs on two
+    // already-attached string columns; the final agg is map-side
+    // combined to (2 nations)² × years rows.
+    "rel_nation_volume" -> ((s, d) => {
+      val pair = Seq("NATION_3", "NATION_7")
+      val nat = Tables.nation(s, d).select("n_nationkey", "n_name")
+      val sn = Tables.supplier(s, d)
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .filter(col("n_name").isin(pair: _*))
+        .select(col("s_suppkey"), col("n_name").alias("supp_nation"))
+      val cn = Tables.customer(s, d)
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .filter(col("n_name").isin(pair: _*))
+        .select(col("c_custkey"), col("n_name").alias("cust_nation"))
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).cast(LongType).alias("yr"),
+          cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .alias("rev"))
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+      val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        .join(broadcast(cn), col("o_custkey") === col("c_custkey"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "yr")
+        .agg(sum(col("rev")).alias("volume_cents"),
+          count(lit(1)).alias("n"))
+        .orderBy("supp_nation", "cust_nation", "yr")
+    }),
+
+    // TPC-H Q9-shaped product-line profit: revenue by supplier nation
+    // and order year for parts matching a name token. Scale: the
+    // name-filtered part keys and the supplier→nation attribution are
+    // both broadcast onto the lineitem scan (shrinking it ~10× before
+    // any shuffle); lineitem ⋈ orders on orderkey is the one
+    // fact-fact join; the (nation, year) agg is map-side combined.
+    "rel_profit" -> ((s, d) => {
+      val p = Tables.part(s, d)
+        .filter(col("p_name").contains("red"))
+        .select("p_partkey")
+      val supNat = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .alias("rev"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        year(col("o_orderdate")).cast(LongType).alias("yr"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").alias("nation"), col("yr"))
+        .agg(sum(col("rev")).alias("profit_cents"),
+          count(lit(1)).alias("n"))
+        .orderBy("nation", "yr")
+    }),
+
+    // TPC-H Q10-shaped returned-item report: the top-20 customers by
+    // revenue lost to returns in one quarter. Scale: both date and
+    // returnflag predicates push to the parquet scans; lineitem ⋈
+    // orders on orderkey is the one fact-fact join; the per-customer
+    // agg shuffles on custkey (map-side combined); customer + nation
+    // attach by broadcast AFTER the aggregation (top-20 candidates ×
+    // dim, not fact × dim); top-20 is TakeOrderedAndProject.
+    "rel_returned_top" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .alias("rev"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val cn = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"),
+          cents(col("c_acctbal")).alias("acctbal_cents"), col("n_name"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("rev")).alias("revenue_cents"))
+        .join(broadcast(cn), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          col("acctbal_cents"), col("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
+    // TPC-H Q13-shaped customer order-count distribution, including
+    // the zero-order customers a plain inner join would drop. Scale:
+    // orders aggregates to per-custkey counts FIRST (map-side
+    // combined, custkey-partitioned), then customer LEFT-joins that
+    // custkey-sized table — dim ⋈ agg on the same key, never
+    // customer × orders row-level; the histogram agg output is
+    // |distinct counts| rows. The oracle runs the textbook LEFT
+    // OUTER JOIN + count(o_orderkey) formulation — a different
+    // algorithm, so the hash-match pins the rewrite.
+    "rel_cust_dist" -> ((s, d) => {
+      val per = Tables.orders(s, d)
+        .filter(!col("o_orderpriority").startsWith("4"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).alias("c_count"))
+      Tables.customer(s, d).select(col("c_custkey"))
+        .join(per, col("c_custkey") === col("o_custkey"), "left")
+        .withColumn("c_count", coalesce(col("c_count"), lit(0L)))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).alias("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q19-shaped disjunctive predicate: three (brand, size
+    // range, quantity range) arms OR'd together across the part ⋈
+    // lineitem boundary. Scale: the brand filter prunes part before
+    // its broadcast; the DERIVED common bound l_quantity ≤ 30 — the
+    // union of the three arms' quantity ranges — is applied on the
+    // fact side so it reaches the parquet scan as a pushed filter
+    // (the disjunction itself can only run post-join because each
+    // arm spans both tables — the classic Q19 optimizer lesson);
+    // per-brand agg is map-side combined to 3 rows.
+    "rel_disjunct" -> ((s, d) => {
+      val p = Tables.part(s, d)
+        .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        .select("p_partkey", "p_brand", "p_size")
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_quantity") <= 30.0)
+        .select(col("l_partkey"), col("l_quantity"),
+          cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .alias("rev"))
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(1.0, 11.0)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 20) &&
+            col("l_quantity").between(10.0, 20.0)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 30) &&
+            col("l_quantity").between(20.0, 30.0)))
+        .groupBy(col("p_brand"))
+        .agg(sum(col("rev")).alias("revenue_cents"),
+          count(lit(1)).alias("n"))
+        .orderBy("p_brand")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1037,5 +1219,95 @@ object RelationalQueries {
         |  CAST((sum(CASE WHEN n_name = 'NATION_9' THEN rev ELSE 0 END)
         |    * 1000000) // sum(rev) AS BIGINT) AS share_ppm
         |FROM li JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "rel_ship_priority" ->
+      """SELECT o_orderkey,
+        |  epoch_us(o_orderdate) // 1000000 AS order_sec,
+        |  o_orderpriority,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100,
+        |       0) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_cents DESC, o_orderkey ASC
+        |LIMIT 10""".stripMargin,
+
+    "rel_nation_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS yr,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100,
+        |       0) AS BIGINT)) AS BIGINT) AS volume_cents,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name IN ('NATION_3', 'NATION_7')
+        |  AND cn.n_name IN ('NATION_3', 'NATION_7')
+        |  AND sn.n_name <> cn.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "rel_profit" ->
+      """SELECT n_name AS nation,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100,
+        |       0) AS BIGINT)) AS BIGINT) AS profit_cents,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "rel_returned_top" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(round(c_acctbal * 100, 0) AS BIGINT) AS acctbal_cents,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100,
+        |       0) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue_cents DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
+
+    // the textbook LEFT OUTER JOIN + count(o_orderkey) formulation,
+    // deliberately NOT the Spark plan's agg-then-join rewrite
+    "rel_cust_dist" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+        |  SELECT c_custkey,
+        |    CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer
+        |  LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority NOT LIKE '4%'
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "rel_disjunct" ->
+      """SELECT p_brand,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100,
+        |       0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+        |       AND l_quantity BETWEEN 20 AND 30)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
 }

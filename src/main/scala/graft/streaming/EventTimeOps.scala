@@ -74,6 +74,40 @@ object EventTimeOps {
         s"$rightTime <= $leftTime + interval $bound"))
   }
 
+  /** LEFT OUTER stream-stream interval join: like [[intervalJoin]],
+    * but left rows with no right match within the bound still emit —
+    * with nulls — once the watermark passes the end of their match
+    * interval and Spark can prove no future right row qualifies.
+    * This is the attribution shape that must NOT silently drop the
+    * unconverted majority (funnel denominators, abandoned-cart
+    * reports): an inner join only ever shows the matches.
+    *
+    * State/correctness contract (why the time bound is mandatory):
+    * without the interval condition Spark cannot evict left state or
+    * decide when a row is conclusively unmatched, and rejects the
+    * plan. With it, both sides' state is bounded by
+    * watermark + bound, and null-emission lags the data by exactly
+    * the watermark delay — the spec pins that a trailing
+    * watermark-advancing batch is what flushes the unmatched rows.
+    */
+  def outerIntervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      watermark: String,
+      bound: String): DataFrame = {
+    val l = left.withWatermark(leftTime, watermark)
+    val r = right.withWatermark(rightTime, watermark)
+    l.join(r,
+      expr(s"$leftKey = $rightKey AND " +
+        s"$rightTime >= $leftTime AND " +
+        s"$rightTime <= $leftTime + interval $bound"),
+      "leftOuter")
+  }
+
   /** Stream-static enrichment: join the stream against a (small)
     * static dimension, broadcast so no stream-side state or shuffle
     * exists — the streaming analogue of the reference's

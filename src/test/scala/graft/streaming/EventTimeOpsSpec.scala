@@ -95,6 +95,51 @@ class EventTimeOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits unmatched rows with nulls " +
+      "after the watermark conclusively closes their interval") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    val joined = EventTimeOps.outerIntervalJoin(
+      clicks.toDF().toDF("c_ts", "c_user", "c_v"),
+      buys.toDF().toDF("b_ts", "b_user", "b_v"),
+      leftKey = "c_user", rightKey = "b_user",
+      leftTime = "c_ts", rightTime = "b_ts",
+      watermark = "2 minutes", bound = "5 minutes")
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("oij").start()
+    try {
+      // alice converts in-bound; bob never converts
+      clicks.addData(Ev(t(1), "alice", 1), Ev(t(1), "bob", 2))
+      buys.addData(Ev(t(4), "alice", 10))
+      q.processAllAvailable()
+      // the match emits immediately; bob is still pending (his
+      // [10:01, 10:06] interval isn't conclusively unmatched yet)
+      val matched = spark.table("oij")
+        .filter(col("b_v").isNotNull).collect()
+        .map(r => (r.getAs[String]("c_user"), r.getAs[Long]("b_v"))).toSet
+      assert(matched === Set(("alice", 10L)))
+      assert(spark.table("oij").filter(col("b_v").isNull).count() === 0,
+        "null match emitted before the watermark closed the interval")
+
+      // advance BOTH watermarks past 10:06 + 2m delay → bob's
+      // interval is closed, the null match must flush
+      clicks.addData(Ev(t(20), "carol", 3))
+      buys.addData(Ev(t(20), "carol", 30))
+      q.processAllAvailable()
+      // one more batch: outer results flush on the state-cleanup
+      // following the watermark advance
+      clicks.addData(Ev(t(25), "dave", 4))
+      buys.addData(Ev(t(25), "dave", 40))
+      q.processAllAvailable()
+      val bob = spark.table("oij").filter(col("c_user") === "bob").collect()
+      assert(bob.length === 1, s"expected exactly one bob row: ${bob.toSeq}")
+      assert(bob.head.isNullAt(bob.head.fieldIndex("b_v")),
+        "unconverted click must surface with a null match")
+    } finally q.stop()
+  }
+
   test("session windows split on inactivity gaps") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
