@@ -787,6 +787,74 @@ object RelationalQueries {
         .orderBy(col("custdist").desc, col("c_count").desc)
     }),
 
+    // Cumulative distinct users by hour — the growth-curve query —
+    // WITHOUT per-day distinct state or HLL sketches: a user counts
+    // on exactly their FIRST active hour (one min-agg keyed on
+    // user_id, map-side combined), hourly new-user counts follow from
+    // an hour-keyed agg, and the running total is a prefix sum over
+    // that hour-cardinality table (tiny by construction — the corpus
+    // never reaches the window). Exact at any scale; the classic
+    // alternative (count(DISTINCT user) OVER (ORDER BY hour)) holds
+    // O(users) state per bucket and has no distributed form.
+    "rel_cum_distinct" -> ((s, d) => {
+      val firstHour = Tables.events(s, d)
+        .select(col("user_id"), expr("ts div 3600000000000").alias("hour"))
+        .groupBy(col("user_id"))
+        .agg(min(col("hour")).alias("hour"))
+      val per = firstHour.groupBy(col("hour"))
+        .agg(count(lit(1)).alias("new_users"))
+      val w = Window.orderBy(col("hour"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      per.withColumn("cum_users", sum(col("new_users")).over(w))
+        .orderBy("hour")
+    }),
+
+    // Time-series densification (resampling with zero-fill): the
+    // dense (day × event_type) skeleton is GENERATED dimension-side —
+    // a 1-row min/max bounds agg exploded through sequence(), crossed
+    // with the 5-row type dim — and the fact table aggregates FIRST,
+    // then left-joins onto the skeleton. The fact side is never
+    // densified row-level (the classic mistake that multiplies the
+    // corpus by the calendar); missing buckets surface as exact
+    // zeros. The feed a forecasting or SLO dashboard needs.
+    "rel_resample" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(expr("ts div 86400000000000").alias("day"),
+          col("event_type"),
+          round(col("value") * 100, 0).cast(LongType).alias("cents"))
+      val per = ev.groupBy("day", "event_type")
+        .agg(count(lit(1)).alias("n"), sum(col("cents")).alias("cents_sum"))
+      val days = ev.agg(min(col("day")).alias("lo"), max(col("day")).alias("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).alias("day"))
+      val types = ev.select("event_type").distinct()
+      days.crossJoin(broadcast(types))
+        .join(per, Seq("day", "event_type"), "left")
+        .select(col("day"), col("event_type"),
+          coalesce(col("n"), lit(0L)).alias("n"),
+          coalesce(col("cents_sum"), lit(0L)).alias("cents_sum"))
+        .orderBy("day", "event_type")
+    }),
+
+    // Gaps-and-islands: consecutive-day activity streaks per user via
+    // the day − row_number() constant-within-a-run trick, reduced to
+    // the streak-length histogram. Scale: the (user, day) dedup agg
+    // is map-side combined; the window partitions on user_id — a
+    // fact-side HIGH-cardinality key that scales with data (never a
+    // dimension key); the histogram output is O(longest streak) rows.
+    "rel_islands" -> ((s, d) => {
+      val active = Tables.events(s, d)
+        .select(col("user_id"), expr("ts div 86400000000000").alias("day"))
+        .groupBy("user_id", "day").agg(count(lit(1)).alias("n_ev"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+      active
+        .withColumn("island", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("island"))
+        .agg(count(lit(1)).alias("streak_len"))
+        .groupBy(col("streak_len"))
+        .agg(count(lit(1)).alias("n_streaks"))
+        .orderBy("streak_len")
+    }),
+
     // TPC-H Q19-shaped disjunctive predicate: three (brand, size
     // range, quantity range) arms OR'd together across the part ⋈
     // lineitem boundary. Scale: the brand filter prunes part before
@@ -1309,5 +1377,54 @@ object RelationalQueries {
         |       AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
         |       AND l_quantity BETWEEN 20 AND 30)
-        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "rel_cum_distinct" ->
+      """WITH fh AS (
+        |  SELECT user_id,
+        |    min(epoch_ns(ts) // 3600000000000) AS hour
+        |  FROM events GROUP BY 1),
+        |per AS (
+        |  SELECT hour, CAST(count(*) AS BIGINT) AS new_users
+        |  FROM fh GROUP BY 1)
+        |SELECT hour, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_users
+        |FROM per ORDER BY hour""".stripMargin,
+
+    "rel_resample" ->
+      """WITH ev AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS day, event_type,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |per AS (
+        |  SELECT day, event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS cents_sum
+        |  FROM ev GROUP BY 1, 2),
+        |days AS (
+        |  SELECT unnest(generate_series(
+        |    (SELECT min(day) FROM ev), (SELECT max(day) FROM ev))) AS day),
+        |types AS (SELECT DISTINCT event_type FROM ev)
+        |SELECT d.day, t.event_type,
+        |  CAST(coalesce(p.n, 0) AS BIGINT) AS n,
+        |  CAST(coalesce(p.cents_sum, 0) AS BIGINT) AS cents_sum
+        |FROM days d CROSS JOIN types t
+        |LEFT JOIN per p ON d.day = p.day AND t.event_type = p.event_type
+        |ORDER BY 1, 2""".stripMargin,
+
+    "rel_islands" ->
+      """WITH active AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day
+        |  FROM events GROUP BY 1, 2),
+        |runs AS (
+        |  SELECT user_id,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS island
+        |  FROM active),
+        |streaks AS (
+        |  SELECT user_id, island, CAST(count(*) AS BIGINT) AS streak_len
+        |  FROM runs GROUP BY 1, 2)
+        |SELECT streak_len, CAST(count(*) AS BIGINT) AS n_streaks
+        |FROM streaks GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -70,7 +70,12 @@ class PlanAuditSpec extends AnyFunSuite {
       "rel_idle_customers", // 1-row balance-stats scalar, broadcast back
       // suffix-max window over the DATE-cardinality aggregate (tiny
       // by construction); the corpus never reaches the window
-      "rel_skyline")
+      "rel_skyline",
+      // prefix-sum window over the day-cardinality new-user agg;
+      // the corpus itself reduces through two keyed aggs first
+      "rel_cum_distinct",
+      // 1-row min/max bounds scalar, exploded into the day skeleton
+      "rel_resample")
 
   // Queries that intentionally broadcast a tiny build side against a
   // non-equi / cross predicate (band dim, probe rows, hyperplanes,
@@ -107,7 +112,8 @@ class PlanAuditSpec extends AnyFunSuite {
                       // sim_cosine_topk's broadcast probe rows
     "tx_collocations", // 1-row corpus-count scalar broadcast
     "sim_sq8_ann", // 1-row stats row + probe codes vs every vector
-    "rel_idle_customers") // 1-row balance-stats scalar vs customers
+    "rel_idle_customers", // 1-row balance-stats scalar vs customers
+    "rel_resample") // generated day skeleton × 5-row type dim cross
 
   test("no query plan contains a CartesianProduct") {
     plans.foreach { case (sf, n, p) =>
