@@ -367,6 +367,43 @@ object AdvancedQueries {
     // broadcast offsets); target indices derive from the broadcast
     // group count, the non-target rows are filtered BEFORE the final
     // aggregate, and the group-by then sums three rows per priority.
+    // The quantile SKETCH, accuracy-gated (the rel_approx_distinct
+    // pattern): approx_percentile's t-digest answers p50/p90 in one
+    // pass with O(compression) state per group — the way a 100 TB
+    // monitoring surface actually computes latency percentiles — and
+    // the query emits the EXACT quantiles (GroupRank rank-based, the
+    // rel_percentiles machinery) plus within-5% booleans comparing
+    // the sketch against them. DuckDB emits the exact values and
+    // literal TRUEs, so the row hash-matches iff the sketch is in
+    // tolerance on fresh data.
+    "rel_approx_quantiles" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"), cents.alias("c"))
+      val ranked = GroupRank.rank(base, "o_orderpriority",
+        Seq(col("c").asc, col("o_orderkey").asc))
+      def tgt(num: Int, den: Int) =
+        expr(s"(grp_n * $num + $den - 1) div $den")
+      def pick(num: Int, den: Int) =
+        min(when(col("rn") === tgt(num, den), col("c")))
+      val exact = ranked
+        .filter(col("rn") === tgt(1, 2) || col("rn") === tgt(9, 10))
+        .groupBy("o_orderpriority")
+        .agg(max(col("grp_n")).alias("n_orders"),
+          pick(1, 2).alias("p50"),
+          pick(9, 10).alias("p90"))
+      val approx = base.groupBy("o_orderpriority")
+        .agg(expr("approx_percentile(c, 0.5, 10000)").alias("a50"),
+          expr("approx_percentile(c, 0.9, 10000)").alias("a90"))
+      exact.join(approx, "o_orderpriority")
+        .select(col("o_orderpriority"), col("n_orders"), col("p50"),
+          col("p90"),
+          (abs(col("a50") - col("p50")).cast("double") / col("p50")
+            <= 0.05).alias("p50_within_tol"),
+          (abs(col("a90") - col("p90")).cast("double") / col("p90")
+            <= 0.05).alias("p90_within_tol"))
+        .orderBy("o_orderpriority")
+    }),
+
     "rel_percentiles" -> ((s, d) => {
       val base = Tables.orders(s, d)
         .select(col("o_orderpriority"), col("o_orderkey"), cents.alias("c"))
@@ -705,6 +742,24 @@ object AdvancedQueries {
          |GROUP BY band ORDER BY band""".stripMargin,
 
     "rel_percentiles" -> percentilesSql,
+
+    "rel_approx_quantiles" ->
+      """WITH ranked AS (
+        |  SELECT o_orderpriority,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(round(o_totalprice * 100, 0) AS BIGINT),
+        |               o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  min(CASE WHEN rn = (n * 1 + 1) // 2 THEN c END) AS p50,
+        |  min(CASE WHEN rn = (n * 9 + 9) // 10 THEN c END) AS p90,
+        |  TRUE AS p50_within_tol,
+        |  TRUE AS p90_within_tol
+        |FROM ranked GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     // identical answer, different algorithm — one shared oracle
     "rel_percentiles_hist" -> percentilesSql,
