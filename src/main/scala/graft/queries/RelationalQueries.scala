@@ -885,6 +885,53 @@ object RelationalQueries {
         .agg(sum(col("rev")).alias("revenue_cents"),
           count(lit(1)).alias("n"))
         .orderBy("p_brand")
+    }),
+
+    // UNPIVOT (wide -> long): per-returnflag measures melted into
+    // (rf, measure, value) rows with the Dataset.unpivot operator.
+    // Scale: the melt runs AFTER the aggregation — a 3-row-per-group
+    // expansion of the 3-row aggregate, not a 3x blowup of the fact
+    // table (unpivot-before-agg is the trap; at 100 TB it triples the
+    // shuffle for no reason).
+    "rel_unpivot" -> ((s, d) => {
+      val aggd = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").alias("rf"))
+        .agg(
+          sum(round(col("l_quantity"), 0).cast(LongType)).alias("qty"),
+          sum(cents(col("l_extendedprice"))).alias("price_cents"),
+          sum(cents(col("l_extendedprice") * col("l_discount")))
+            .alias("disc_cents"))
+      aggd.unpivot(Array(col("rf")),
+          Array(col("qty"), col("price_cents"), col("disc_cents")),
+          "measure", "value")
+        .orderBy("rf", "measure")
+    }),
+
+    // Shuffle-free fact-to-fact join via bucketed staging: lineitem
+    // and orders are staged CLUSTERED BY orderkey INTO the same
+    // bucket count, so the sort-merge join consumes both scans'
+    // bucket partitioning directly — the ONLY exchange in the plan is
+    // the final 5-row priority aggregate (PlanAudit pins exactly
+    // that). This is the ingest-time answer to the one join shape
+    // broadcasting can't fix (both sides fact-scale): at 100 TB the
+    // bucketing is paid once per table write and every subsequent
+    // orderkey join/agg is exchange-free. The merge hint keeps the
+    // plan on SMJ at small factors where stats would broadcast.
+    "rel_bucket_join" -> ((s, d) => {
+      val nb = 8
+      val l = StagedIndex.orStageBucketed(s, "rel_bkt_lineitem_v1", d,
+        Seq(s"$d/lineitem.parquet"), "l_orderkey", nb)(
+        Tables.lineitem(s, d).select(col("l_orderkey"),
+          cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .alias("rev")))
+      val o = StagedIndex.orStageBucketed(s, "rel_bkt_orders_v1", d,
+        Seq(s"$d/orders.parquet"), "o_orderkey", nb)(
+        Tables.orders(s, d).select("o_orderkey", "o_orderpriority"))
+      l.hint("merge").join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).alias("n"),
+          sum(col("rev")).alias("revenue_cents"))
+        .orderBy("o_orderpriority")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1426,5 +1473,31 @@ object RelationalQueries {
         |  SELECT user_id, island, CAST(count(*) AS BIGINT) AS streak_len
         |  FROM runs GROUP BY 1, 2)
         |SELECT streak_len, CAST(count(*) AS BIGINT) AS n_streaks
-        |FROM streaks GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM streaks GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "rel_unpivot" ->
+      """WITH a AS (
+        |  SELECT l_returnflag AS rf,
+        |    CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+        |      AS qty,
+        |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS price_cents,
+        |    CAST(sum(CAST(round(l_extendedprice * l_discount * 100, 0)
+        |      AS BIGINT)) AS BIGINT) AS disc_cents
+        |  FROM lineitem GROUP BY 1)
+        |SELECT rf, measure, value FROM (
+        |  SELECT rf, 'qty' AS measure, qty AS value FROM a
+        |  UNION ALL
+        |  SELECT rf, 'price_cents' AS measure, price_cents FROM a
+        |  UNION ALL
+        |  SELECT rf, 'disc_cents' AS measure, disc_cents FROM a)
+        |ORDER BY rf, measure""".stripMargin,
+
+    "rel_bucket_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100,
+        |    0) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

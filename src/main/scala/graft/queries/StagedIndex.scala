@@ -103,4 +103,61 @@ object StagedIndex {
       s.read.parquet(path)
     }
   }
+
+  /** Bucketed variant of [[orStage]]: stages `build` as a parquet
+    * table CLUSTERED BY `bucketCol` INTO `nBuckets` BUCKETS so that a
+    * later equi-join (or aggregation) on that column needs NO shuffle
+    * of the staged side — the scan itself reports the
+    * `HashPartitioning` that the join requires. This is the
+    * co-located-join scale story: at 100 TB the two fact tables are
+    * bucketed once at ingest and every orderkey join afterwards is
+    * exchange-free (only the bucket-local sort remains, and not even
+    * that when each bucket is a single sorted file, which the
+    * pre-write `repartition` below arranges in local mode).
+    *
+    * Bucket metadata lives in the session catalog, not in the parquet
+    * footer, so a fresh session re-registers an external table over
+    * the already-written files (bucket ids are recovered from the
+    * `_00003`-style file-name suffix — the contract
+    * `BucketingUtils.getBucketId` reads). With `graft.stage.dir=off`
+    * the builder's frame is returned directly: identical rows, plain
+    * (shuffled) join plan.
+    */
+  def orStageBucketed(s: SparkSession, name: String, sfDir: String,
+      inputs: Seq[String], bucketCol: String, nBuckets: Int)(
+      build: => DataFrame): DataFrame = {
+    val root = s.conf.get("graft.stage.dir",
+      sys.props("java.io.tmpdir") + "/graft-stage")
+    if (root == "off") QueryMemo.cached(s, name, sfDir)(build)
+    else {
+      val path =
+        s"$root/${md5hex(sfDir).take(12)}/${contentToken(s, inputs)}/$name"
+      // table name carries the path hash: a new content token or code
+      // version is a NEW catalog entry, never a stale rebind
+      val table = s"graft_${name}_${md5hex(path).take(8)}"
+      val lock = locks.computeIfAbsent(path, _ => new Object)
+      lock.synchronized {
+        val hPath = new org.apache.hadoop.fs.Path(path)
+        val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
+          // repartition on the bucket column uses the SAME Murmur3
+          // hash-partitioning as the bucketing spec, so every task
+          // holds exactly one bucket -> one sorted file per bucket ->
+          // the bucket-side Sort is elided too, not just the Exchange
+          import org.apache.spark.sql.functions.col
+          build.repartition(nBuckets, col(bucketCol))
+            .write.mode("overwrite")
+            .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+            .option("path", path).saveAsTable(table)
+        } else if (!s.catalog.tableExists(table)) {
+          val ddl = s.read.parquet(path).schema.toDDL
+          s.sql(s"""CREATE TABLE $table ($ddl) USING PARQUET
+                   |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol)
+                   |INTO $nBuckets BUCKETS
+                   |LOCATION '$path'""".stripMargin)
+        }
+      }
+      s.table(table)
+    }
+  }
 }

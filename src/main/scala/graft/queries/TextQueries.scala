@@ -1012,6 +1012,88 @@ object TextQueries {
         .select(col("lang"), col("rk"), col("term"), col("tf"),
           col("ldf"), col("score_micro"))
         .orderBy("lang", "rk")
+    }),
+
+    // DSIR-style importance weighting (Xie et al. 2023, "Data
+    // Selection via Importance Resampling"): score every document by
+    // how much its hashed-unigram profile resembles a target slice
+    // (here lang='en' stands in for the high-quality reference
+    // corpus), keep the top-100. Importance of a bucket is the
+    // add-one-smoothed target/raw probability ratio — computed as an
+    // exact integer-rational ppm (floor((1e6*(ct+1)*(R+B)) /
+    // ((cr+1)*(T+B)))) instead of DSIR's log-ratio, because a
+    // transcendental log can't be replayed bit-exactly across
+    // engines; at production scale the ratio table would carry
+    // log-space doubles and the oracle discipline would relax to a
+    // tolerance. Scale shape: both histogram tables are <= B=4096
+    // rows regardless of corpus size (the point of hashed features) —
+    // they aggregate map-side, join each other, cross the 1-row
+    // totals scalar, and broadcast back onto the token stream; the
+    // per-doc score is one map-side-combined agg and the top-100 is
+    // TakeOrdered. The corpus is scanned exactly once... twice here
+    // (histogram pass + scoring pass) — the two-pass shape DSIR
+    // itself has.
+    "tx_dsir" -> ((s, d) => {
+      val B = 4096
+      val bk = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), explode(w).alias("wd"))
+        .select(col("doc_id"), col("lang"),
+          pmod(DedupQueries.h60(col("wd")), lit(B.toLong)).alias("bkt"))
+      val raw = bk.groupBy("bkt").agg(count(lit(1)).alias("cr"))
+      val tgt = bk.filter(col("lang") === "en")
+        .groupBy("bkt").agg(count(lit(1)).alias("ct"))
+      val tots = bk.agg(count(lit(1)).alias("r"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).alias("t"))
+      val ratio = raw.join(tgt, Seq("bkt"), "left")
+        .crossJoin(broadcast(tots))
+        .select(col("bkt"),
+          expr(s"(1000000 * (coalesce(ct, 0) + 1) * (r + $B))" +
+            s" div ((cr + 1) * (t + $B))").cast(LongType).alias("ppm"))
+      val top = bk.join(broadcast(ratio), "bkt")
+        .groupBy("doc_id").agg(sum(col("ppm")).alias("score_ppm"))
+        .orderBy(col("score_ppm").desc, col("doc_id").asc)
+        .limit(100)
+      // attach lang by broadcasting the 100-row top-k against the
+      // dim projection — the corpus-sized side never shuffles
+      Tables.documents(s, d).select("doc_id", "lang")
+        .join(broadcast(top), "doc_id")
+        .select(col("doc_id"), col("lang"), col("score_ppm"))
+        .orderBy(col("score_ppm").desc, col("doc_id").asc)
+    }),
+
+    // Lexical-diversity quality signal: Simpson diversity index over
+    // the token multiset, 1 - sum(c_w^2)/n^2, in exact integer ppm —
+    // the repetition-detecting cousin of tx_repetition that needs no
+    // n-gram choice (a doc that is one word repeated scores 0; all-
+    // distinct scores ~1e6). Computed per row as a single fold over
+    // the SORTED token array (runs in the sorted array ARE the
+    // per-word counts, so sum(run^2) needs no per-doc group-by): zero
+    // shuffle, scan speed, the same sorted-run trick as gopherRules'
+    // top-word count. The oracle keeps the naive unnest + group-by
+    // form.
+    "tx_diversity" -> ((s, d) => {
+      val n = size(w).cast(LongType)
+      val sumsq = aggregate(array_sort(w),
+        struct(lit("").alias("prev"), lit(0L).alias("run"),
+          lit(0L).alias("acc")),
+        (st, x) => {
+          val same = x === st.getField("prev")
+          struct(x.alias("prev"),
+            when(same, st.getField("run") + 1L).otherwise(lit(1L))
+              .alias("run"),
+            when(same, st.getField("acc"))
+              .otherwise(st.getField("acc") +
+                st.getField("run") * st.getField("run")).alias("acc"))
+        },
+        st => st.getField("acc") +
+          st.getField("run") * st.getField("run"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), n.alias("n_words"),
+          size(array_distinct(w)).cast(LongType).alias("n_distinct"),
+          sumsq.alias("sumsq"))
+        .withColumn("div_ppm",
+          expr("1000000 - (1000000 * sumsq) div (n_words * n_words)"))
+        .orderBy("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1630,5 +1712,48 @@ object TextQueries {
         |      ORDER BY (tf * 1000000 * nlang) // ldf DESC, term ASC)
         |      AS BIGINT) AS rk
         |  FROM lt JOIN ldf USING (term) CROSS JOIN nl) t
-        |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin)
+        |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
+
+    "tx_dsir" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, lang,
+         |    ${DedupQueries.SqlH60("wd")} % 4096 AS bkt
+         |  FROM (SELECT doc_id, lang,
+         |          unnest(string_split(text, ' ')) AS wd
+         |        FROM documents) x),
+         |raw AS (SELECT bkt, CAST(count(*) AS BIGINT) AS cr
+         |        FROM b GROUP BY 1),
+         |tgt AS (SELECT bkt, CAST(count(*) AS BIGINT) AS ct
+         |        FROM b WHERE lang = 'en' GROUP BY 1),
+         |tots AS (SELECT CAST(count(*) AS BIGINT) AS r,
+         |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS t FROM b),
+         |ratio AS (
+         |  SELECT raw.bkt,
+         |    CAST((1000000 * (coalesce(ct, 0) + 1) * (r + 4096))
+         |      // ((cr + 1) * (t + 4096)) AS BIGINT) AS ppm
+         |  FROM raw LEFT JOIN tgt ON raw.bkt = tgt.bkt CROSS JOIN tots),
+         |top AS (
+         |  SELECT doc_id, CAST(sum(ppm) AS BIGINT) AS score_ppm
+         |  FROM b JOIN ratio USING (bkt) GROUP BY 1
+         |  ORDER BY score_ppm DESC, doc_id ASC LIMIT 100)
+         |SELECT d.doc_id, d.lang, t.score_ppm
+         |FROM top t JOIN documents d USING (doc_id)
+         |ORDER BY t.score_ppm DESC, d.doc_id ASC""".stripMargin,
+
+    "tx_diversity" ->
+      """WITH cnt AS (
+        |  SELECT doc_id, wd, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+        |        FROM documents) x
+        |  GROUP BY 1, 2),
+        |per AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |    CAST(count(*) AS BIGINT) AS n_distinct,
+        |    CAST(sum(c * c) AS BIGINT) AS sumsq
+        |  FROM cnt GROUP BY 1)
+        |SELECT doc_id, n_words, n_distinct, sumsq,
+        |  CAST(1000000 - (1000000 * sumsq) // (n_words * n_words)
+        |    AS BIGINT) AS div_ppm
+        |FROM per ORDER BY doc_id""".stripMargin)
 }

@@ -75,7 +75,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // the corpus itself reduces through two keyed aggs first
       "rel_cum_distinct",
       // 1-row min/max bounds scalar, exploded into the day skeleton
-      "rel_resample")
+      "rel_resample",
+      // 1-row token-totals scalar (R, T), broadcast onto the B-row
+      // ratio table; the corpus side never funnels
+      "tx_dsir")
 
   // Queries that intentionally broadcast a tiny build side against a
   // non-equi / cross predicate (band dim, probe rows, hyperplanes,
@@ -113,7 +116,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "tx_collocations", // 1-row corpus-count scalar broadcast
     "sim_sq8_ann", // 1-row stats row + probe codes vs every vector
     "rel_idle_customers", // 1-row balance-stats scalar vs customers
-    "rel_resample") // generated day skeleton × 5-row type dim cross
+    "rel_resample", // generated day skeleton × 5-row type dim cross
+    "tx_dsir") // 1-row (R, T) totals scalar vs the 4096-row histogram
 
   test("no query plan contains a CartesianProduct") {
     plans.foreach { case (sf, n, p) =>
@@ -255,6 +259,30 @@ class PlanAuditSpec extends AnyFunSuite {
               "hint and let the planner/AQE choose")
         case _ =>
       }
+    }
+  }
+
+  // --- bucketed co-location pinning ----------------------------------
+  // rel_bucket_join's whole reason to exist is the exchange-free
+  // fact-to-fact join: both staged tables are CLUSTERED BY orderkey
+  // into the same bucket count, so the sort-merge join must consume
+  // the scans' bucket partitioning directly. Pin all three legs —
+  // bucketed scans on both sides, an SMJ, and NO exchange on either
+  // join key (the only exchanges allowed are the 5-row priority
+  // aggregate and the final sort). A regression here (bucket-count
+  // drift, a dropped merge hint flipping to broadcast, bucketing
+  // disabled) silently reintroduces the full fact-fact shuffle that
+  // at 100 TB is the single most expensive stage in the plan.
+  test("rel_bucket_join joins bucket-to-bucket with no join-key exchange") {
+    plans.filter(_._2 == "rel_bucket_join").foreach { case (sf, _, p) =>
+      assert("Bucketed: true".r.findAllIn(p).size == 2,
+        s"rel_bucket_join at $sf: expected both scans bucketed")
+      assert(p.contains("SortMergeJoin"),
+        s"rel_bucket_join at $sf: expected a sort-merge join")
+      assert(!p.contains("hashpartitioning(l_orderkey") &&
+        !p.contains("hashpartitioning(o_orderkey"),
+        s"rel_bucket_join at $sf: a join-key exchange appeared — " +
+          "bucket co-location regressed")
     }
   }
 
