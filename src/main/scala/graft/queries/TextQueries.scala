@@ -129,6 +129,76 @@ object TextQueries {
        |      / (t.tf + 1.2 * (0.25 + 0.75 * d.dl * s.n / s.tot))
        |      * 1000000.0) AS BIGINT)""".stripMargin
 
+  /** DSIR hashed-feature bucket count (Xie et al. 2023 use 10k
+    * buckets; 4096 keeps the histogram a power of two).
+    */
+  final val DsirB = 4096
+
+  /** Shared DSIR derivation: per-document importance score of the
+    * whole corpus against the lang='en' target slice, used by BOTH
+    * `tx_dsir` (top-k inspection) and `pipe_dsir` (the resampling
+    * capstone); their oracles share [[dsirOracleCte]] the same way.
+    *
+    * Importance of a hashed-unigram bucket is the add-one-smoothed
+    * target/raw probability ratio — computed as an exact
+    * integer-rational ppm (floor((1e6*(ct+1)*(R+B)) /
+    * ((cr+1)*(T+B)))) instead of DSIR's log-ratio, because a
+    * transcendental log can't be replayed bit-exactly across engines;
+    * at production scale the ratio table would carry log-space
+    * doubles and the oracle discipline would relax to a tolerance.
+    * Scale shape: both histogram tables are <= B=4096 rows regardless
+    * of corpus size (the point of hashed features) — they aggregate
+    * map-side, join each other, cross the 1-row totals scalar, and
+    * broadcast back onto the token stream; the per-doc score is one
+    * map-side-combined agg. The corpus is scanned twice (histogram
+    * pass + scoring pass) — the two-pass shape DSIR itself has.
+    * Returns (doc_id, score_ppm).
+    */
+  private[queries] def dsirScores(s: SparkSession, d: String): DataFrame = {
+    val bk = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(w).alias("wd"))
+      .select(col("doc_id"), col("lang"),
+        pmod(DedupQueries.h60(col("wd")), lit(DsirB.toLong)).alias("bkt"))
+    val raw = bk.groupBy("bkt").agg(count(lit(1)).alias("cr"))
+    val tgt = bk.filter(col("lang") === "en")
+      .groupBy("bkt").agg(count(lit(1)).alias("ct"))
+    val tots = bk.agg(count(lit(1)).alias("r"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).alias("t"))
+    val ratio = raw.join(tgt, Seq("bkt"), "left")
+      .crossJoin(broadcast(tots))
+      .select(col("bkt"),
+        expr(s"(1000000 * (coalesce(ct, 0) + 1) * (r + $DsirB))" +
+          s" div ((cr + 1) * (t + $DsirB))").cast(LongType).alias("ppm"))
+    bk.join(broadcast(ratio), "bkt")
+      .groupBy("doc_id").agg(sum(col("ppm")).alias("score_ppm"))
+  }
+
+  /** Oracle twin of [[dsirScores]]: DuckDB CTE block (spliced right
+    * after WITH) ending in `scored(doc_id, score_ppm)`.
+    */
+  private[queries] val dsirOracleCte: String =
+    s"""b AS (
+       |  SELECT doc_id, lang,
+       |    ${DedupQueries.SqlH60("wd")} % $DsirB AS bkt
+       |  FROM (SELECT doc_id, lang,
+       |          unnest(string_split(text, ' ')) AS wd
+       |        FROM documents) x),
+       |raw AS (SELECT bkt, CAST(count(*) AS BIGINT) AS cr
+       |        FROM b GROUP BY 1),
+       |tgt AS (SELECT bkt, CAST(count(*) AS BIGINT) AS ct
+       |        FROM b WHERE lang = 'en' GROUP BY 1),
+       |tots AS (SELECT CAST(count(*) AS BIGINT) AS r,
+       |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS t FROM b),
+       |ratio AS (
+       |  SELECT raw.bkt,
+       |    CAST((1000000 * (coalesce(ct, 0) + 1) * (r + $DsirB))
+       |      // ((cr + 1) * (t + $DsirB)) AS BIGINT) AS ppm
+       |  FROM raw LEFT JOIN tgt ON raw.bkt = tgt.bkt CROSS JOIN tots),
+       |scored AS (
+       |  SELECT doc_id, CAST(sum(ppm) AS BIGINT) AS score_ppm
+       |  FROM b JOIN ratio USING (bkt) GROUP BY 1)""".stripMargin
+
   /** Count-min sketch geometry: 4 hash rows × CmsWidth buckets.
     * Width is the error knob (overcount ≤ n/width per row): session-
     * configurable via `graft.cms.width` (power of two ≤ 2^15 — each
@@ -1018,47 +1088,46 @@ object TextQueries {
     // Selection via Importance Resampling"): score every document by
     // how much its hashed-unigram profile resembles a target slice
     // (here lang='en' stands in for the high-quality reference
-    // corpus), keep the top-100. Importance of a bucket is the
-    // add-one-smoothed target/raw probability ratio — computed as an
-    // exact integer-rational ppm (floor((1e6*(ct+1)*(R+B)) /
-    // ((cr+1)*(T+B)))) instead of DSIR's log-ratio, because a
-    // transcendental log can't be replayed bit-exactly across
-    // engines; at production scale the ratio table would carry
-    // log-space doubles and the oracle discipline would relax to a
-    // tolerance. Scale shape: both histogram tables are <= B=4096
-    // rows regardless of corpus size (the point of hashed features) —
-    // they aggregate map-side, join each other, cross the 1-row
-    // totals scalar, and broadcast back onto the token stream; the
-    // per-doc score is one map-side-combined agg and the top-100 is
-    // TakeOrdered. The corpus is scanned exactly once... twice here
-    // (histogram pass + scoring pass) — the two-pass shape DSIR
-    // itself has.
+    // corpus), keep the top-100. See [[dsirScores]] for the
+    // derivation and its scale shape; the top-100 is TakeOrdered and
+    // the lang attach broadcasts the 100-row result against the dim
+    // projection — the corpus-sized side never shuffles.
     "tx_dsir" -> ((s, d) => {
-      val B = 4096
-      val bk = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), explode(w).alias("wd"))
-        .select(col("doc_id"), col("lang"),
-          pmod(DedupQueries.h60(col("wd")), lit(B.toLong)).alias("bkt"))
-      val raw = bk.groupBy("bkt").agg(count(lit(1)).alias("cr"))
-      val tgt = bk.filter(col("lang") === "en")
-        .groupBy("bkt").agg(count(lit(1)).alias("ct"))
-      val tots = bk.agg(count(lit(1)).alias("r"),
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).alias("t"))
-      val ratio = raw.join(tgt, Seq("bkt"), "left")
-        .crossJoin(broadcast(tots))
-        .select(col("bkt"),
-          expr(s"(1000000 * (coalesce(ct, 0) + 1) * (r + $B))" +
-            s" div ((cr + 1) * (t + $B))").cast(LongType).alias("ppm"))
-      val top = bk.join(broadcast(ratio), "bkt")
-        .groupBy("doc_id").agg(sum(col("ppm")).alias("score_ppm"))
+      val top = dsirScores(s, d)
         .orderBy(col("score_ppm").desc, col("doc_id").asc)
         .limit(100)
-      // attach lang by broadcasting the 100-row top-k against the
-      // dim projection — the corpus-sized side never shuffles
       Tables.documents(s, d).select("doc_id", "lang")
         .join(broadcast(top), "doc_id")
         .select(col("doc_id"), col("lang"), col("score_ppm"))
         .orderBy(col("score_ppm").desc, col("doc_id").asc)
+    }),
+
+    // The DSIR capstone — importance RESAMPLING, not just scoring:
+    // rank the whole corpus by [[dsirScores]] and keep the top 20%,
+    // then report the per-(lang, source) budget the selection spent —
+    // the "what did importance weighting do to my mixture" audit
+    // table a curation run reads before training. The global rank
+    // runs on GroupRank's constant-group range partition (the corpus
+    // never funnels through one task); the kept-verdict table joins
+    // the dim projection id-to-id (two per-doc tables, the
+    // pipe_curate join shape); sums stay integer ppm. Selection
+    // fraction is exact: doc ranks rn with 5*rn <= N are kept, i.e.
+    // floor(N/5) docs, deterministic under the (score desc, doc_id)
+    // total order.
+    "pipe_dsir" -> ((s, d) => {
+      val ranked = GroupRank.rank(
+        dsirScores(s, d).withColumn("g0", lit("all")),
+        "g0", Seq(col("score_ppm").desc, col("doc_id").asc))
+      val verdicts = ranked.select(col("doc_id"), col("score_ppm"),
+        (col("rn") * 5L <= col("grp_n")).alias("keep"))
+      Tables.documents(s, d).select("doc_id", "lang", "source")
+        .join(verdicts, "doc_id")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).alias("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).alias("n_kept"),
+          sum(when(col("keep"), col("score_ppm")).otherwise(0L))
+            .alias("kept_score_sum"))
+        .orderBy("lang", "source")
     }),
 
     // Lexical-diversity quality signal: Simpson diversity index over
@@ -1715,31 +1784,30 @@ object TextQueries {
         |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
 
     "tx_dsir" ->
-      s"""WITH b AS (
-         |  SELECT doc_id, lang,
-         |    ${DedupQueries.SqlH60("wd")} % 4096 AS bkt
-         |  FROM (SELECT doc_id, lang,
-         |          unnest(string_split(text, ' ')) AS wd
-         |        FROM documents) x),
-         |raw AS (SELECT bkt, CAST(count(*) AS BIGINT) AS cr
-         |        FROM b GROUP BY 1),
-         |tgt AS (SELECT bkt, CAST(count(*) AS BIGINT) AS ct
-         |        FROM b WHERE lang = 'en' GROUP BY 1),
-         |tots AS (SELECT CAST(count(*) AS BIGINT) AS r,
-         |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS t FROM b),
-         |ratio AS (
-         |  SELECT raw.bkt,
-         |    CAST((1000000 * (coalesce(ct, 0) + 1) * (r + 4096))
-         |      // ((cr + 1) * (t + 4096)) AS BIGINT) AS ppm
-         |  FROM raw LEFT JOIN tgt ON raw.bkt = tgt.bkt CROSS JOIN tots),
+      s"""WITH $dsirOracleCte,
          |top AS (
-         |  SELECT doc_id, CAST(sum(ppm) AS BIGINT) AS score_ppm
-         |  FROM b JOIN ratio USING (bkt) GROUP BY 1
+         |  SELECT doc_id, score_ppm FROM scored
          |  ORDER BY score_ppm DESC, doc_id ASC LIMIT 100)
          |SELECT d.doc_id, d.lang, t.score_ppm
          |FROM top t JOIN documents d USING (doc_id)
          |ORDER BY t.score_ppm DESC, d.doc_id ASC""".stripMargin,
+
+    "pipe_dsir" ->
+      s"""WITH $dsirOracleCte,
+         |ranked AS (
+         |  SELECT doc_id, score_ppm,
+         |    CAST(row_number() OVER (
+         |      ORDER BY score_ppm DESC, doc_id ASC) AS BIGINT) AS rn,
+         |    CAST(count(*) OVER () AS BIGINT) AS n
+         |  FROM scored)
+         |SELECT d.lang, d.source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN r.rn * 5 <= r.n THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN r.rn * 5 <= r.n THEN r.score_ppm
+         |    ELSE 0 END) AS BIGINT) AS kept_score_sum
+         |FROM ranked r JOIN documents d USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "tx_diversity" ->
       """WITH cnt AS (

@@ -78,7 +78,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "rel_resample",
       // 1-row token-totals scalar (R, T), broadcast onto the B-row
       // ratio table; the corpus side never funnels
-      "tx_dsir")
+      "tx_dsir",
+      // global GroupRank (constant group) over the per-doc scores +
+      // the same 1-row totals scalar as tx_dsir
+      "pipe_dsir")
 
   // Queries that intentionally broadcast a tiny build side against a
   // non-equi / cross predicate (band dim, probe rows, hyperplanes,
@@ -117,7 +120,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_sq8_ann", // 1-row stats row + probe codes vs every vector
     "rel_idle_customers", // 1-row balance-stats scalar vs customers
     "rel_resample", // generated day skeleton × 5-row type dim cross
-    "tx_dsir") // 1-row (R, T) totals scalar vs the 4096-row histogram
+    "tx_dsir", // 1-row (R, T) totals scalar vs the 4096-row histogram
+    "pipe_dsir") // inherits tx_dsir's 1-row totals scalar
 
   test("no query plan contains a CartesianProduct") {
     plans.foreach { case (sf, n, p) =>
