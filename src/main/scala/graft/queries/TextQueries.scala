@@ -154,11 +154,18 @@ object TextQueries {
     * pass + scoring pass) — the two-pass shape DSIR itself has.
     * Returns (doc_id, score_ppm).
     */
-  private[queries] def dsirScores(s: SparkSession, d: String): DataFrame = {
-    val bk = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), explode(w).alias("wd"))
-      .select(col("doc_id"), col("lang"),
-        pmod(DedupQueries.h60(col("wd")), lit(DsirB.toLong)).alias("bkt"))
+  private def dsirBk(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), col("lang"), explode(w).alias("wd"))
+    .select(col("doc_id"), col("lang"),
+      pmod(DedupQueries.h60(col("wd")), lit(DsirB.toLong)).alias("bkt"))
+
+  /** The learned half of DSIR: the (bucket -> importance ppm) ratio
+    * table plus the 1-row (R, T) totals — O(B) rows no matter the
+    * corpus size. `StreamingDsir` collects this as its broadcast
+    * model for at-ingest scoring.
+    */
+  private[graft] def dsirRatio(docs: DataFrame): (DataFrame, DataFrame) = {
+    val bk = dsirBk(docs)
     val raw = bk.groupBy("bkt").agg(count(lit(1)).alias("cr"))
     val tgt = bk.filter(col("lang") === "en")
       .groupBy("bkt").agg(count(lit(1)).alias("ct"))
@@ -169,7 +176,28 @@ object TextQueries {
       .select(col("bkt"),
         expr(s"(1000000 * (coalesce(ct, 0) + 1) * (r + $DsirB))" +
           s" div ((cr + 1) * (t + $DsirB))").cast(LongType).alias("ppm"))
-    bk.join(broadcast(ratio), "bkt")
+    (ratio, tots)
+  }
+
+  /** Per-row DSIR score of a text column against an ALREADY-LEARNED
+    * model (bucket -> ppm map + the unseen-bucket default): one
+    * higher-order fold over the token array, a map-literal lookup per
+    * token — no shuffle, no state, usable identically on a batch
+    * frame or a change stream (StreamingDsir pins the parity).
+    */
+  private[graft] def dsirScoreExpr(text: Column,
+      model: Map[Long, Long], defaultPpm: Long): Column = {
+    val m = typedLit(model)
+    aggregate(split(text, " "), lit(0L),
+      (acc, wd) => acc + coalesce(
+        element_at(m, pmod(DedupQueries.h60(wd), lit(DsirB.toLong))),
+        lit(defaultPpm)))
+  }
+
+  private[queries] def dsirScores(s: SparkSession, d: String): DataFrame = {
+    val (ratio, _) = dsirRatio(Tables.documents(s, d))
+    dsirBk(Tables.documents(s, d))
+      .join(broadcast(ratio), "bkt")
       .groupBy("doc_id").agg(sum(col("ppm")).alias("score_ppm"))
   }
 
