@@ -276,6 +276,50 @@ object CdcQueries {
         .agg(count(lit(1)).alias("n_keys"),
           sum(col("drift")).alias("cents_drift"))
         .orderBy("status")
+    }),
+
+    // Point-in-time-correct state lookup — the feature-store as-of
+    // join over the materialized change history: every purchase event
+    // is annotated with the user's LAST state change strictly before
+    // it (the cdc_scd2 version valid at that moment). This is the
+    // no-feature-leakage join an ML training pipeline needs: features
+    // must reflect what was knowable at event time, never a later
+    // version. Same scale shape as rel_asof_join — a union + ONE
+    // window partitioned on the documentKey (fact-side cardinality
+    // that grows with the data, the scale-safe shape) with
+    // ignoreNulls carry-forward; no interval join, no range blow-up,
+    // one shuffle total. Probes with no prior state coalesce to
+    // (-1, 'none', 0) — the cold-start row.
+    "cdc_asof_state" -> ((s, d) => {
+      val ev = dataEvents(s, d)
+      val st = ev.filter(col("op") =!= "c").select(
+        col("user_id"), col("event_id").alias("t"), lit(0).alias("kind"),
+        col("event_id").alias("sid"), col("op").alias("sop"),
+        col("cents").alias("scents"),
+        lit(null).cast(LongType).alias("pid"),
+        lit(null).cast(LongType).alias("pcents"))
+      val pr = ev.filter(col("op") === "c").select(
+        col("user_id"), col("event_id").alias("t"), lit(1).alias("kind"),
+        lit(null).cast(LongType).alias("sid"),
+        lit(null).cast("string").alias("sop"),
+        lit(null).cast(LongType).alias("scents"),
+        col("event_id").alias("pid"), col("cents").alias("pcents"))
+      val w = Window.partitionBy("user_id").orderBy(col("t"), col("kind"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      st.unionByName(pr)
+        .withColumn("state_id",
+          last(col("sid"), ignoreNulls = true).over(w))
+        .withColumn("state_op",
+          last(col("sop"), ignoreNulls = true).over(w))
+        .withColumn("state_cents",
+          last(col("scents"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("pid").alias("event_id"), col("user_id"),
+          col("pcents").alias("cents"),
+          coalesce(col("state_id"), lit(-1L)).alias("state_id"),
+          coalesce(col("state_op"), lit("none")).alias("state_op"),
+          coalesce(col("state_cents"), lit(0L)).alias("state_cents"))
+        .orderBy("event_id")
     }))
 
   /** The change stream projected to last-writer-wins inputs: data ops
@@ -451,5 +495,37 @@ object CdcQueries {
         |              ELSE 'same' END AS status,
         |    coalesce(cents_b, 0) - coalesce(cents_a, 0) AS drift
         |  FROM t1 FULL OUTER JOIN t2 USING (user_id)) v
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "cdc_asof_state" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN event_type = 'purchase' THEN 'c'
+        |         WHEN event_type IN ('click','view') THEN 'u'
+        |         ELSE 'd' END AS op,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE event_type IN ('click','purchase','signup','view')),
+        |u AS (
+        |  SELECT user_id, event_id AS t, 0 AS kind, event_id AS sid,
+        |         op AS sop, cents AS scents,
+        |         CAST(NULL AS BIGINT) AS pid,
+        |         CAST(NULL AS BIGINT) AS pcents
+        |  FROM ev WHERE op <> 'c'
+        |  UNION ALL
+        |  SELECT user_id, event_id, 1, NULL, NULL, NULL,
+        |         event_id, cents
+        |  FROM ev WHERE op = 'c'),
+        |w AS (
+        |  SELECT *,
+        |    last_value(sid IGNORE NULLS) OVER win AS state_id,
+        |    last_value(sop IGNORE NULLS) OVER win AS state_op,
+        |    last_value(scents IGNORE NULLS) OVER win AS state_cents
+        |  FROM u WINDOW win AS (PARTITION BY user_id ORDER BY t, kind
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT pid AS event_id, user_id, pcents AS cents,
+        |  coalesce(state_id, -1) AS state_id,
+        |  coalesce(state_op, 'none') AS state_op,
+        |  coalesce(state_cents, 0) AS state_cents
+        |FROM w WHERE kind = 1 ORDER BY event_id""".stripMargin)
 }

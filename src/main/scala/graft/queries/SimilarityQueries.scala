@@ -767,6 +767,54 @@ object SimilarityQueries {
         .orderBy("qid", "rk")
     }),
 
+    // Modularity of the LABEL partition over the staged kNN graph
+    // (Newman & Girvan 2004, eq. Q = Σ_c [e_c/m − (d_c/2m)²], here in
+    // the directed-double-arc form Q_c = (e2_c·M − d_c²)/M² with
+    // M = total arcs): the embedding-QA scalar that measures how well
+    // the embedding-space neighborhood structure agrees with the
+    // labels — high Q = neighbors mostly share labels (pairs with
+    // sim_label_centroids as the space-trust audit). Per-community
+    // terms in exact integer ppm; both engines truncate integer
+    // division toward zero (Spark `div` = Java, DuckDB `//`), so the
+    // possibly-NEGATIVE q_ppm of an anti-community still replays
+    // exactly. Scale shape: two id equi-joins attach endpoint labels
+    // to the O(N·k) arc list, one map-side-combined agg per community,
+    // a 1-row arc-count scalar broadcast — nothing corpus-quadratic.
+    // int64 headroom: 1e6·e2_c·M ≤ 1e6·M² needs M ≤ ~3e6 arcs per
+    // partition-of-analysis; shard the graph (or drop to 1e3 units)
+    // beyond that.
+    "graph_modularity" -> ((s, d) => {
+      val edges = StagedIndex.orStage(s, "graph_knn_edges_v1", d,
+        Seq(s"$d/embeddings.parquet")) {
+        queries("sim_knn_graph")(s, d)
+          .select(col("vec_id").alias("src"), col("nbr").alias("dst"))
+      }
+      val sym = edges.select(col("src"), col("dst"))
+        .union(edges.select(col("dst").alias("src"),
+          col("src").alias("dst")))
+        .distinct()
+      val lbl = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label").cast(LongType).alias("lbl"))
+      val arcs = sym
+        .join(lbl.select(col("vec_id").alias("src"),
+          col("lbl").alias("sl")), "src")
+        .join(lbl.select(col("vec_id").alias("dst"),
+          col("lbl").alias("dl")), "dst")
+      val m2 = arcs.agg(count(lit(1)).alias("m2"))
+      val perC = arcs.groupBy(col("sl").alias("label"))
+        .agg(sum(when(col("dl") === col("sl"), 1L).otherwise(0L))
+          .alias("intra_arcs"),
+          count(lit(1)).alias("d_sum"))
+      val nodes = lbl.groupBy(col("lbl").alias("label"))
+        .agg(count(lit(1)).alias("n_nodes"))
+      perC.join(nodes, "label").crossJoin(broadcast(m2))
+        .select(col("label"), col("n_nodes"), col("d_sum"),
+          col("intra_arcs"),
+          expr("(1000000 * (intra_arcs * m2 - d_sum * d_sum))" +
+            " div (m2 * m2)").alias("q_ppm"))
+        .orderBy("label")
+    }),
+
     // Triangle counting + local clustering coefficient over the staged
     // kNN edges — the node-iterator join (Suri & Vassilvitskii 2011,
     // "Counting Triangles and the Curse of the Last Reducer"): orient
@@ -1845,6 +1893,35 @@ object SimilarityQueries {
          |SELECT tau_pct, CAST(sum(n) AS BIGINT) AS n_pairs
          |FROM hist JOIN taus ON bin >= tau_pct
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // edge derivation verbatim; per-label arc tallies and the
+    // integer-ppm modularity terms (// truncates toward zero in both
+    // engines, so negative q_ppm replays exactly)
+    "graph_modularity" ->
+      s"""$sqlKnnEdgesWith,
+         |sym AS (SELECT src, dst FROM edges
+         |        UNION SELECT dst AS src, src AS dst FROM edges),
+         |arcs AS (
+         |  SELECT es.label AS sl, ed.label AS dl
+         |  FROM sym
+         |  JOIN embeddings es ON sym.src = es.vec_id
+         |  JOIN embeddings ed ON sym.dst = ed.vec_id),
+         |m2 AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM arcs),
+         |perc AS (
+         |  SELECT CAST(sl AS BIGINT) AS label,
+         |    CAST(sum(CASE WHEN sl = dl THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS intra_arcs,
+         |    CAST(count(*) AS BIGINT) AS d_sum
+         |  FROM arcs GROUP BY 1),
+         |nodes AS (
+         |  SELECT CAST(label AS BIGINT) AS label,
+         |    CAST(count(*) AS BIGINT) AS n_nodes
+         |  FROM embeddings GROUP BY 1)
+         |SELECT p.label, n.n_nodes, p.d_sum, p.intra_arcs,
+         |  CAST((1000000 * (p.intra_arcs * m2.m2 - p.d_sum * p.d_sum))
+         |    // (m2.m2 * m2.m2) AS BIGINT) AS q_ppm
+         |FROM perc p JOIN nodes n ON p.label = n.label CROSS JOIN m2
+         |ORDER BY p.label""".stripMargin,
 
     // edge derivation verbatim, then oriented-wedge triangle closure
     // and the integral-micro-unit clustering coefficient

@@ -81,7 +81,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "tx_dsir",
       // global GroupRank (constant group) over the per-doc scores +
       // the same 1-row totals scalar as tx_dsir
-      "pipe_dsir")
+      "pipe_dsir",
+      // 1-row total-arc-count scalar, broadcast onto the per-label agg
+      "graph_modularity")
 
   // Queries that intentionally broadcast a tiny build side against a
   // non-equi / cross predicate (band dim, probe rows, hyperplanes,
@@ -121,7 +123,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "rel_idle_customers", // 1-row balance-stats scalar vs customers
     "rel_resample", // generated day skeleton × 5-row type dim cross
     "tx_dsir", // 1-row (R, T) totals scalar vs the 4096-row histogram
-    "pipe_dsir") // inherits tx_dsir's 1-row totals scalar
+    "pipe_dsir", // inherits tx_dsir's 1-row totals scalar
+    "graph_modularity") // 1-row arc-count scalar vs the label agg
 
   test("no query plan contains a CartesianProduct") {
     plans.foreach { case (sf, n, p) =>
