@@ -144,6 +144,11 @@ object BenchExpect {
     "tx_sample_weighted" -> 0.9,
     "tx_source_cap" -> 0.8,
     "tx_tokens" -> 0.3,
+    "rel_concurrency" -> 1.2, // s7 sessions + reduced sweep
+    "pipe_epoch_plan" -> 1.4, // pipe_report roll-up + 1-row scalar
+    "sim_dim_stats" -> 0.5,
+    "tx_fertility" -> 3.0, // tx_bpe_apply's rounds + the lang roll-up
+    "tx_readability" -> 0.5,
   )
 
   def apply(n: String): Double = expect.getOrElse(n, default)

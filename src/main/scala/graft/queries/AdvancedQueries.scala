@@ -43,6 +43,16 @@ object AdvancedQueries {
   /** Histogram-percentile bin width in cents (rel_percentiles_hist). */
   final val HistBinCents = 1000000L
 
+  /** pipe_epoch_plan: repetition cap (epochs per source) and the
+    * token budget as a multiple of the curated corpus — 4 epochs is
+    * the Muennighoff et al. 2023 ("Scaling Data-Constrained Language
+    * Models") point past which repeated data stops buying loss; 3×
+    * makes the budget exceed the corpus so the plan actually
+    * exercises repetition and the cap.
+    */
+  final val EpochCap = 4L
+  final val BudgetMult = 3L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // The capstone: one end-to-end curation verdict per document,
@@ -208,6 +218,44 @@ object AdvancedQueries {
           sum(when(col("kept"), col("n_tokens")).otherwise(0L))
             .alias("kept_tokens"))
         .orderBy("lang", "source")
+    }),
+
+    // Epoch plan under a token budget (Muennighoff et al. 2023,
+    // "Scaling Data-Constrained Language Models"): when the training
+    // budget exceeds the curated corpus, decide how many times each
+    // SOURCE is repeated. Budget = BudgetMult × total kept tokens,
+    // allocated across sources by sqrt(kept_tokens) weights (the
+    // standard sub-linear flattening that keeps big sources from
+    // drowning small ones), then clamped to EpochCap repetitions —
+    // the table a training run's data loader is configured from.
+    // All-integer arithmetic (floor-sqrt weights, integral division,
+    // ceil epochs) so the oracle replays bit-for-bit. Scale shape:
+    // composed from pipe_report's already-oracled funnel table —
+    // everything after it touches O(sources) rows, with the 1-row
+    // totals scalar broadcast.
+    "pipe_epoch_plan" -> ((s, d) => {
+      val perSource = queries("pipe_report")(s, d)
+        .groupBy("source")
+        .agg(sum(col("kept")).alias("kept_docs"),
+          sum(col("kept_tokens")).alias("kept_tokens"))
+        .filter(col("kept_tokens") > 0)
+      val weighted = perSource.withColumn("wt",
+        floor(sqrt(col("kept_tokens").cast("double"))).cast(LongType))
+      val tot = weighted.agg(sum(col("wt")).alias("tw"),
+        sum(col("kept_tokens")).alias("tt"))
+      weighted.crossJoin(broadcast(tot))
+        .withColumn("alloc_tokens",
+          expr(s"($BudgetMult * tt * wt) div tw"))
+        .withColumn("plan_tokens",
+          least(col("alloc_tokens"), lit(EpochCap) * col("kept_tokens")))
+        .withColumn("epochs",
+          expr("(plan_tokens + kept_tokens - 1) div kept_tokens"))
+        .withColumn("capped",
+          col("alloc_tokens") > lit(EpochCap) * col("kept_tokens"))
+        .select(col("source"), col("kept_docs"), col("kept_tokens"),
+          col("wt"), col("alloc_tokens"), col("plan_tokens"),
+          col("epochs"), col("capped"))
+        .orderBy("source")
     }),
 
     // Joint text+media curation (the LAION-style multimodal funnel):
@@ -515,6 +563,47 @@ object AdvancedQueries {
         .orderBy(col("n").desc, col("s1").asc, col("s2").asc,
           col("s3").asc)
         .limit(20)
+    }),
+
+    // Peak concurrent sessions per day — the capacity-planning query
+    // (how many users are ACTIVE at once, not how many events fire):
+    // every s7 session contributes a +1 at its start second and a −1
+    // one second after its end, the classic interval-overlap sweep.
+    // Scale shape: the boundary stream is REDUCED to one net-delta row
+    // per distinct second by a map-side-combined agg (O(time span)
+    // rows — bounded by wall-clock duration, not by data volume — ~32M
+    // rows per year even at 100 TB), the global prefix sum over that
+    // reduced table runs on constant-group GroupRank (range partition
+    // + broadcast offsets, never one task), and the day roll-up plus
+    // the O(days) carry-in lag window touch only day-cardinality
+    // aggregates. The carry-in matters: a day whose sessions only END
+    // peaks at its opening concurrency, which lives in the previous
+    // active day's closing run.
+    "rel_concurrency" -> ((s, d) => {
+      val sess = queries("s7_sessions")(s, d)
+        .select(col("start_ms"), col("end_ms"))
+      val deltas = sess
+        .select(expr("start_ms div 1000").alias("sec"),
+          lit(1L).alias("delta"))
+        .unionAll(sess.select((expr("end_ms div 1000") + 1L).alias("sec"),
+          lit(-1L).alias("delta")))
+      val perSec = deltas.groupBy("sec")
+        .agg(sum(col("delta")).alias("delta"))
+        .withColumn("g0", lit(0))
+      val run = GroupRank.runningSum(perSec, "g0",
+          Seq(col("sec").asc), "delta")
+        .select(expr("sec div 86400").alias("day"), col("sec"), col("run"))
+      val perDay = run.groupBy("day")
+        .agg(max(col("run")).alias("peak_in_day"),
+          max_by(col("run"), col("sec")).alias("close_run"))
+      val wDay = Window.orderBy(col("day"))
+      perDay
+        .withColumn("carry_in",
+          coalesce(lag(col("close_run"), 1).over(wDay), lit(0L)))
+        .select(col("day"),
+          greatest(col("peak_in_day"), col("carry_in"))
+            .alias("peak_concurrency"))
+        .orderBy("day")
     }))
 
   // one oracle for both exact-percentile algorithms (rank-based and
@@ -621,6 +710,38 @@ object AdvancedQueries {
          |  top.top_lang, top.top_lang_kept
          |FROM rep CROSS JOIN top
          |GROUP BY top.top_lang, top.top_lang_kept""".stripMargin,
+
+    // pipe_report's oracle again, rolled up per source, then the
+    // sqrt-weighted budget split and the epoch clamp — every derived
+    // column CAST away from HUGEINT
+    "pipe_epoch_plan" ->
+      s"""WITH rep AS ($pipeReportSql),
+         |per AS (
+         |  SELECT source,
+         |    CAST(sum(kept) AS BIGINT) AS kept_docs,
+         |    CAST(sum(kept_tokens) AS BIGINT) AS kept_tokens
+         |  FROM rep GROUP BY 1
+         |  HAVING sum(kept_tokens) > 0),
+         |wtd AS (
+         |  SELECT *,
+         |    CAST(floor(sqrt(CAST(kept_tokens AS DOUBLE))) AS BIGINT)
+         |      AS wt
+         |  FROM per),
+         |tot AS (SELECT CAST(sum(wt) AS BIGINT) AS tw,
+         |               CAST(sum(kept_tokens) AS BIGINT) AS tt
+         |        FROM wtd),
+         |alloc AS (
+         |  SELECT source, kept_docs, kept_tokens, wt,
+         |    CAST(($BudgetMult * tt * wt) // tw AS BIGINT)
+         |      AS alloc_tokens
+         |  FROM wtd CROSS JOIN tot)
+         |SELECT source, kept_docs, kept_tokens, wt, alloc_tokens,
+         |  CAST(least(alloc_tokens, $EpochCap * kept_tokens) AS BIGINT)
+         |    AS plan_tokens,
+         |  CAST((least(alloc_tokens, $EpochCap * kept_tokens)
+         |    + kept_tokens - 1) // kept_tokens AS BIGINT) AS epochs,
+         |  alloc_tokens > $EpochCap * kept_tokens AS capped
+         |FROM alloc ORDER BY source""".stripMargin,
 
     // the last hop of the training-data story: pack ONLY the curated
     // kept set — pipe_curate's oracle as a derived table, filtered to
@@ -799,5 +920,53 @@ object AdvancedQueries {
         |SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n
         |FROM seq WHERE s2 IS NOT NULL AND s3 IS NOT NULL
         |GROUP BY 1, 2, 3
-        |ORDER BY n DESC, s1, s2, s3 LIMIT 20""".stripMargin)
+        |ORDER BY n DESC, s1, s2, s3 LIMIT 20""".stripMargin,
+
+    // sessions verbatim from the s7 oracle, then the sweep: ±1 at
+    // session bounds, per-second net deltas, global running sum, and
+    // the previous-active-day carry-in
+    "rel_concurrency" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS ms
+         |  FROM events),
+         |flagged AS (
+         |  SELECT *,
+         |    CASE WHEN lag(ms) OVER w IS NULL
+         |           OR ms - lag(ms) OVER w > $SessionGapMs
+         |         THEN 1 ELSE 0 END AS new_session
+         |  FROM ev
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+         |sess AS (
+         |  SELECT *,
+         |    CAST(sum(new_session) OVER (PARTITION BY user_id
+         |      ORDER BY ms, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS session_no
+         |  FROM flagged),
+         |bounds AS (
+         |  SELECT user_id, session_no,
+         |    min(ms) AS start_ms, max(ms) AS end_ms
+         |  FROM sess GROUP BY 1, 2),
+         |deltas AS (
+         |  SELECT start_ms // 1000 AS sec, 1 AS delta FROM bounds
+         |  UNION ALL
+         |  SELECT end_ms // 1000 + 1, -1 FROM bounds),
+         |per AS (
+         |  SELECT sec, CAST(sum(delta) AS BIGINT) AS delta
+         |  FROM deltas GROUP BY 1),
+         |run AS (
+         |  SELECT sec,
+         |    CAST(sum(delta) OVER (ORDER BY sec
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS run
+         |  FROM per),
+         |perday AS (
+         |  SELECT sec // 86400 AS day,
+         |    max(run) AS peak_in_day, max_by(run, sec) AS close_run
+         |  FROM run GROUP BY 1)
+         |SELECT day,
+         |  CAST(greatest(peak_in_day,
+         |    coalesce(lag(close_run) OVER (ORDER BY day), 0))
+         |    AS BIGINT) AS peak_concurrency
+         |FROM perday ORDER BY day""".stripMargin)
 }

@@ -627,6 +627,33 @@ object SimilarityQueries {
         .orderBy("label", "dim")
     }),
 
+    // Per-dimension profile of the embedding space — the QA table a
+    // corpus owner reads BEFORE trusting any ANN index built on it:
+    // count, sum, sum-of-squares, min and max of every dimension over
+    // the staged integer-quantized vectors (consumers derive
+    // mean/variance; the sums stay exact integers so the table
+    // hash-matches, the sim_label_centroids convention). A dead
+    // dimension (zero variance) or a rogue one (magnitude far above
+    // its peers) breaks cosine geometry and silently wrecks
+    // PQ/SQ8/LSH codebooks — this is the cheap detector. Scale shape:
+    // posexplode multiplies rows by Dim but the aggregate combines
+    // map-side down to exactly Dim output rows; nothing corpus-sized
+    // crosses the shuffle.
+    "sim_dim_stats" -> ((s, d) => {
+      quantized(s, d)
+        .select(posexplode(col("q")))
+        .withColumnRenamed("pos", "dim")
+        .groupBy("dim")
+        .agg(count(lit(1)).alias("n"),
+          sum(col("col")).alias("dim_sum"),
+          sum(col("col") * col("col")).alias("dim_sumsq"),
+          min(col("col")).alias("q_min"),
+          max(col("col")).alias("q_max"))
+        .select(col("dim").cast(LongType).alias("dim"), col("n"),
+          col("dim_sum"), col("dim_sumsq"), col("q_min"), col("q_max"))
+        .orderBy("dim")
+    }),
+
     // k-core decomposition (Seidman 1983, "Network structure and
     // minimum degree") over the undirected staged kNN graph: CoreIters
     // unrolled peeling rounds, each dropping nodes whose degree among
@@ -1963,6 +1990,18 @@ object SimilarityQueries {
          |FROM qn v JOIN embeddings e ON v.vec_id = e.vec_id,
          |     UNNEST(range(1, $Dim + 1)) u(i)
          |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
+
+    // same 0-based ordinality convention; all-integer stats
+    "sim_dim_stats" ->
+      s"""WITH $sqlQuant
+         |SELECT CAST(u.i - 1 AS BIGINT) AS dim,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(v.qv[u.i]) AS BIGINT) AS dim_sum,
+         |  CAST(sum(v.qv[u.i] * v.qv[u.i]) AS BIGINT) AS dim_sumsq,
+         |  CAST(min(v.qv[u.i]) AS BIGINT) AS q_min,
+         |  CAST(max(v.qv[u.i]) AS BIGINT) AS q_max
+         |FROM qn v, UNNEST(range(1, $Dim + 1)) u(i)
+         |GROUP BY 1 ORDER BY dim""".stripMargin,
 
     // edge derivation verbatim, then CoreIters unrolled peel rounds
     // over the symmetrized edges; peeling is order-independent within

@@ -279,6 +279,59 @@ object TextQueries {
     (rounds.result(), wtab)
   }
 
+  /** The merge-learning rounds as unrolled oracle CTEs — ONE copy
+    * shared by the tx_bpe_learn / tx_bpe_apply / tx_fertility oracle
+    * SQL so the three replays can never drift apart (the
+    * bm25OracleCte factoring discipline). Mirrors [[bpeRounds]]
+    * exactly: same pair counting, same (cnt desc, pair asc) winner,
+    * same double-replace rewrite — the left-to-right non-overlap
+    * semantics of replace() agree between engines. Expects a `w0`
+    * CTE (wd, f, seq) in scope.
+    */
+  private[queries] val sqlBpeRoundCtes: String = (1 to BpeMerges).map { i =>
+    val prev = if (i == 1) "w0" else s"w${i - 1}"
+    s"""p$i AS (
+       |  SELECT arr[i] || ' ' || arr[i+1] AS pair,
+       |    CAST(sum(f) AS BIGINT) AS cnt
+       |  FROM (SELECT f, string_split(trim(seq), ' ') AS arr
+       |        FROM $prev) t,
+       |       UNNEST(range(1, len(arr))) u(i)
+       |  GROUP BY 1),
+       |t$i AS (SELECT pair, replace(pair, ' ', '') AS merged, cnt
+       |        FROM p$i ORDER BY cnt DESC, pair ASC LIMIT 1),
+       |w$i AS (SELECT wd, f,
+       |  replace(replace(seq, ' '||pair||' ', ' '||merged||' '),
+       |          ' '||pair||' ', ' '||merged||' ') AS seq
+       |  FROM $prev CROSS JOIN t$i)""".stripMargin
+  }.mkString(",\n")
+
+  /** Per-document BPE application as oracle CTEs, ending at
+    * `perdoc(doc_id, n_subwords, n_symbols, n_words)`: the doc-keyed
+    * word explode, the shared rounds, the round-R segmentation
+    * lookup, and the per-doc roll-up — the whole tx_bpe_apply oracle
+    * body, reused by tx_fertility's per-language roll-up.
+    */
+  private[queries] val sqlBpePerDocCtes: String =
+    s"""toksd AS (
+       |  SELECT doc_id, wd FROM (SELECT doc_id,
+       |        string_split(text, ' ') AS ws
+       |        FROM documents) t, UNNEST(ws) u(wd)),
+       |toks AS (SELECT wd FROM toksd),
+       |w0 AS (SELECT wd, CAST(count(*) AS BIGINT) AS f,
+       |  ' ' || trim(regexp_replace(wd, '(.)', '\\1 ', 'g')) || ' ' AS seq
+       |  FROM toks GROUP BY wd),
+       |$sqlBpeRoundCtes,
+       |seg AS (SELECT wd,
+       |  CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS n_sub,
+       |  CAST(length(wd) AS BIGINT) AS n_sym
+       |  FROM w$BpeMerges),
+       |perdoc AS (SELECT doc_id,
+       |  CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+       |  CAST(sum(n_sym) AS BIGINT) AS n_symbols,
+       |  CAST(count(*) AS BIGINT) AS n_words
+       |  FROM toksd JOIN seg USING (wd)
+       |  GROUP BY doc_id)""".stripMargin
+
   private def cmsWidth(s: SparkSession): Int = {
     val w = s.conf.get("graft.cms.width", CmsWidth.toString).toInt
     require(w > 0 && w <= (1 << 15) && (w & (w - 1)) == 0,
@@ -558,6 +611,34 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Tokenizer fertility per language (Petrov et al. 2023, "Language
+    // Model Tokenizers Introduce Unfairness Between Languages"):
+    // subwords-per-word under the LEARNED vocab, rolled up per lang —
+    // the fairness/cost audit run before committing to a tokenizer
+    // (a high-fertility language pays proportionally more of every
+    // context window and every training FLOP). compression_micro
+    // (symbols per subword) is the inverse view: how much the merges
+    // actually bought for that language. Floored micro-unit ratios of
+    // exact integer sums, so the oracle replays bit-for-bit. Scale
+    // shape: inherits tx_bpe_apply's vocab-sized rounds + one
+    // doc-keyed equi-join, then a map-side-combined roll-up to
+    // O(langs) rows.
+    "tx_fertility" -> ((s, d) => {
+      val perDoc = queries("tx_bpe_apply")(s, d)
+      val langs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      perDoc.join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).alias("n_docs"),
+          sum(col("n_words")).alias("words"),
+          sum(col("n_subwords")).alias("subwords"),
+          sum(col("n_symbols")).alias("symbols"))
+        .withColumn("fertility_micro",
+          expr("subwords * 1000000 div words"))
+        .withColumn("compression_micro",
+          expr("symbols * 1000000 div subwords"))
+        .orderBy("lang")
+    }),
+
     // BPE-ish regex tokenization: letter runs, digit runs, and
     // single punctuation as separate tokens (the pre-tokenizer shape
     // GPT-style BPE vocabularies use), plus distinct-token count.
@@ -569,6 +650,41 @@ object TextQueries {
           col("doc_id"),
           size(toks).cast(LongType).alias("n_bpe"),
           size(array_distinct(toks)).cast(LongType).alias("n_bpe_uniq"))
+        .orderBy("doc_id")
+    }),
+
+    // Flesch reading-ease (Flesch 1948; the readability gate of
+    // classic web-corpus filters) with the standard automatable
+    // syllable proxy: a syllable per vowel GROUP ([aeiou]+ run),
+    // sentences per terminator run ([.!?]+), words per whitespace
+    // token. Score in floored milli-units from exact integer counts —
+    // 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+    // becomes 206835 − 1015·w//s − 84600·y//w, all integral division,
+    // so both engines agree bit-for-bit (the no-transcendental
+    // discipline of tx_tfidf/tx_lm_score). `band` is the coarse
+    // easy/standard/difficult cut downstream mixture policies key on.
+    // Scale shape: per-row regex counting at scan speed; no shuffle
+    // but the output ORDER BY.
+    "tx_readability" -> ((s, d) => {
+      val nWords = size(w).cast(LongType)
+      val nSents = greatest(lit(1L),
+        (size(split(col("text"), "[.!?]+", -1)) - 1).cast(LongType))
+      val nSyll = size(expr(
+        "regexp_extract_all(lower(text), '[aeiou]+', 0)")).cast(LongType)
+      Tables.documents(s, d)
+        .select(col("doc_id"), nWords.alias("n_words"),
+          nSents.alias("n_sentences"), nSyll.alias("n_syllables"))
+        .withColumn("wps_milli",
+          expr("n_words * 1000 div n_sentences"))
+        .withColumn("spw_milli",
+          expr("n_syllables * 1000 div n_words"))
+        .withColumn("flesch_milli",
+          lit(206835L) - expr("1015 * n_words div n_sentences")
+            - expr("84600 * n_syllables div n_words"))
+        .withColumn("band",
+          when(col("flesch_milli") >= 70000L, "easy")
+            .when(col("flesch_milli") >= 50000L, "standard")
+            .otherwise("difficult"))
         .orderBy("doc_id")
     }),
 
@@ -1281,22 +1397,7 @@ object TextQueries {
     // rewrite — the left-to-right non-overlap semantics of replace()
     // agree between engines
     "tx_bpe_learn" -> {
-      val rounds = (1 to BpeMerges).map { i =>
-        val prev = if (i == 1) "w0" else s"w${i - 1}"
-        s"""p$i AS (
-           |  SELECT arr[i] || ' ' || arr[i+1] AS pair,
-           |    CAST(sum(f) AS BIGINT) AS cnt
-           |  FROM (SELECT f, string_split(trim(seq), ' ') AS arr
-           |        FROM $prev) t,
-           |       UNNEST(range(1, len(arr))) u(i)
-           |  GROUP BY 1),
-           |t$i AS (SELECT pair, replace(pair, ' ', '') AS merged, cnt
-           |        FROM p$i ORDER BY cnt DESC, pair ASC LIMIT 1),
-           |w$i AS (SELECT wd, f,
-           |  replace(replace(seq, ' '||pair||' ', ' '||merged||' '),
-           |          ' '||pair||' ', ' '||merged||' ') AS seq
-           |  FROM $prev CROSS JOIN t$i)""".stripMargin
-      }.mkString(",\n")
+      val rounds = sqlBpeRoundCtes
       val sel = (1 to BpeMerges)
         .map(i => s"SELECT CAST($i AS BIGINT) AS round, * FROM t$i")
         .mkString("\n|UNION ALL ")
@@ -1313,43 +1414,27 @@ object TextQueries {
 
     // the same learned rounds, then tokenize: per-doc word explode
     // joined against the round-R segmentation table
-    "tx_bpe_apply" -> {
-      val rounds = (1 to BpeMerges).map { i =>
-        val prev = if (i == 1) "w0" else s"w${i - 1}"
-        s"""p$i AS (
-           |  SELECT arr[i] || ' ' || arr[i+1] AS pair,
-           |    CAST(sum(f) AS BIGINT) AS cnt
-           |  FROM (SELECT f, string_split(trim(seq), ' ') AS arr
-           |        FROM $prev) t,
-           |       UNNEST(range(1, len(arr))) u(i)
-           |  GROUP BY 1),
-           |t$i AS (SELECT pair, replace(pair, ' ', '') AS merged, cnt
-           |        FROM p$i ORDER BY cnt DESC, pair ASC LIMIT 1),
-           |w$i AS (SELECT wd, f,
-           |  replace(replace(seq, ' '||pair||' ', ' '||merged||' '),
-           |          ' '||pair||' ', ' '||merged||' ') AS seq
-           |  FROM $prev CROSS JOIN t$i)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH toksd AS (
-         |  SELECT doc_id, wd FROM (SELECT doc_id,
-         |        string_split(text, ' ') AS ws
-         |        FROM documents) t, UNNEST(ws) u(wd)),
-         |toks AS (SELECT wd FROM toksd),
-         |w0 AS (SELECT wd, CAST(count(*) AS BIGINT) AS f,
-         |  ' ' || trim(regexp_replace(wd, '(.)', '\\1 ', 'g')) || ' ' AS seq
-         |  FROM toks GROUP BY wd),
-         |$rounds,
-         |seg AS (SELECT wd,
-         |  CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS n_sub,
-         |  CAST(length(wd) AS BIGINT) AS n_sym
-         |  FROM w$BpeMerges)
-         |SELECT doc_id,
-         |  CAST(sum(n_sub) AS BIGINT) AS n_subwords,
-         |  CAST(sum(n_sym) AS BIGINT) AS n_symbols,
-         |  CAST(count(*) AS BIGINT) AS n_words
-         |FROM toksd JOIN seg USING (wd)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    },
+    "tx_bpe_apply" ->
+      s"""WITH $sqlBpePerDocCtes
+         |SELECT doc_id, n_subwords, n_symbols, n_words
+         |FROM perdoc ORDER BY doc_id""".stripMargin,
+
+    // the per-doc BPE table again, rolled up per language: tokenizer
+    // fertility (subwords per word) and the compression the vocab
+    // bought (symbols per subword), floored micro-units
+    "tx_fertility" ->
+      s"""WITH $sqlBpePerDocCtes
+         |SELECT d.lang,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(p.n_words) AS BIGINT) AS words,
+         |  CAST(sum(p.n_subwords) AS BIGINT) AS subwords,
+         |  CAST(sum(p.n_symbols) AS BIGINT) AS symbols,
+         |  CAST(sum(p.n_subwords) * 1000000 // sum(p.n_words)
+         |    AS BIGINT) AS fertility_micro,
+         |  CAST(sum(p.n_symbols) * 1000000 // sum(p.n_subwords)
+         |    AS BIGINT) AS compression_micro
+         |FROM perdoc p JOIN documents d USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "tx_bpe_tokens" ->
       """SELECT doc_id,
@@ -1358,6 +1443,31 @@ object TextQueries {
         |  CAST(len(list_distinct(regexp_extract_all(lower(text),
         |    '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS n_bpe_uniq
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // vowel-run syllables, terminator-run sentences, and the milli-
+    // unit Flesch formula with floored integral division throughout
+    "tx_readability" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(greatest(1,
+        |      len(regexp_split_to_array(text, '[.!?]+')) - 1)
+        |      AS BIGINT) AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiou]+'))
+        |      AS BIGINT) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CAST(n_words * 1000 // n_sentences AS BIGINT) AS wps_milli,
+        |  CAST(n_syllables * 1000 // n_words AS BIGINT) AS spw_milli,
+        |  CAST(206835 - 1015 * n_words // n_sentences
+        |    - 84600 * n_syllables // n_words AS BIGINT) AS flesch_milli,
+        |  CASE WHEN 206835 - 1015 * n_words // n_sentences
+        |         - 84600 * n_syllables // n_words >= 70000 THEN 'easy'
+        |       WHEN 206835 - 1015 * n_words // n_sentences
+        |         - 84600 * n_syllables // n_words >= 50000
+        |         THEN 'standard'
+        |       ELSE 'difficult' END AS band
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "tx_langid" ->
       """SELECT doc_id, lang,

@@ -83,7 +83,12 @@ class PlanAuditSpec extends AnyFunSuite {
       // the same 1-row totals scalar as tx_dsir
       "pipe_dsir",
       // 1-row total-arc-count scalar, broadcast onto the per-label agg
-      "graph_modularity")
+      "graph_modularity",
+      // global GroupRank (constant group) over the per-SECOND reduced
+      // delta table + the O(days) carry-in lag window over the day agg
+      "rel_concurrency",
+      // 1-row budget-totals scalar over the O(sources) roll-up
+      "pipe_epoch_plan")
 
   // Queries that intentionally broadcast a tiny build side against a
   // non-equi / cross predicate (band dim, probe rows, hyperplanes,
@@ -124,7 +129,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "rel_resample", // generated day skeleton × 5-row type dim cross
     "tx_dsir", // 1-row (R, T) totals scalar vs the 4096-row histogram
     "pipe_dsir", // inherits tx_dsir's 1-row totals scalar
-    "graph_modularity") // 1-row arc-count scalar vs the label agg
+    "graph_modularity", // 1-row arc-count scalar vs the label agg
+    "pipe_epoch_plan") // 1-row budget-totals scalar vs the source agg
 
   test("no query plan contains a CartesianProduct") {
     plans.foreach { case (sf, n, p) =>
@@ -236,6 +242,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_pq_ann", "sim_ivfpq_ann", "sim_recall_at_k", "sim_filtered_ann",
     "dd_embed_cosine", "dd_semdedup", "pipe_curate", "sim_knn_graph",
     "pipe_report", // inherits pipe_curate's staged-component derivation
+    "pipe_epoch_plan", // inherits pipe_report's component derivation
     "sim_sq8_ann") // id-bounded probe codes / probe vectors
 
   test("broadcast hints only on aggregated or generated (tiny) sides") {
