@@ -149,6 +149,9 @@ object BenchExpect {
     "sim_dim_stats" -> 0.5,
     "tx_fertility" -> 3.0, // tx_bpe_apply's rounds + the lang roll-up
     "tx_readability" -> 0.5,
+    "sim_ood_score" -> 1.4, // kmeansCore + constant-group GroupRank
+    "dd_cluster_stats" -> 2.4, // dd_cluster closure + tiny roll-ups
+    "tx_novelty" -> 1.6, // O(grams) first-seen agg + join back
   )
 
   def apply(n: String): Double = expect.getOrElse(n, default)

@@ -269,6 +269,32 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Near-dup component SIZE HISTOGRAM — the dataset-card table that
+    // says whether duplication is a long tail of pairs or a few
+    // mega-clusters (template spam, mirrored sites), which decides
+    // between keep-one-per-cluster and cluster-cap policies. Rows:
+    // one per component size, with the cluster count and the documents
+    // they hold; unpaired documents appear as the size-1 row (every
+    // closure component has ≥ 2 members, so the union is disjoint).
+    // Scale shape: two map-side-combined aggs over dd_cluster's
+    // O(paired docs) table down to O(max component size) rows, plus
+    // two 1-row count scalars for the singleton row.
+    "dd_cluster_stats" -> ((s, d) => {
+      val clus = queries("dd_cluster")(s, d)
+      val hist = clus.groupBy("cluster_id")
+        .agg(count(lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(count(lit(1)).alias("n_clusters"))
+      val total = Tables.documents(s, d).agg(count(lit(1)).alias("tot"))
+      val paired = clus.agg(count(lit(1)).alias("pr"))
+      val singles = total.crossJoin(paired)
+        .select(lit(1L).alias("cluster_size"),
+          (col("tot") - col("pr")).alias("n_clusters"))
+      hist.unionByName(singles)
+        .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+        .orderBy("cluster_size")
+    }),
+
     // Eval-set decontamination: flag every training document sharing
     // any word-8-gram with the benchmark probe set (here: doc_id ≡ 0
     // mod 7 plays the held-out benchmark). The canonical
@@ -745,6 +771,35 @@ object DedupQueries {
          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    // the dd_cluster closure again, rolled up to the size histogram,
+    // with the singleton (unpaired) row appended from two count
+    // scalars
+    "dd_cluster_stats" ->
+      s"""WITH RECURSIVE $sqlCandCtes,
+         |edges(a, b) AS (SELECT ida, idb FROM cand
+         |                UNION SELECT idb, ida FROM cand),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |clus AS (
+         |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |  FROM reach GROUP BY a),
+         |hist AS (
+         |  SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         |  FROM (SELECT cluster_id, CAST(count(*) AS BIGINT)
+         |          AS cluster_size
+         |        FROM clus GROUP BY 1) s
+         |  GROUP BY 1),
+         |sing AS (
+         |  SELECT CAST(1 AS BIGINT) AS cluster_size,
+         |    CAST((SELECT count(*) FROM documents)
+         |      - (SELECT count(*) FROM clus) AS BIGINT) AS n_clusters)
+         |SELECT cluster_size, n_clusters,
+         |  CAST(cluster_size * n_clusters AS BIGINT) AS n_docs
+         |FROM (SELECT * FROM hist UNION ALL SELECT * FROM sing) u
+         |ORDER BY cluster_size""".stripMargin,
 
     "dd_span_dedup" ->
       s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w

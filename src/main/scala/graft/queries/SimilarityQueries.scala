@@ -654,6 +654,36 @@ object SimilarityQueries {
         .orderBy("dim")
     }),
 
+    // Out-of-distribution score per vector — the embedding-side
+    // outlier gate a curation pipeline runs next to the text-side
+    // quality rules (SemDeDup prunes the DENSE regions; this flags
+    // the sparse ones: mislabeled content, encoder failures, format
+    // junk — all of which land far from every k-means centroid).
+    // Score = exact integer squared distance to the assigned (nearest
+    // learned) centroid, re-derived from the shared kmeansCore;
+    // decile 1 under a dist2-descending global rank = the most-OOD
+    // tenth, surfaced as the is_ood verdict. Scale shape: the
+    // centroid table broadcast (bounded by the kmeansCells ceiling)
+    // against the corpus, one integer dot per row, then constant-
+    // group GroupRank — range partition + broadcast offsets — for
+    // the decile; nothing corpus-sized funnels.
+    "sim_ood_score" -> ((s, d) => {
+      val (cents, assigned) = kmeansCore(s, d)
+      val scored = assigned
+        .join(broadcast(cents), col("cell") === col("cid"))
+        .select(col("vec_id"), col("cell"),
+          (col("n2") + col("cn2") - lit(2L) * dot(col("q"), col("cq")))
+            .alias("dist2"))
+        .withColumn("g0", lit(0))
+      GroupRank.rank(scored, "g0",
+          Seq(col("dist2").desc, col("vec_id").asc))
+        .select(col("vec_id"), col("cell"), col("dist2"),
+          GroupRank.ntileFromRank(10, col("rn"), col("grp_n"))
+            .alias("decile"))
+        .withColumn("is_ood", col("decile") === 1L)
+        .orderBy("vec_id")
+    }),
+
     // k-core decomposition (Seidman 1983, "Network structure and
     // minimum degree") over the undirected staged kNN graph: CoreIters
     // unrolled peeling rounds, each dropping nodes whose degree among
@@ -2002,6 +2032,23 @@ object SimilarityQueries {
          |  CAST(max(v.qv[u.i]) AS BIGINT) AS q_max
          |FROM qn v, UNNEST(range(1, $Dim + 1)) u(i)
          |GROUP BY 1 ORDER BY dim""".stripMargin,
+
+    // the shared k-means CTEs, the integer dist2 to the assigned
+    // centroid, and a plain ntile over the global dist2-desc order
+    // (ntileFromRank matches SQL ntile for every (n, k))
+    "sim_ood_score" ->
+      s"""WITH $sqlKmeansAssign,
+         |scored AS (
+         |  SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+         |    CAST(a.n2 + c.cn2 - 2 * ${sqlDot("a.qv", "c.cq")}
+         |      AS BIGINT) AS dist2
+         |  FROM a1 a JOIN cents c ON a.cell = c.cid)
+         |SELECT vec_id, cell, dist2,
+         |  CAST(ntile(10) OVER (ORDER BY dist2 DESC, vec_id ASC)
+         |    AS BIGINT) AS decile,
+         |  ntile(10) OVER (ORDER BY dist2 DESC, vec_id ASC) = 1
+         |    AS is_ood
+         |FROM scored ORDER BY vec_id""".stripMargin,
 
     // edge derivation verbatim, then CoreIters unrolled peel rounds
     // over the symmetrized edges; peeling is order-independent within

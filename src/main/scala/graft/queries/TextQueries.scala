@@ -688,6 +688,42 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Content novelty over corpus growth: per document, the fraction
+    // of its word-3-grams whose FIRST corpus occurrence is this
+    // document (doc_id = ingest order) — the redundancy curve a
+    // corpus owner watches to decide when further crawling stops
+    // buying new content (novelty decays toward the template/
+    // boilerplate floor as a source saturates). Relational form of
+    // the "how much of this shard is new text" measurement: one
+    // min-agg per distinct gram hash picks the introducing doc, one
+    // equi-join back, one doc-keyed roll-up — per-gram first-seen
+    // needs no prefix scan, so the shape is the dd_span_dedup class:
+    // O(grams) rows through map-side-combined aggs, nothing
+    // quadratic. novel_ppm is a floored integer ratio, docs shorter
+    // than 3 words take the zero-gram left-join branch.
+    "tx_novelty" -> ((s, d) => {
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.functions.WordShingles(col("text"), 3)).alias("g"))
+        .select(col("doc_id"), DedupQueries.h60(col("g")).alias("gh"))
+      val first = grams.groupBy("gh")
+        .agg(min(col("doc_id")).alias("first_doc"))
+      val perDoc = grams.join(first, "gh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).alias("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .alias("n_new"))
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).alias("n_grams"),
+          coalesce(col("n_new"), lit(0L)).alias("n_new"))
+        .withColumn("novel_ppm",
+          when(col("n_grams") > 0,
+            expr("n_new * 1000000 div n_grams")).otherwise(0L))
+        .orderBy("doc_id")
+    }),
+
     // Language-ID n-gram/marker heuristic (the corpus carries no real
     // language signal — the operator demonstrates the deterministic
     // marker-scoring shape).
@@ -1468,6 +1504,33 @@ object TextQueries {
         |         THEN 'standard'
         |       ELSE 'difficult' END AS band
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // distinct 3-grams per doc (the WordShingles contract), first-
+    // occurrence doc per gram hash, then the per-doc roll-up
+    "tx_novelty" ->
+      s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w
+         |             FROM documents),
+         |gr AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ')
+         |         AS g
+         |       FROM docs, UNNEST(range(1, len(w) - 1)) t(i)
+         |       WHERE len(w) >= 3),
+         |gh AS (SELECT doc_id, ${DedupQueries.SqlH60("g")} AS gh
+         |       FROM gr),
+         |fst AS (SELECT gh, min(doc_id) AS first_doc
+         |        FROM gh GROUP BY 1),
+         |per AS (SELECT h.doc_id,
+         |          CAST(count(*) AS BIGINT) AS n_grams,
+         |          CAST(sum(CASE WHEN f.first_doc = h.doc_id
+         |            THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+         |        FROM gh h JOIN fst f ON h.gh = f.gh GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(p.n_new, 0) AS BIGINT) AS n_new,
+         |  CAST(CASE WHEN coalesce(p.n_grams, 0) > 0
+         |    THEN coalesce(p.n_new, 0) * 1000000 // p.n_grams
+         |    ELSE 0 END AS BIGINT) AS novel_ppm
+         |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "tx_langid" ->
       """SELECT doc_id, lang,

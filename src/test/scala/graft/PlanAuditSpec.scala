@@ -88,7 +88,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // delta table + the O(days) carry-in lag window over the day agg
       "rel_concurrency",
       // 1-row budget-totals scalar over the O(sources) roll-up
-      "pipe_epoch_plan")
+      "pipe_epoch_plan",
+      // global GroupRank (constant group) for the OOD decile
+      "sim_ood_score",
+      // two 1-row count scalars feed the singleton histogram row
+      "dd_cluster_stats")
 
   // Queries that intentionally broadcast a tiny build side against a
   // non-equi / cross predicate (band dim, probe rows, hyperplanes,
@@ -130,7 +134,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "tx_dsir", // 1-row (R, T) totals scalar vs the 4096-row histogram
     "pipe_dsir", // inherits tx_dsir's 1-row totals scalar
     "graph_modularity", // 1-row arc-count scalar vs the label agg
-    "pipe_epoch_plan") // 1-row budget-totals scalar vs the source agg
+    "pipe_epoch_plan", // 1-row budget-totals scalar vs the source agg
+    "sim_ood_score", // centroid broadcast against every vector
+    "dd_cluster_stats") // 1-row total × 1-row paired count cross
 
   test("no query plan contains a CartesianProduct") {
     plans.foreach { case (sf, n, p) =>
@@ -243,6 +249,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "dd_embed_cosine", "dd_semdedup", "pipe_curate", "sim_knn_graph",
     "pipe_report", // inherits pipe_curate's staged-component derivation
     "pipe_epoch_plan", // inherits pipe_report's component derivation
+    "sim_ood_score", // kmeansCore's id-bounded seed broadcast
     "sim_sq8_ann") // id-bounded probe codes / probe vectors
 
   test("broadcast hints only on aggregated or generated (tiny) sides") {
