@@ -89,7 +89,7 @@ object BenchExpect {
     "rel_market_share" -> 0.8,
     "tx_length_profile" -> 0.4,
     "tx_class_tfidf" -> 0.8,
-    "dd_agreement" -> 1.5,
+    "dd_agreement" -> 3.5, // 5-method cross + hyperplane leg (r6 calm)
     "sim_threshold_sweep" -> 0.8,
     "cdc_reconcile" -> 1.0,
     "cdc_topic_stats" -> 0.5,
@@ -136,7 +136,8 @@ object BenchExpect {
     "tx_bpe_apply" -> 2.8, // the same rounds + the corpus tokenize join
     "sim_mrl_ann" -> 0.5,
     "sim_label_centroids" -> 0.6,
-    "pipe_curriculum" -> 2.0,
+    "pipe_curriculum" -> 3.0, // quality bins + global rank (r6 calm)
+    "pipe_dsir" -> 2.8,
     "pipe_datacard" -> 1.2, // pipe_report re-agg, staged verdicts
     "tx_pack_stats" -> 0.9,
     "tx_repetition" -> 1.0,
@@ -144,7 +145,7 @@ object BenchExpect {
     "tx_sample_weighted" -> 0.9,
     "tx_source_cap" -> 0.8,
     "tx_tokens" -> 0.3,
-    "rel_concurrency" -> 1.2, // s7 sessions + reduced sweep
+    "rel_concurrency" -> 2.4, // s7 sessions + reduced sweep (r6 calm)
     "pipe_epoch_plan" -> 1.4, // pipe_report roll-up + 1-row scalar
     "sim_dim_stats" -> 0.5,
     "tx_fertility" -> 3.0, // tx_bpe_apply's rounds + the lang roll-up
@@ -152,6 +153,8 @@ object BenchExpect {
     "sim_ood_score" -> 1.4, // kmeansCore + constant-group GroupRank
     "dd_cluster_stats" -> 2.4, // dd_cluster closure + tiny roll-ups
     "tx_novelty" -> 1.6, // O(grams) first-seen agg + join back
+    "rel_basket_affinity" -> 2.5, // orderkey self-join, k^2-bounded
+    "sim_centroid_balance" -> 1.0,
   )
 
   def apply(n: String): Double = expect.getOrElse(n, default)

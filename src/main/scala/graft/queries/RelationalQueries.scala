@@ -23,6 +23,52 @@ object RelationalQueries {
     round(c * 100, 0).cast(LongType)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Market-basket affinity (Agrawal & Srikant 1994's support
+    // counting, the 2-itemset case): the top-20 part pairs bought
+    // together in one order, with the exact integer lift —
+    // P(a,b)·N / (P(a)·P(b)) in micro-units — that separates "popular
+    // × popular" co-occurrence from real affinity. Scale shape: the
+    // pair generator is a lineitem SELF-join on l_orderkey, the one
+    // equi-key both sides already shuffle on ONCE (AQE reuses the
+    // exchange); its output is bounded by Σ_orders k², with k = items
+    // per order — a per-entity constant (~7 in TPC-H), NOT data-scale
+    // — so the blow-up is linear in orders. The (a < b) triangle cut
+    // halves it, the pair agg map-side combines, top-20 is a
+    // TakeOrdered, and the per-part order counts + 1-row order total
+    // attach to just those 20 rows via broadcast joins.
+    "rel_basket_affinity" -> ((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").alias("ok"), col("l_partkey").alias("pk"))
+        .distinct()
+      val pairs = items.alias("x")
+        .join(items.alias("y"), col("x.ok") === col("y.ok") &&
+          col("x.pk") < col("y.pk"))
+        .select(col("x.pk").alias("part_a"), col("y.pk").alias("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(count(lit(1)).alias("n_both"))
+        .orderBy(col("n_both").desc, col("part_a").asc, col("part_b").asc)
+        .limit(20)
+      val perPart = items.groupBy("pk")
+        .agg(count(lit(1)).alias("n_orders"))
+      val total = items.select(col("ok")).distinct()
+        .agg(count(lit(1)).alias("n_total"))
+      pairs
+        .join(perPart.select(col("pk").alias("part_a"),
+          col("n_orders").alias("n_a")), "part_a")
+        .join(perPart.select(col("pk").alias("part_b"),
+          col("n_orders").alias("n_b")), "part_b")
+        .crossJoin(broadcast(total))
+        // staged division keeps every intermediate under 2^63 at any
+        // corpus size: n_both/n_a <= 1 so the first term caps at 1e6,
+        // and 1e6 x n_total stays safe for 10^12-order corpora
+        .withColumn("lift_micro",
+          expr("((n_both * 1000000 div n_a) * n_total) div n_b"))
+        .select(col("part_a"), col("part_b"), col("n_both"),
+          col("n_a"), col("n_b"), col("lift_micro"))
+        .orderBy(col("n_both").desc, col("part_a").asc, col("part_b").asc)
+    }),
+
     // TPC-H Q1-style full-scan aggregation with map-side combine.
     "rel_q1_agg" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -935,6 +981,33 @@ object RelationalQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+
+    // the same triangle self-join and the same staged-division lift
+    "rel_basket_affinity" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |pairs AS (
+        |  SELECT x.pk AS part_a, y.pk AS part_b,
+        |    CAST(count(*) AS BIGINT) AS n_both
+        |  FROM items x JOIN items y
+        |    ON x.ok = y.ok AND x.pk < y.pk
+        |  GROUP BY 1, 2
+        |  ORDER BY n_both DESC, part_a, part_b LIMIT 20),
+        |per AS (
+        |  SELECT pk, CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM items GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_total
+        |  FROM items)
+        |SELECT part_a, part_b, n_both,
+        |  a.n_orders AS n_a, b.n_orders AS n_b,
+        |  CAST(((n_both * 1000000 // a.n_orders) * n_total)
+        |    // b.n_orders AS BIGINT) AS lift_micro
+        |FROM pairs JOIN per a ON part_a = a.pk
+        |           JOIN per b ON part_b = b.pk
+        |           CROSS JOIN tot
+        |ORDER BY n_both DESC, part_a, part_b""".stripMargin,
     "rel_q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -654,6 +654,28 @@ object SimilarityQueries {
         .orderBy("dim")
     }),
 
+    // Cell-population audit of the learned k-means partition — the
+    // table an IVF operator reads before trusting the index: a badly
+    // skewed cell map (one mega-cell, many empties) makes probe-2
+    // search either slow (the mega-cell dominates every query) or
+    // blind (probes land in deserted cells), and the fix — re-seed or
+    // split — is decided from exactly this histogram. share_ppm is
+    // the exact integer corpus share per cell. Scale shape: one
+    // map-side-combined count over the assignment down to O(cells)
+    // rows, plus the 1-row corpus-count scalar broadcast onto them.
+    "sim_centroid_balance" -> ((s, d) => {
+      val perCell = kmeansAssign(s, d)
+        .groupBy("cell")
+        .agg(count(lit(1)).alias("n_vectors"))
+      val total = Tables.embeddings(s, d)
+        .agg(count(lit(1)).alias("n_total"))
+      perCell.crossJoin(broadcast(total))
+        .select(col("cell").cast(LongType).alias("cell"),
+          col("n_vectors"),
+          expr("n_vectors * 1000000 div n_total").alias("share_ppm"))
+        .orderBy("cell")
+    }),
+
     // Out-of-distribution score per vector — the embedding-side
     // outlier gate a curation pipeline runs next to the text-side
     // quality rules (SemDeDup prunes the DENSE regions; this flags
@@ -2032,6 +2054,18 @@ object SimilarityQueries {
          |  CAST(max(v.qv[u.i]) AS BIGINT) AS q_max
          |FROM qn v, UNNEST(range(1, $Dim + 1)) u(i)
          |GROUP BY 1 ORDER BY dim""".stripMargin,
+
+    // the shared k-means CTEs rolled up per final cell, with the
+    // 1-row corpus count
+    "sim_centroid_balance" ->
+      s"""WITH $sqlKmeansAssign,
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total
+         |        FROM embeddings)
+         |SELECT CAST(cell AS BIGINT) AS cell,
+         |  CAST(count(*) AS BIGINT) AS n_vectors,
+         |  CAST(count(*) * 1000000 // n_total AS BIGINT) AS share_ppm
+         |FROM a1 CROSS JOIN tot
+         |GROUP BY cell, n_total ORDER BY cell""".stripMargin,
 
     // the shared k-means CTEs, the integer dist2 to the assigned
     // centroid, and a plain ntile over the global dist2-desc order

@@ -332,6 +332,33 @@ object TextQueries {
        |  FROM toksd JOIN seg USING (wd)
        |  GROUP BY doc_id)""".stripMargin
 
+  /** Flesch core behind `tx_readability` — a PURE per-row transform
+    * (no window, no orderBy), so it lifts onto a document stream
+    * unchanged; `StreamingTextParitySpec` pins the batch/stream
+    * verdict parity the way it does for gopherRules.
+    */
+  private[graft] def readabilityOf(docs: DataFrame): DataFrame = {
+    val nWords = size(w).cast(LongType)
+    val nSents = greatest(lit(1L),
+      (size(split(col("text"), "[.!?]+", -1)) - 1).cast(LongType))
+    val nSyll = size(expr(
+      "regexp_extract_all(lower(text), '[aeiou]+', 0)")).cast(LongType)
+    docs
+      .select(col("doc_id"), nWords.alias("n_words"),
+        nSents.alias("n_sentences"), nSyll.alias("n_syllables"))
+      .withColumn("wps_milli",
+        expr("n_words * 1000 div n_sentences"))
+      .withColumn("spw_milli",
+        expr("n_syllables * 1000 div n_words"))
+      .withColumn("flesch_milli",
+        lit(206835L) - expr("1015 * n_words div n_sentences")
+          - expr("84600 * n_syllables div n_words"))
+      .withColumn("band",
+        when(col("flesch_milli") >= 70000L, "easy")
+          .when(col("flesch_milli") >= 50000L, "standard")
+          .otherwise("difficult"))
+  }
+
   private def cmsWidth(s: SparkSession): Int = {
     val w = s.conf.get("graft.cms.width", CmsWidth.toString).toInt
     require(w > 0 && w <= (1 << 15) && (w & (w - 1)) == 0,
@@ -665,28 +692,8 @@ object TextQueries {
     // easy/standard/difficult cut downstream mixture policies key on.
     // Scale shape: per-row regex counting at scan speed; no shuffle
     // but the output ORDER BY.
-    "tx_readability" -> ((s, d) => {
-      val nWords = size(w).cast(LongType)
-      val nSents = greatest(lit(1L),
-        (size(split(col("text"), "[.!?]+", -1)) - 1).cast(LongType))
-      val nSyll = size(expr(
-        "regexp_extract_all(lower(text), '[aeiou]+', 0)")).cast(LongType)
-      Tables.documents(s, d)
-        .select(col("doc_id"), nWords.alias("n_words"),
-          nSents.alias("n_sentences"), nSyll.alias("n_syllables"))
-        .withColumn("wps_milli",
-          expr("n_words * 1000 div n_sentences"))
-        .withColumn("spw_milli",
-          expr("n_syllables * 1000 div n_words"))
-        .withColumn("flesch_milli",
-          lit(206835L) - expr("1015 * n_words div n_sentences")
-            - expr("84600 * n_syllables div n_words"))
-        .withColumn("band",
-          when(col("flesch_milli") >= 70000L, "easy")
-            .when(col("flesch_milli") >= 50000L, "standard")
-            .otherwise("difficult"))
-        .orderBy("doc_id")
-    }),
+    "tx_readability" -> ((s, d) =>
+      readabilityOf(Tables.documents(s, d)).orderBy("doc_id")),
 
     // Content novelty over corpus growth: per document, the fraction
     // of its word-3-grams whose FIRST corpus occurrence is this

@@ -92,7 +92,11 @@ class PlanAuditSpec extends AnyFunSuite {
       // global GroupRank (constant group) for the OOD decile
       "sim_ood_score",
       // two 1-row count scalars feed the singleton histogram row
-      "dd_cluster_stats")
+      "dd_cluster_stats",
+      // 1-row corpus-count scalar vs the O(cells) roll-up
+      "sim_centroid_balance",
+      // 1-row order-total scalar vs the 20-row affinity table
+      "rel_basket_affinity")
 
   // Queries that intentionally broadcast a tiny build side against a
   // non-equi / cross predicate (band dim, probe rows, hyperplanes,
@@ -136,7 +140,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "graph_modularity", // 1-row arc-count scalar vs the label agg
     "pipe_epoch_plan", // 1-row budget-totals scalar vs the source agg
     "sim_ood_score", // centroid broadcast against every vector
-    "dd_cluster_stats") // 1-row total × 1-row paired count cross
+    "dd_cluster_stats", // 1-row total × 1-row paired count cross
+    "sim_centroid_balance", // 1-row corpus-count scalar vs cell rows
+    "rel_basket_affinity") // 1-row order-total scalar vs top-20 pairs
 
   test("no query plan contains a CartesianProduct") {
     plans.foreach { case (sf, n, p) =>
@@ -250,6 +256,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "pipe_report", // inherits pipe_curate's staged-component derivation
     "pipe_epoch_plan", // inherits pipe_report's component derivation
     "sim_ood_score", // kmeansCore's id-bounded seed broadcast
+    "sim_centroid_balance", // kmeansCore's id-bounded seed broadcast
     "sim_sq8_ann") // id-bounded probe codes / probe vectors
 
   test("broadcast hints only on aggregated or generated (tiny) sides") {

@@ -47,4 +47,30 @@ class StreamingTextParitySpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("readabilityOf on a document stream equals the batch scores") {
+    val batch = TextQueries.readabilityOf(Tables.documents(spark, sf))
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+
+    val dir = java.nio.file.Files.createTempDirectory("read_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val schema = Tables.documents(spark, sf).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+    val q = TextQueries.readabilityOf(stream)
+      .writeStream.format("memory").queryName("read_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("read_stream")
+        .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+      assert(streamed.size === batch.size, "row counts diverged")
+      batch.foreach { case (id, row) =>
+        assert(streamed(id) === row, s"doc $id score diverged on stream")
+      }
+    } finally q.stop()
+  }
 }
