@@ -155,6 +155,7 @@ object BenchExpect {
     "tx_novelty" -> 1.6, // O(grams) first-seen agg + join back
     "rel_basket_affinity" -> 2.5, // orderkey self-join, k^2-bounded
     "sim_centroid_balance" -> 1.0,
+    "cdc_gap_detect" -> 1.0, // bucketed scan + rare-bucket expansion
   )
 
   def apply(n: String): Double = expect.getOrElse(n, default)

@@ -28,6 +28,12 @@ object CdcQueries {
   private def events(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
 
+  /** cdc_gap_detect bucket width: candidate expansion is bounded by
+    * flagged-buckets × this, so it trades scan granularity against
+    * expansion size.
+    */
+  final val GapBucket = 1024L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1/S4: source scan with predicate + projection pushdown — the
     // batch analog of the connector's server-side pipeline. .explain
@@ -246,6 +252,48 @@ object CdcQueries {
           countDistinct(col("user_id")).alias("n_keys"))
         .orderBy("topic", "op")),
 
+    // Sequence-gap detection — the contiguity question at the heart
+    // of the reference's commit protocol (`committing/
+    // process_commit_event.py` only advances the watermark over a
+    // CONTIGUOUS prefix; a gap in the produced stream is exactly what
+    // it guards against). Input: the data-op stream (the non-data ops
+    // the F1 filter drops play the "lost" events); output: every
+    // missing sequence id. Scale shape — the naive LAG-over-
+    // everything window is a global sort; instead a TWO-PHASE scan:
+    // (1) count ids per fixed bucket (map-side combined, O(id-span /
+    // B) rows), compare against each bucket's expected width from the
+    // 1-row bounds scalar; (2) ONLY flagged buckets (gaps are rare by
+    // construction in a healthy pipeline) explode their candidate
+    // range and anti-join the stream — expansion bounded by
+    // flagged × B, never the id span.
+    "cdc_gap_detect" -> ((s, d) => {
+      val data = events(s, d)
+        .filter(col("event_type").isin(dataTypes: _*))
+        .select(col("event_id"))
+      val bounds = events(s, d)
+        .agg(min(col("event_id")).alias("lo"),
+          max(col("event_id")).alias("hi"))
+      val perB = data
+        .select(expr(s"event_id div $GapBucket").alias("b"))
+        .groupBy("b").agg(count(lit(1)).alias("n"))
+      val allB = bounds
+        .select(explode(sequence(expr(s"lo div $GapBucket"),
+          expr(s"hi div $GapBucket"))).alias("b"))
+        .crossJoin(broadcast(bounds))
+      val flagged = allB.join(perB, Seq("b"), "left")
+        .withColumn("bstart",
+          greatest(col("b") * GapBucket, col("lo")))
+        .withColumn("bend",
+          least(col("b") * GapBucket + lit(GapBucket - 1L), col("hi")))
+        .withColumn("expected", col("bend") - col("bstart") + 1L)
+        .filter(coalesce(col("n"), lit(0L)) < col("expected"))
+      flagged
+        .select(explode(sequence(col("bstart"), col("bend")))
+          .alias("event_id"))
+        .join(data, Seq("event_id"), "left_anti")
+        .orderBy("event_id")
+    }),
+
     "cdc_reconcile" -> ((s, d) => {
       val ev = dataEvents(s, d)
       val cut = ev.agg(
@@ -347,6 +395,21 @@ object CdcQueries {
     "f1_optype_filter" ->
       """SELECT event_id, event_type, user_id FROM events
         |WHERE event_type IN ('click','purchase','signup','view')
+        |ORDER BY event_id""".stripMargin,
+
+    // the oracle does it the direct way (generate the whole id range,
+    // anti-join) — equivalent at oracle scale
+    "cdc_gap_detect" ->
+      """WITH data AS (
+        |  SELECT event_id FROM events
+        |  WHERE event_type IN ('click','purchase','signup','view')),
+        |b AS (SELECT min(event_id) AS lo, max(event_id) AS hi
+        |      FROM events),
+        |cand AS (
+        |  SELECT unnest(generate_series((SELECT lo FROM b),
+        |    (SELECT hi FROM b))) AS event_id)
+        |SELECT CAST(event_id AS BIGINT) AS event_id FROM cand
+        |WHERE event_id NOT IN (SELECT event_id FROM data)
         |ORDER BY event_id""".stripMargin,
 
     "p1_cdc_envelope" ->

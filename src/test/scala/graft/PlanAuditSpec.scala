@@ -95,6 +95,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "dd_cluster_stats",
       // 1-row corpus-count scalar vs the O(cells) roll-up
       "sim_centroid_balance",
+      // 1-row id-bounds scalar seeds the bucket skeleton
+      "cdc_gap_detect",
       // 1-row order-total scalar vs the 20-row affinity table
       "rel_basket_affinity")
 
@@ -142,7 +144,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_ood_score", // centroid broadcast against every vector
     "dd_cluster_stats", // 1-row total × 1-row paired count cross
     "sim_centroid_balance", // 1-row corpus-count scalar vs cell rows
-    "rel_basket_affinity") // 1-row order-total scalar vs top-20 pairs
+    "rel_basket_affinity", // 1-row order-total scalar vs top-20 pairs
+    "cdc_gap_detect") // 1-row bounds scalar vs the bucket skeleton
 
   test("no query plan contains a CartesianProduct") {
     plans.foreach { case (sf, n, p) =>

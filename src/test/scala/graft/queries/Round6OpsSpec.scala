@@ -122,6 +122,17 @@ class Round6OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cdc_gap_detect: finds exactly the dropped non-data event ids") {
+    import org.apache.spark.sql.functions.col
+    val missing = q("cdc_gap_detect").collect().map(_.getLong(0)).toSet
+    val nonData = graft.Tables.events(spark, sf)
+      .filter(!col("event_type").isin("click", "purchase", "signup", "view"))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(missing === nonData,
+      "the two-phase bucket scan must recover the full gap set")
+    assert(missing.nonEmpty, "the corpus should contain dropped ops")
+  }
+
   test("rel_basket_affinity: support ordering, triangle form, bounded lift") {
     val rows = q("rel_basket_affinity").collect()
     assert(rows.nonEmpty && rows.length <= 20)
