@@ -156,6 +156,8 @@ object BenchExpect {
     "rel_basket_affinity" -> 2.5, // orderkey self-join, k^2-bounded
     "sim_centroid_balance" -> 1.0,
     "cdc_gap_detect" -> 1.0, // bucketed scan + rare-bucket expansion
+    "rel_cohort_ltv" -> 0.9, // two custkey aggs + tiny roll-up
+    "graph_degree_dist" -> 0.8, // staged edges + two tiny aggs
   )
 
   def apply(n: String): Double = expect.getOrElse(n, default)

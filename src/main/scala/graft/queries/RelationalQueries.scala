@@ -69,6 +69,32 @@ object RelationalQueries {
         .orderBy(col("n_both").desc, col("part_a").asc, col("part_b").asc)
     }),
 
+    // Cohort lifetime-value table — the subscription-analytics
+    // staple: customers grouped by their FIRST order month (the
+    // cohort), revenue tracked by months-since-first — the revenue-
+    // retention triangle a finance team reads down the diagonal.
+    // Scale shape: the cohort assignment is one min-agg on o_custkey
+    // (fact-side high-cardinality key, map-side combined), the join
+    // back is the same custkey equi-shuffle, and the final roll-up is
+    // cohorts × offsets (calendar-bounded, tiny). The distinct-
+    // customer count inside each cell goes through Spark's two-phase
+    // distinct aggregation — per-partition dedup before the exchange,
+    // never a collect.
+    "rel_cohort_ltv" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(
+        col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast(LongType).alias("m"),
+        cents(col("o_totalprice")).alias("cents"))
+      val first = o.groupBy("o_custkey").agg(min(col("m")).alias("cohort"))
+      o.join(first, "o_custkey")
+        .groupBy(col("cohort"), (col("m") - col("cohort")).alias("offset_m"))
+        .agg(countDistinct(col("o_custkey")).alias("n_customers"),
+          count(lit(1)).alias("n_orders"),
+          sum(col("cents")).alias("rev_cents"))
+        .orderBy("cohort", "offset_m")
+    }),
+
     // TPC-H Q1-style full-scan aggregation with map-side combine.
     "rel_q1_agg" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -981,6 +1007,21 @@ object RelationalQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+
+    "rel_cohort_ltv" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+        |      AS m,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |f AS (SELECT o_custkey, min(m) AS cohort FROM o GROUP BY 1)
+        |SELECT cohort, m - cohort AS offset_m,
+        |  CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS rev_cents
+        |FROM o JOIN f USING (o_custkey)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the same triangle self-join and the same staged-division lift
     "rel_basket_affinity" ->

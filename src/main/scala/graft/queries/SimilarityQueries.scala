@@ -654,6 +654,34 @@ object SimilarityQueries {
         .orderBy("dim")
     }),
 
+    // Degree distribution of the undirected kNN graph — the one-look
+    // health check on the neighborhood structure every graph_* op
+    // builds on: a spiked histogram (hub nodes) means the embedding
+    // space has density pathologies (duplicate clusters, collapsed
+    // regions) that poison pagerank/label-prop/k-core alike.
+    // Scale shape: symmetrize + dedup the staged O(N·k) edge list,
+    // one map-side-combined degree agg, a left join for the
+    // zero-degree nodes, and a roll-up to O(max degree) rows.
+    "graph_degree_dist" -> ((s, d) => {
+      val edges0 = StagedIndex.orStage(s, "graph_knn_edges_v1", d,
+        Seq(s"$d/embeddings.parquet")) {
+        queries("sim_knn_graph")(s, d)
+          .select(col("vec_id").alias("src"), col("nbr").alias("dst"))
+      }
+      val und = edges0.select(col("src"), col("dst"))
+        .union(edges0.select(col("dst").alias("src"),
+          col("src").alias("dst")))
+        .distinct()
+      val deg = und.groupBy("src").agg(count(lit(1)).alias("deg"))
+        .select(col("src").alias("vec_id"), col("deg"))
+      Tables.embeddings(s, d).select(col("vec_id"))
+        .join(deg, Seq("vec_id"), "left")
+        .select(coalesce(col("deg"), lit(0L)).alias("deg"))
+        .groupBy("deg")
+        .agg(count(lit(1)).alias("n_nodes"))
+        .orderBy("deg")
+    }),
+
     // Cell-population audit of the learned k-means partition — the
     // table an IVF operator reads before trusting the index: a badly
     // skewed cell map (one mega-cell, many empties) makes probe-2
@@ -2054,6 +2082,22 @@ object SimilarityQueries {
          |  CAST(max(v.qv[u.i]) AS BIGINT) AS q_max
          |FROM qn v, UNNEST(range(1, $Dim + 1)) u(i)
          |GROUP BY 1 ORDER BY dim""".stripMargin,
+
+    // the shared edge derivation, symmetrized, degree-counted, with
+    // zero-degree nodes kept through the left join
+    "graph_degree_dist" -> {
+      s"""$sqlKnnEdgesWith,
+         |sym AS (SELECT src, dst FROM edges
+         |        UNION SELECT dst AS src, src AS dst FROM edges),
+         |dg AS (SELECT src AS vec_id, CAST(count(*) AS BIGINT) AS deg
+         |       FROM sym GROUP BY 1),
+         |alln AS (SELECT n.vec_id,
+         |           CAST(coalesce(d.deg, 0) AS BIGINT) AS deg
+         |         FROM embeddings n LEFT JOIN dg d
+         |           ON n.vec_id = d.vec_id)
+         |SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM alln GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     // the shared k-means CTEs rolled up per final cell, with the
     // 1-row corpus count
