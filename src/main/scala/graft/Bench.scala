@@ -158,6 +158,8 @@ object BenchExpect {
     "cdc_gap_detect" -> 1.0, // bucketed scan + rare-bucket expansion
     "rel_cohort_ltv" -> 0.9, // two custkey aggs + tiny roll-up
     "graph_degree_dist" -> 0.8, // staged edges + two tiny aggs
+    "rel_pareto_abc" -> 1.2, // part agg + global GroupRank cumsum
+    "sim_margin" -> 1.0, // staged kNN edges + 2-row pivot agg
   )
 
   def apply(n: String): Double = expect.getOrElse(n, default)

@@ -95,6 +95,36 @@ object RelationalQueries {
         .orderBy("cohort", "offset_m")
     }),
 
+    // ABC (Pareto) classification of parts by revenue contribution —
+    // the inventory-policy staple: class A = parts inside the first
+    // 80% of cumulative revenue, B to 95%, C the tail. Scale shape:
+    // one map-side-combined per-part revenue agg, a GLOBAL
+    // revenue-descending cumulative sum on constant-group GroupRank
+    // (range partition + broadcast offsets — the classic Pareto query
+    // is a global-ORDER-BY window, one task naively), and a 1-row
+    // grand-total scalar broadcast for the class cuts. The cuts are
+    // cross-multiplied integer comparisons with SMALL multipliers
+    // (cum*5 <= tot*4 is the 80% line, cum*20 <= tot*19 the 95%) so
+    // the arithmetic stays far inside 64 bits at any corpus size.
+    "rel_pareto_abc" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(sum(cents(col("l_extendedprice") *
+          (lit(1.0) - col("l_discount")))).alias("rev_cents"))
+        .withColumn("g0", lit(0))
+      val run = GroupRank.runningSum(rev, "g0",
+        Seq(col("rev_cents").desc, col("l_partkey").asc), "rev_cents")
+      val tot = run.agg(sum(col("rev_cents")).alias("tot"))
+      run.crossJoin(broadcast(tot))
+        .withColumn("abc_class",
+          when(col("run") * 5 <= col("tot") * 4, "A")
+            .when(col("run") * 20 <= col("tot") * 19, "B")
+            .otherwise("C"))
+        .select(col("l_partkey"), col("rev_cents"),
+          col("run").alias("cum_cents"), col("abc_class"))
+        .orderBy("l_partkey")
+    }),
+
     // TPC-H Q1-style full-scan aggregation with map-side combine.
     "rel_q1_agg" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -1007,6 +1037,29 @@ object RelationalQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+
+    // plain window cumsum over the per-part revenue, same integer
+    // class cuts
+    "rel_pareto_abc" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+        |      * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM lineitem GROUP BY 1),
+        |run AS (
+        |  SELECT l_partkey, rev_cents,
+        |    CAST(sum(rev_cents) OVER (
+        |      ORDER BY rev_cents DESC, l_partkey ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_cents
+        |  FROM rev),
+        |tot AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS tot FROM rev)
+        |SELECT l_partkey, rev_cents, cum_cents,
+        |  CASE WHEN cum_cents * 5 <= tot * 4 THEN 'A'
+        |       WHEN cum_cents * 20 <= tot * 19 THEN 'B'
+        |       ELSE 'C' END AS abc_class
+        |FROM run CROSS JOIN tot
+        |ORDER BY l_partkey""".stripMargin,
 
     "rel_cohort_ltv" ->
       """WITH o AS (

@@ -654,6 +654,30 @@ object SimilarityQueries {
         .orderBy("dim")
     }),
 
+    // Nearest-neighbor margin per vector — cos(top1) − cos(top2) over
+    // the staged kNN graph, in floored micro-units. The ANN-tuning
+    // profile: a corpus whose margins concentrate near zero has
+    // ambiguous neighborhoods (recall falls off a cliff as nprobe/
+    // shortlist shrink), while fat margins mean cheap parameters are
+    // safe — this table is how the recall-gated specs' floors get
+    // chosen. Derived doubles stay engine-exact: cos is the integer
+    // dot over sqrt'd integer norms (both sides compute bit-identical
+    // IEEE doubles — the sim_knn_graph convention), so the micro
+    // floor hash-matches. Scale shape: one rk<=2 filter over the
+    // staged edge list + a vec-keyed 2-row pivot agg.
+    "sim_margin" -> ((s, d) => {
+      val knn = queries("sim_knn_graph")(s, d)
+      knn.filter(col("rk") <= 2)
+        .groupBy("vec_id")
+        .agg(max(when(col("rk") === 1, col("cos"))).alias("cos1"),
+          max(when(col("rk") === 2, col("cos"))).alias("cos2"))
+        .filter(col("cos2").isNotNull)
+        .select(col("vec_id"),
+          floor((col("cos1") - col("cos2")) * lit(1000000d))
+            .cast(LongType).alias("margin_micro"))
+        .orderBy("vec_id")
+    }),
+
     // Degree distribution of the undirected kNN graph — the one-look
     // health check on the neighborhood structure every graph_* op
     // builds on: a spiked histogram (hub nodes) means the embedding
@@ -2082,6 +2106,25 @@ object SimilarityQueries {
          |  CAST(max(v.qv[u.i]) AS BIGINT) AS q_max
          |FROM qn v, UNNEST(range(1, $Dim + 1)) u(i)
          |GROUP BY 1 ORDER BY dim""".stripMargin,
+
+    // the shared bucketed-scoring CTEs, re-ranked to the top 2, then
+    // the micro-floored margin
+    "sim_margin" ->
+      s"""$sqlKnnEdgesWith,
+         |ranked AS (
+         |  SELECT vec_id, nbr, cos,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, nbr ASC) AS rk
+         |  FROM scored),
+         |m AS (
+         |  SELECT vec_id,
+         |    max(CASE WHEN rk = 1 THEN cos END) AS cos1,
+         |    max(CASE WHEN rk = 2 THEN cos END) AS cos2
+         |  FROM ranked WHERE rk <= 2 GROUP BY 1)
+         |SELECT vec_id,
+         |  CAST(floor((cos1 - cos2) * 1000000) AS BIGINT)
+         |    AS margin_micro
+         |FROM m WHERE cos2 IS NOT NULL ORDER BY vec_id""".stripMargin,
 
     // the shared edge derivation, symmetrized, degree-counted, with
     // zero-degree nodes kept through the left join

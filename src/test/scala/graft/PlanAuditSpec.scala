@@ -97,6 +97,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "sim_centroid_balance",
       // 1-row id-bounds scalar seeds the bucket skeleton
       "cdc_gap_detect",
+      // global GroupRank (constant group) cumsum + 1-row total scalar
+      "rel_pareto_abc",
       // 1-row order-total scalar vs the 20-row affinity table
       "rel_basket_affinity")
 
@@ -145,7 +147,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "dd_cluster_stats", // 1-row total × 1-row paired count cross
     "sim_centroid_balance", // 1-row corpus-count scalar vs cell rows
     "rel_basket_affinity", // 1-row order-total scalar vs top-20 pairs
-    "cdc_gap_detect") // 1-row bounds scalar vs the bucket skeleton
+    "cdc_gap_detect", // 1-row bounds scalar vs the bucket skeleton
+    "rel_pareto_abc", // 1-row grand-total scalar vs the part ranking
+    "sim_margin") // inherits sim_knn_graph's hyperplane broadcast
 
   test("no query plan contains a CartesianProduct") {
     plans.foreach { case (sf, n, p) =>
@@ -260,6 +264,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "pipe_epoch_plan", // inherits pipe_report's component derivation
     "sim_ood_score", // kmeansCore's id-bounded seed broadcast
     "sim_centroid_balance", // kmeansCore's id-bounded seed broadcast
+    "sim_margin", // inherits sim_knn_graph's id-bounded plane broadcast
     "sim_sq8_ann") // id-bounded probe codes / probe vectors
 
   test("broadcast hints only on aggregated or generated (tiny) sides") {

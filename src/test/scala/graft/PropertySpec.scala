@@ -202,4 +202,47 @@ class PropertySpec extends AnyFunSuite {
       Prop(got == want) :| "GroupRank drifted from the window"
     }, minTests = 5)
   }
+
+  test("GroupRank.runningSum equals the single-node window cumsum on " +
+      "random grouped data") {
+    import spark.implicits._
+    val data = for {
+      n <- Gen.choose(1, 300)
+      rows <- Gen.listOfN(n, Gen.zip(
+        Gen.oneOf("a", "b", "c"), Gen.choose(-20L, 50L)))
+    } yield rows.zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }
+    check(Prop.forAll(data) { rows =>
+      val df = rows.toDF("g", "v", "id")
+      val got = GroupRank.runningSum(df, "g", Seq(col("id").asc), "v")
+        .select("g", "id", "run")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val w = Window.partitionBy("g").orderBy(col("id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val want = df.withColumn("run", sum(col("v")).over(w))
+        .select("g", "id", "run")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      Prop(got == want) :| "runningSum drifted from the window cumsum"
+    }, minTests = 5)
+  }
+
+  test("ntileFromRank equals the SQL ntile window for random (n, k)") {
+    import spark.implicits._
+    val gen = Gen.zip(Gen.choose(1, 200), Gen.oneOf(2, 3, 4, 7, 10, 16))
+    check(Prop.forAll(gen) { case (n, k) =>
+      val df = (1 to n).map(_.toLong).toDF("v")
+      val w = Window.orderBy("v")
+      val want = df.withColumn("nt", ntile(k).over(w).cast("long"))
+        .select("v", "nt")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = df
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("nt",
+          GroupRank.ntileFromRank(k, col("rn"), lit(n.toLong)))
+        .select("v", "nt")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      Prop(got == want) :| s"ntileFromRank($k) drifted at n=$n"
+    }, minTests = 8)
+  }
 }
