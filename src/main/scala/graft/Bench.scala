@@ -160,6 +160,8 @@ object BenchExpect {
     "graph_degree_dist" -> 0.8, // staged edges + two tiny aggs
     "rel_pareto_abc" -> 1.2, // part agg + global GroupRank cumsum
     "sim_margin" -> 1.0, // staged kNN edges + 2-row pivot agg
+    "rel_seasonality" -> 0.6, // scan-speed buckets, 168-cell agg
+    "mm_hamming_hist" -> 1.0, // banded pair stream + tiny agg
   )
 
   def apply(n: String): Double = expect.getOrElse(n, default)

@@ -103,6 +103,21 @@ object MultimodalQueries {
     "mm_phash" -> ((s, d) =>
       phashPairs(s, d).orderBy("ida", "idb")),
 
+    // Hamming-distance histogram over the banded candidate pairs —
+    // the threshold-tuning table for mm_dedup (where does the
+    // distance mass sit relative to MmHamThresh? a bimodal histogram
+    // means the cut is safe; mass piled AT the threshold means the
+    // band scheme needs more/wider bands before trusting the
+    // verdict). The image-side twin of sim_threshold_sweep. Scale
+    // shape: one map-side-combined agg over the already-band-bounded
+    // pair stream down to <= 61 rows.
+    "mm_hamming_hist" -> ((s, d) =>
+      phashPairs(s, d)
+        .groupBy("hamming")
+        .agg(count(lit(1)).alias("n_pairs"))
+        .withColumn("within", col("hamming") <= MmHamThresh)
+        .orderBy("hamming")),
+
     // Media dedup verdict: the image-side twin of dd_cluster +
     // dd_dedup_verdict. pHash pairs at Hamming ≤ MmHamThresh are
     // near-dup edges; star-contraction connected components label
@@ -204,6 +219,36 @@ object MultimodalQueries {
          |SELECT ida, idb,
          |  CAST(bit_count(xor(pha, phb)) AS BIGINT) AS hamming
          |FROM pairs ORDER BY ida, idb""".stripMargin,
+
+    // the mm_phash pair CTEs, rolled up per Hamming distance
+    "mm_hamming_hist" ->
+      s"""WITH vals AS (
+         |  SELECT doc_id AS media_id,
+         |    list_transform(range(0, 60), i ->
+         |      CAST(ascii(substr(text,
+         |        CAST((i * length(text)) // 60 AS INTEGER) + 1, 1))
+         |        AS BIGINT)) AS v
+         |  FROM documents),
+         |ph AS (
+         |  SELECT media_id,
+         |    list_sum(list_transform(range(0, 60), i ->
+         |      CASE WHEN v[CAST(i AS INTEGER) + 1] * 60 > list_sum(v)
+         |        THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT)
+         |      END)) AS phash
+         |  FROM vals),
+         |bands AS (
+         |  SELECT media_id, phash, t.b,
+         |    (phash >> CAST(t.b * 15 AS INTEGER)) & 32767 AS key
+         |  FROM ph, UNNEST(range(0, 4)) t(b)),
+         |pairs AS (
+         |  SELECT DISTINCT a.media_id AS ida, b.media_id AS idb,
+         |    a.phash AS pha, b.phash AS phb
+         |  FROM bands a JOIN bands b
+         |    ON a.b = b.b AND a.key = b.key AND a.media_id < b.media_id)
+         |SELECT CAST(bit_count(xor(pha, phb)) AS BIGINT) AS hamming,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  bit_count(xor(pha, phb)) <= $MmHamThresh AS within
+         |FROM pairs GROUP BY 1, 3 ORDER BY 1""".stripMargin,
 
     // same CTEs as mm_phash; edges at Hamming <= 8, transitive
     // closure, component min = keeper

@@ -95,6 +95,31 @@ object RelationalQueries {
         .orderBy("cohort", "offset_m")
     }),
 
+    // Weekly seasonality profile — the (day-of-week × hour) heatmap
+    // behind capacity planning and anomaly baselines. dow is derived
+    // ARITHMETICALLY from the epoch day ((day + 3) mod 7, 0 = Monday,
+    // since 1970-01-01 was a Thursday) instead of through the
+    // engines' dayofweek() functions, whose 0-vs-1-based and
+    // Sunday-vs-Monday conventions differ — integer arithmetic is the
+    // only spelling both engines share bit-for-bit. Scale shape:
+    // per-row bucket math at scan speed, a map-side-combined agg to
+    // at most 168 cells, and the 1-row grand total broadcast for
+    // exact ppm shares.
+    "rel_seasonality" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        expr("(ts div 86400000000000 + 3) % 7").alias("dow"),
+        expr("(ts div 3600000000000) % 24").alias("hour"),
+        round(col("value") * 100, 0).cast(LongType).alias("cents"))
+      val cells = ev.groupBy("dow", "hour")
+        .agg(count(lit(1)).alias("n"), sum(col("cents")).alias("cents_sum"))
+      val tot = ev.agg(count(lit(1)).alias("n_tot"))
+      cells.crossJoin(broadcast(tot))
+        .withColumn("share_ppm", expr("n * 1000000 div n_tot"))
+        .select(col("dow"), col("hour"), col("n"), col("cents_sum"),
+          col("share_ppm"))
+        .orderBy("dow", "hour")
+    }),
+
     // ABC (Pareto) classification of parts by revenue contribution —
     // the inventory-policy staple: class A = parts inside the first
     // 80% of cumulative revenue, B to 95%, C the tail. Scale shape:
@@ -1037,6 +1062,23 @@ object RelationalQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+
+    // identical epoch-day arithmetic for dow; 1-row total for shares
+    "rel_seasonality" ->
+      """WITH ev AS (
+        |  SELECT (epoch_ns(ts) // 86400000000000 + 3) % 7 AS dow,
+        |    (epoch_ns(ts) // 3600000000000) % 24 AS hour,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |cells AS (
+        |  SELECT dow, hour, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS cents_sum
+        |  FROM ev GROUP BY 1, 2),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM ev)
+        |SELECT dow, hour, n, cents_sum,
+        |  CAST(n * 1000000 // n_tot AS BIGINT) AS share_ppm
+        |FROM cells CROSS JOIN tot
+        |ORDER BY dow, hour""".stripMargin,
 
     // plain window cumsum over the per-part revenue, same integer
     // class cuts

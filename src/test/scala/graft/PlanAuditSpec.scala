@@ -99,6 +99,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "cdc_gap_detect",
       // global GroupRank (constant group) cumsum + 1-row total scalar
       "rel_pareto_abc",
+      // 1-row grand-total scalar vs the 168-cell profile
+      "rel_seasonality",
       // 1-row order-total scalar vs the 20-row affinity table
       "rel_basket_affinity")
 
@@ -149,6 +151,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "rel_basket_affinity", // 1-row order-total scalar vs top-20 pairs
     "cdc_gap_detect", // 1-row bounds scalar vs the bucket skeleton
     "rel_pareto_abc", // 1-row grand-total scalar vs the part ranking
+    "rel_seasonality", // 1-row grand-total scalar vs the 168 cells
     "sim_margin") // inherits sim_knn_graph's hyperplane broadcast
 
   test("no query plan contains a CartesianProduct") {
