@@ -162,6 +162,7 @@ object BenchExpect {
     "sim_margin" -> 1.0, // staged kNN edges + 2-row pivot agg
     "rel_seasonality" -> 0.6, // scan-speed buckets, 168-cell agg
     "mm_hamming_hist" -> 1.0, // banded pair stream + tiny agg
+    "sim_nprobe_sweep" -> 2.2, // 3 ivf legs + brute-force truth
   )
 
   def apply(n: String): Double = expect.getOrElse(n, default)

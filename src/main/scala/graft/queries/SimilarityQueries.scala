@@ -706,6 +706,33 @@ object SimilarityQueries {
         .orderBy("deg")
     }),
 
+    // Recall-vs-nprobe tuning curve for the IVF index: recall@TopK
+    // against the exact brute-force ground truth at 1, 2, and 4
+    // probed cells — THE operating-point decision for an IVF
+    // deployment (each probe multiplies query cost; this table says
+    // what each buys in recall, and where the curve flattens).
+    // Integer hits and ppm recall, so the oracle replays exactly.
+    // Scale shape: each leg is the audited ivf plan (centroid
+    // broadcast + cell-restricted scoring + WindowGroupLimit rank);
+    // ground truth is the brute-force probe broadcast; hits are
+    // semi-joins of TopK-bounded rank lists; everything after is
+    // 3 one-row aggregates.
+    "sim_nprobe_sweep" -> ((s, d) => {
+      val exact = cosineTopK(s, d).select(col("qid"), col("vec_id"))
+      val total = exact.agg(count(lit(1)).alias("total"))
+      Seq(1, 2, 4).map { p =>
+        ivfKmeansAt(s, d, p).select(col("qid"), col("vec_id"))
+          .join(exact, Seq("qid", "vec_id"), "left_semi")
+          .agg(count(lit(1)).alias("hits"))
+          .withColumn("nprobe", lit(p.toLong))
+      }.reduce(_ unionByName _)
+        .crossJoin(broadcast(total))
+        .withColumn("recall_ppm", expr("hits * 1000000 div total"))
+        .select(col("nprobe"), col("hits"), col("total"),
+          col("recall_ppm"))
+        .orderBy("nprobe")
+    }),
+
     // Cell-population audit of the learned k-means partition — the
     // table an IVF operator reads before trusting the index: a badly
     // skewed cell map (one mega-cell, many empties) makes probe-2
@@ -1256,10 +1283,14 @@ object SimilarityQueries {
   private def kmeansAssign(s: SparkSession, d: String): DataFrame =
     kmeansCore(s, d)._2
 
-  private def ivfKmeans(s: SparkSession, d: String): DataFrame = {
+  private def ivfKmeans(s: SparkSession, d: String): DataFrame =
+    ivfKmeansAt(s, d, probeCount(s))
+
+  private def ivfKmeansAt(s: SparkSession, d: String,
+      probes: Int): DataFrame = {
     val all = quantized(s, d)
       val (cents1, assigned) = kmeansCore(s, d)
-      // multi-probe: each probe searches its 2 nearest learned cells
+      // multi-probe: each probe searches its `probes` nearest cells
       val wProbe = org.apache.spark.sql.expressions.Window
         .partitionBy("vec_id").orderBy(col("dist2").asc, col("cid").asc)
       val probeCells = all.filter(col("vec_id") < NQueries)
@@ -1267,7 +1298,7 @@ object SimilarityQueries {
         .withColumn("dist2",
           col("n2") + col("cn2") - lit(2L) * dot(col("q"), col("cq")))
         .withColumn("rn", row_number().over(wProbe))
-        .filter(col("rn") <= probeCount(s))
+        .filter(col("rn") <= probes)
         .select(col("vec_id").alias("qid"), col("cid").alias("qcell"),
           col("q").alias("qq"), col("n2").alias("qn2"))
       val scored = assigned
@@ -2140,6 +2171,60 @@ object SimilarityQueries {
          |           ON n.vec_id = d.vec_id)
          |SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes
          |FROM alln GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // k-means CTEs + brute-force ground truth + one rank leg per
+    // probe count; a vector lives in exactly one cell, so the legs
+    // need no dedup
+    "sim_nprobe_sweep" -> {
+      def leg(p: Int) =
+        s"""r$p AS (
+           |  SELECT qid, vec_id FROM (
+           |    SELECT c.qid, v.vec_id,
+           |      row_number() OVER (PARTITION BY c.qid
+           |        ORDER BY CAST(${sqlDot("c.qq", "v.qv")} AS BIGINT)
+           |          / (sqrt(CAST(c.qn2 AS DOUBLE))
+           |             * sqrt(CAST(v.n2 AS DOUBLE))) DESC,
+           |          v.vec_id ASC) AS rk
+           |    FROM (SELECT qid, qcell, qq, qn2 FROM probecells
+           |          WHERE prn <= $p) c
+           |    JOIN a1 v ON v.cell = c.qcell AND v.vec_id <> c.qid) t
+           |  WHERE rk <= $TopK),
+           |h$p AS (SELECT CAST($p AS BIGINT) AS nprobe,
+           |  CAST(count(*) AS BIGINT) AS hits
+           |  FROM r$p JOIN exact e USING (qid, vec_id))""".stripMargin
+      s"""WITH $sqlKmeansAssign,
+         |exact AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT p.vec_id AS qid, v.vec_id,
+         |      row_number() OVER (PARTITION BY p.vec_id
+         |        ORDER BY CAST(${sqlDot("p.qv", "v.qv")} AS BIGINT)
+         |          / (sqrt(CAST(p.n2 AS DOUBLE))
+         |             * sqrt(CAST(v.n2 AS DOUBLE))) DESC,
+         |          v.vec_id ASC) AS rk
+         |    FROM qn p JOIN qn v ON v.vec_id <> p.vec_id
+         |    WHERE p.vec_id < $NQueries) t
+         |  WHERE rk <= $TopK),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM exact),
+         |probecells AS (
+         |  SELECT vec_id AS qid, cid AS qcell, qv AS qq, n2 AS qn2,
+         |    rn AS prn
+         |  FROM (
+         |    SELECT v.vec_id, c.cid, v.qv, v.n2,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY v.n2 + c.cn2 - 2 * ${sqlDot("v.qv", "c.cq")}
+         |          ASC, c.cid ASC) AS rn
+         |    FROM qn v CROSS JOIN cents c
+         |    WHERE v.vec_id < $NQueries) t
+         |  WHERE rn <= 4),
+         |${leg(1)},
+         |${leg(2)},
+         |${leg(4)}
+         |SELECT nprobe, hits, total,
+         |  CAST(hits * 1000000 // total AS BIGINT) AS recall_ppm
+         |FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2
+         |      UNION ALL SELECT * FROM h4) u
+         |CROSS JOIN tot ORDER BY nprobe""".stripMargin
     },
 
     // the shared k-means CTEs rolled up per final cell, with the

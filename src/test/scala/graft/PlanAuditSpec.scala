@@ -101,6 +101,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "rel_pareto_abc",
       // 1-row grand-total scalar vs the 168-cell profile
       "rel_seasonality",
+      // three 1-row hit counts + the 1-row ground-truth total
+      "sim_nprobe_sweep",
       // 1-row order-total scalar vs the 20-row affinity table
       "rel_basket_affinity")
 
@@ -152,7 +154,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "cdc_gap_detect", // 1-row bounds scalar vs the bucket skeleton
     "rel_pareto_abc", // 1-row grand-total scalar vs the part ranking
     "rel_seasonality", // 1-row grand-total scalar vs the 168 cells
-    "sim_margin") // inherits sim_knn_graph's hyperplane broadcast
+    "sim_margin", // inherits sim_knn_graph's hyperplane broadcast
+    "sim_nprobe_sweep") // centroid/probe broadcasts + 1-row scalars
 
   test("no query plan contains a CartesianProduct") {
     plans.foreach { case (sf, n, p) =>
@@ -268,6 +271,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_ood_score", // kmeansCore's id-bounded seed broadcast
     "sim_centroid_balance", // kmeansCore's id-bounded seed broadcast
     "sim_margin", // inherits sim_knn_graph's id-bounded plane broadcast
+    "sim_nprobe_sweep", // id-bounded probes + kmeans seed broadcast
     "sim_sq8_ann") // id-bounded probe codes / probe vectors
 
   test("broadcast hints only on aggregated or generated (tiny) sides") {

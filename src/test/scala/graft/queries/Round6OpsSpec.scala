@@ -164,6 +164,21 @@ class Round6OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sim_nprobe_sweep: recall is monotone in probes and bounded by 1") {
+    val rows = q("sim_nprobe_sweep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 4L))
+    rows.foreach { case (_, hits, total, ppm) =>
+      assert(hits <= total)
+      assert(ppm === hits * 1000000L / total)
+    }
+    val recalls = rows.map(_._4)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      "probing more cells can never lose recall")
+    assert(recalls.head > 0L, "one probe should already find something")
+  }
+
   test("tx_readability: flesch formula holds; bands cut at 70000/50000") {
     val rows = q("tx_readability").collect()
     assert(rows.nonEmpty)
