@@ -163,6 +163,7 @@ object BenchExpect {
     "rel_seasonality" -> 0.6, // scan-speed buckets, 168-cell agg
     "mm_hamming_hist" -> 1.0, // banded pair stream + tiny agg
     "sim_nprobe_sweep" -> 2.2, // 3 ivf legs + brute-force truth
+    "dd_sketch_error" -> 2.6, // posting intersection + staged sigs
   )
 
   def apply(n: String): Double = expect.getOrElse(n, default)

@@ -236,6 +236,48 @@ object DedupQueries {
         .orderBy("ida", "idb")
     }),
 
+    // Sketch-calibration histogram: |minhash-estimated − exact|
+    // Jaccard error over the LSH candidate pairs, in 5%-wide buckets
+    // — the table that justifies (or indicts) the signature length K.
+    // A mass spike in high-error buckets means K is too short for the
+    // dedup threshold in force and the verdicts behind dd_minhash_lsh
+    // / dd_dedup_verdict are noisy; re-run after changing K and watch
+    // the histogram collapse into bucket 0. All-integer micro-unit
+    // error, so the oracle replays exactly. Scale shape: the exact
+    // side is the audited posting-list intersection (one 8-byte row
+    // per shared shingle over the shuffle, never all-pairs); the
+    // estimate rides the staged signatures; candidates that collide
+    // in a band WITHOUT sharing a shingle (possible — band keys hash
+    // more than containment) take the zero-overlap left-join branch.
+    "dd_sketch_error" -> ((s, d) => {
+      val est = queries("dd_minhash_lsh")(s, d)
+        .select(col("ida"), col("idb"), col("agree"))
+      val sh = shingled(s, d)
+      val sizes = sh.select(col("doc_id"),
+        size(col("sh")).cast(LongType).alias("nsh"))
+      val inv = sh.select(col("doc_id"), explode(col("sh")).alias("s"))
+      val common = inv.alias("a").join(inv.alias("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").alias("ida"),
+          col("b.doc_id").alias("idb"))
+        .agg(count(lit(1)).alias("common"))
+      est
+        .join(sizes.select(col("doc_id").alias("ida"),
+          col("nsh").alias("sa")), "ida")
+        .join(sizes.select(col("doc_id").alias("idb"),
+          col("nsh").alias("sb")), "idb")
+        .join(common, Seq("ida", "idb"), "left")
+        .withColumn("est_micro", expr(s"agree * 1000000 div $K"))
+        .withColumn("exact_micro", expr(
+          "coalesce(common, 0) * 1000000 div " +
+            "(sa + sb - coalesce(common, 0))"))
+        .withColumn("err_bucket",
+          expr("abs(est_micro - exact_micro) div 50000"))
+        .groupBy("err_bucket")
+        .agg(count(lit(1)).alias("n_pairs"))
+        .orderBy("err_bucket")
+    }),
+
     // SimHash: 16-bit signed-sum fingerprint over word hashes.
     "dd_simhash" -> ((s, d) => {
       val words = Tables.documents(s, d)
@@ -737,6 +779,40 @@ object DedupQueries {
          |JOIN sigs sa ON cand.ida = sa.doc_id
          |JOIN sigs sb ON cand.idb = sb.doc_id
          |ORDER BY ida, idb""".stripMargin
+    },
+
+    "dd_sketch_error" -> {
+      val sigList = (0 until K).map(i => s"m$i").mkString("[", ", ", "]")
+      s"""WITH $sqlCandCtes,
+         |sigs AS (SELECT doc_id, $sigList AS sig FROM sig),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         |       FROM docs, UNNEST(range(1, len(w) - 1)) t(i)),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh
+         |          FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+         |            CAST(count(*) AS BIGINT) AS common
+         |          FROM sh a JOIN sh b
+         |            ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |err AS (
+         |  SELECT c.ida, c.idb,
+         |    CAST(len(list_filter(range(1, ${K + 1}),
+         |      i -> sa.sig[i] = sb.sig[i])) * 1000000 // $K AS BIGINT)
+         |      AS est_micro,
+         |    CAST(coalesce(p.common, 0) * 1000000
+         |      // (za.nsh + zb.nsh - coalesce(p.common, 0)) AS BIGINT)
+         |      AS exact_micro
+         |  FROM cand c
+         |  JOIN sigs sa ON c.ida = sa.doc_id
+         |  JOIN sigs sb ON c.idb = sb.doc_id
+         |  JOIN sizes za ON c.ida = za.doc_id
+         |  JOIN sizes zb ON c.idb = zb.doc_id
+         |  LEFT JOIN pairs p ON c.ida = p.ida AND c.idb = p.idb)
+         |SELECT CAST(abs(est_micro - exact_micro) // 50000 AS BIGINT)
+         |    AS err_bucket,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM err GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
     "dd_simhash" -> {
