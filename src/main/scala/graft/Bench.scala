@@ -164,6 +164,7 @@ object BenchExpect {
     "mm_hamming_hist" -> 1.0, // banded pair stream + tiny agg
     "sim_nprobe_sweep" -> 2.2, // 3 ivf legs + brute-force truth
     "dd_sketch_error" -> 2.6, // posting intersection + staged sigs
+    "rel_rank_stats" -> 1.0, // custkey agg + GroupRank derivations
   )
 
   def apply(n: String): Double = expect.getOrElse(n, default)

@@ -95,6 +95,43 @@ object RelationalQueries {
         .orderBy("cohort", "offset_m")
     }),
 
+    // The full SQL rank-statistics family — row_number, ntile(4),
+    // percent_rank, cume_dist — for customers ranked by revenue
+    // within their nation, all derived ARITHMETICALLY from one
+    // GroupRank (rn, grp_n) pair: ntile via the bucket formula,
+    // percent_rank as (rn−1)/(n−1) and cume_dist as rn/n in floored
+    // micro-units (the doubles SQL's own functions emit cannot
+    // hash-match across engines; the micro-unit integers can, and
+    // carry the same information). Scale shape: the corpus reduces to
+    // per-customer revenue FIRST (map-side combined), so the
+    // nation-keyed rank runs over the reduced table through
+    // GroupRank's range partition — the dimension-window trap this
+    // engine never takes. No ties ambiguity: revenue desc with the
+    // custkey tiebreak is a total order.
+    "rel_rank_stats" -> ((s, d) => {
+      val perCust = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(cents(col("o_totalprice"))).alias("rev_cents"))
+      val withNation = perCust.join(
+        broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+        .select(col("o_custkey").alias("custkey"),
+          col("c_nationkey").cast(LongType).alias("nationkey"),
+          col("rev_cents"))
+      GroupRank.rank(withNation, "nationkey",
+          Seq(col("rev_cents").desc, col("custkey").asc))
+        .select(col("custkey"), col("nationkey"), col("rev_cents"),
+          col("rn"),
+          GroupRank.ntileFromRank(4, col("rn"), col("grp_n"))
+            .alias("quartile"),
+          when(col("grp_n") > 1,
+            expr("(rn - 1) * 1000000 div (grp_n - 1)")).otherwise(0L)
+            .alias("pct_rank_micro"),
+          expr("rn * 1000000 div grp_n").alias("cume_dist_micro"))
+        .orderBy("nationkey", "rn")
+    }),
+
     // Weekly seasonality profile — the (day-of-week × hour) heatmap
     // behind capacity planning and anomaly baselines. dow is derived
     // ARITHMETICALLY from the epoch day ((day + 3) mod 7, 0 = Monday,
@@ -1062,6 +1099,34 @@ object RelationalQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+
+    // SQL's own window functions emit the ranks; the derived
+    // statistics are replayed with the same integer formulas
+    "rel_rank_stats" ->
+      """WITH pc AS (
+        |  SELECT o_custkey AS custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1),
+        |wn AS (
+        |  SELECT custkey, CAST(c_nationkey AS BIGINT) AS nationkey,
+        |    rev_cents
+        |  FROM pc JOIN customer ON custkey = c_custkey),
+        |rk AS (
+        |  SELECT *,
+        |    CAST(row_number() OVER w AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY nationkey) AS BIGINT)
+        |      AS grp_n,
+        |    CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |  FROM wn
+        |  WINDOW w AS (PARTITION BY nationkey
+        |    ORDER BY rev_cents DESC, custkey ASC))
+        |SELECT custkey, nationkey, rev_cents, rn, quartile,
+        |  CAST(CASE WHEN grp_n > 1
+        |    THEN (rn - 1) * 1000000 // (grp_n - 1) ELSE 0 END
+        |    AS BIGINT) AS pct_rank_micro,
+        |  CAST(rn * 1000000 // grp_n AS BIGINT) AS cume_dist_micro
+        |FROM rk ORDER BY nationkey, rn""".stripMargin,
 
     // identical epoch-day arithmetic for dow; 1-row total for shares
     "rel_seasonality" ->

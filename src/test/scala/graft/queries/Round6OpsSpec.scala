@@ -179,6 +179,40 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(recalls.head > 0L, "one probe should already find something")
   }
 
+  test("dd_sketch_error: buckets cover every LSH candidate pair exactly once") {
+    val hist = q("dd_sketch_error").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val nCand = q("dd_minhash_lsh").count()
+    assert(hist.map(_._2).sum === nCand,
+      "error histogram must partition the candidate pairs")
+    hist.foreach { case (bucket, n) =>
+      assert(bucket >= 0L && bucket <= 20L, s"bucket $bucket out of range")
+      assert(n > 0L)
+    }
+  }
+
+  test("rel_rank_stats: derived statistics agree with their formulas " +
+      "and partition each nation") {
+    val rows = q("rel_rank_stats").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(1)).foreach { case (nk, rs) =>
+      val n = rs.length.toLong
+      val byRank = rs.sortBy(_.getLong(3))
+      assert(byRank.map(_.getLong(3)).toSeq === (1L to n).toSeq,
+        s"nation $nk ranks not contiguous")
+      // revenue non-increasing along the rank
+      val revs = byRank.map(_.getLong(2))
+      assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+      byRank.foreach { r =>
+        val (rn, q4, pr, cd) = (r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))
+        assert(q4 >= 1L && q4 <= 4L)
+        assert(pr === (if (n > 1) (rn - 1) * 1000000L / (n - 1) else 0L))
+        assert(cd === rn * 1000000L / n)
+      }
+    }
+  }
+
   test("tx_readability: flesch formula holds; bands cut at 70000/50000") {
     val rows = q("tx_readability").collect()
     assert(rows.nonEmpty)
