@@ -165,6 +165,7 @@ object BenchExpect {
     "sim_nprobe_sweep" -> 2.2, // 3 ivf legs + brute-force truth
     "dd_sketch_error" -> 2.6, // posting intersection + staged sigs
     "rel_rank_stats" -> 1.0, // custkey agg + GroupRank derivations
+    "pipe_manifest" -> 4.5, // pack + split + curriculum id joins
   )
 
   def apply(n: String): Double = expect.getOrElse(n, default)

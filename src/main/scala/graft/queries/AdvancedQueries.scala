@@ -152,6 +152,27 @@ object AdvancedQueries {
     // constant-group GroupRank global rank as tx_shard — a range
     // partition + broadcast offsets, never an ORDER-BY-everything
     // window task.
+    // The training manifest — the one table a trainer's data loader
+    // actually consumes, composed from three independently-oracled
+    // components joined on doc_id: pipe_pack's (bin, offset) layout
+    // over the curated kept set, pipe_split's leakage-safe
+    // train/valid/test assignment, and pipe_curriculum's global
+    // quality-annealed position. Scale shape: three id-keyed
+    // equi-joins of tables whose own plans are already audited;
+    // nothing new shuffles beyond the id joins. The inner join
+    // restricts to packed (kept) documents by construction.
+    "pipe_manifest" -> ((s, d) => {
+      val pack = queries("pipe_pack")(s, d)
+      val split = queries("pipe_split")(s, d)
+        .select(col("doc_id"), col("split"))
+      val curr = queries("pipe_curriculum")(s, d)
+        .select(col("doc_id"), col("pos"))
+      pack.join(split, "doc_id").join(curr, "doc_id")
+        .select(col("doc_id"), col("lang"), col("split"),
+          col("n_tokens"), col("bin"), col("offset"), col("pos"))
+        .orderBy("doc_id")
+    }),
+
     "pipe_curriculum" -> ((s, d) => {
       val bins = TextQueries.queries("tx_quality_bins")(s, d)
         .select(col("doc_id"), col("decile"))
@@ -642,6 +663,56 @@ object AdvancedQueries {
        |  ON fv.doc_id = sd.vec_id
        |ORDER BY fv.doc_id""".stripMargin
 
+  // factored so pipe_manifest can compose the three components'
+  // oracles without a second copy (the pipeReportSql discipline)
+  private lazy val pipeCurriculumSql: String =
+    s"""WITH bins AS (
+       |  SELECT doc_id, decile
+       |  FROM (${TextQueries.oracles("tx_quality_bins")}) b),
+       |hashed AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
+       |  FROM documents)
+       |SELECT doc_id, decile,
+       |  CAST(row_number() OVER (ORDER BY decile ASC, h ASC,
+       |    doc_id ASC) AS BIGINT) AS pos
+       |FROM bins JOIN hashed USING (doc_id)
+       |ORDER BY pos""".stripMargin
+
+  private lazy val pipePackSql: String =
+    s"""WITH curated AS (
+       |  SELECT doc_id FROM ($pipeCurateSql) c WHERE kept),
+       |sized AS (
+       |  SELECT d.doc_id, d.lang,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents d JOIN curated USING (doc_id)),
+       |packed AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cum
+       |  FROM sized)
+       |SELECT doc_id, lang, n_tokens,
+       |  (cum - n_tokens) // ${TextQueries.PackLen} AS bin,
+       |  (cum - n_tokens) % ${TextQueries.PackLen} AS offset
+       |FROM packed ORDER BY doc_id""".stripMargin
+
+  private lazy val pipeSplitSql: String =
+    s"""WITH rep AS (
+       |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS rep
+       |  FROM documents d
+       |  LEFT JOIN (${DedupQueries.oracles("dd_cluster")}) c
+       |    ON d.doc_id = c.doc_id),
+       |b AS (
+       |  SELECT doc_id, rep,
+       |    ${DedupQueries.SqlH60("CAST(rep AS VARCHAR)")} % 100 AS bucket
+       |  FROM rep)
+       |SELECT doc_id, rep, bucket,
+       |  CASE WHEN bucket < 80 THEN 'train'
+       |       WHEN bucket < 90 THEN 'valid'
+       |       ELSE 'test' END AS split
+       |FROM b ORDER BY doc_id""".stripMargin
+
   private lazy val pipeReportSql: String =
     s"""SELECT d.lang, d.source,
          |  CAST(count(*) AS BIGINT) AS n_docs,
@@ -661,19 +732,7 @@ object AdvancedQueries {
 
     // tx_quality_bins' own oracle as a derived table, hash-shuffled
     // inside each decile by the corpus content hash, globally ranked
-    "pipe_curriculum" ->
-      s"""WITH bins AS (
-         |  SELECT doc_id, decile
-         |  FROM (${TextQueries.oracles("tx_quality_bins")}) b),
-         |hashed AS (
-         |  SELECT doc_id,
-         |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h
-         |  FROM documents)
-         |SELECT doc_id, decile,
-         |  CAST(row_number() OVER (ORDER BY decile ASC, h ASC,
-         |    doc_id ASC) AS BIGINT) AS pos
-         |FROM bins JOIN hashed USING (doc_id)
-         |ORDER BY pos""".stripMargin,
+    "pipe_curriculum" -> pipeCurriculumSql,
 
     // the two components' own oracles joined on the shared id
     "pipe_mm_curate" ->
@@ -748,43 +807,23 @@ object AdvancedQueries {
     // kept, joined back to documents, then the same two-level-safe
     // cumsum packing tx_pack pins (DuckDB computes it as one plain
     // window; the Spark side goes through GroupRank)
-    "pipe_pack" ->
-      s"""WITH curated AS (
-         |  SELECT doc_id FROM ($pipeCurateSql) c WHERE kept),
-         |sized AS (
-         |  SELECT d.doc_id, d.lang,
-         |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
-         |  FROM documents d JOIN curated USING (doc_id)),
-         |packed AS (
-         |  SELECT doc_id, lang, n_tokens,
-         |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |      AS BIGINT) AS cum
-         |  FROM sized)
-         |SELECT doc_id, lang, n_tokens,
-         |  (cum - n_tokens) // ${TextQueries.PackLen} AS bin,
-         |  (cum - n_tokens) % ${TextQueries.PackLen} AS offset
-         |FROM packed ORDER BY doc_id""".stripMargin,
+    "pipe_pack" -> pipePackSql,
+
+    // the three already-oracled manifest components joined on doc_id
+    "pipe_manifest" ->
+      s"""WITH pk AS ($pipePackSql),
+         |sp AS ($pipeSplitSql),
+         |cu AS ($pipeCurriculumSql)
+         |SELECT pk.doc_id, pk.lang, sp.split, pk.n_tokens, pk.bin,
+         |  pk."offset" AS "offset", cu.pos
+         |FROM pk JOIN sp USING (doc_id) JOIN cu USING (doc_id)
+         |ORDER BY pk.doc_id""".stripMargin,
 
     // the dd_cluster oracle (recursive transitive closure) as a
     // derived table: representative = cluster label where one exists,
     // else the doc's own id; bucket = the shared 60-bit hash of the
     // representative, mod 100
-    "pipe_split" ->
-      s"""WITH rep AS (
-         |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS rep
-         |  FROM documents d
-         |  LEFT JOIN (${DedupQueries.oracles("dd_cluster")}) c
-         |    ON d.doc_id = c.doc_id),
-         |b AS (
-         |  SELECT doc_id, rep,
-         |    ${DedupQueries.SqlH60("CAST(rep AS VARCHAR)")} % 100 AS bucket
-         |  FROM rep)
-         |SELECT doc_id, rep, bucket,
-         |  CASE WHEN bucket < 80 THEN 'train'
-         |       WHEN bucket < 90 THEN 'valid'
-         |       ELSE 'test' END AS split
-         |FROM b ORDER BY doc_id""".stripMargin,
+    "pipe_split" -> pipeSplitSql,
 
     "rel_retention" ->
       """WITH ev AS (

@@ -103,6 +103,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "rel_seasonality",
       // three 1-row hit counts + the 1-row ground-truth total
       "sim_nprobe_sweep",
+      // inherits pipe_curriculum's global-GroupRank + vocab scalar
+      "pipe_manifest",
       // 1-row order-total scalar vs the 20-row affinity table
       "rel_basket_affinity")
 
@@ -155,7 +157,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "rel_pareto_abc", // 1-row grand-total scalar vs the part ranking
     "rel_seasonality", // 1-row grand-total scalar vs the 168 cells
     "sim_margin", // inherits sim_knn_graph's hyperplane broadcast
-    "sim_nprobe_sweep") // centroid/probe broadcasts + 1-row scalars
+    "sim_nprobe_sweep", // centroid/probe broadcasts + 1-row scalars
+    "pipe_manifest") // inherits curriculum/curate component broadcasts
 
   test("no query plan contains a CartesianProduct") {
     plans.foreach { case (sf, n, p) =>
@@ -272,6 +275,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_centroid_balance", // kmeansCore's id-bounded seed broadcast
     "sim_margin", // inherits sim_knn_graph's id-bounded plane broadcast
     "sim_nprobe_sweep", // id-bounded probes + kmeans seed broadcast
+    "pipe_manifest", // inherits pipe_curate's staged-component hints
     "sim_sq8_ann") // id-bounded probe codes / probe vectors
 
   test("broadcast hints only on aggregated or generated (tiny) sides") {
