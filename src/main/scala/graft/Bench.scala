@@ -166,6 +166,7 @@ object BenchExpect {
     "dd_sketch_error" -> 2.6, // posting intersection + staged sigs
     "rel_rank_stats" -> 1.0, // custkey agg + GroupRank derivations
     "pipe_manifest" -> 4.5, // pack + split + curriculum id joins
+    "sim_label_purity" -> 1.0, // kmeans assignment + tiny aggs
   )
 
   def apply(n: String): Double = expect.getOrElse(n, default)

@@ -706,6 +706,39 @@ object SimilarityQueries {
         .orderBy("deg")
     }),
 
+    // Cluster purity of the learned k-means cells against the label
+    // column — the do-the-clusters-mean-anything audit (complement of
+    // sim_label_centroids' space-trust table): per cell, the majority
+    // label, its count, and purity in exact ppm. High purity means
+    // the unsupervised cells recover the labeling and cell-level
+    // curation decisions (SemDeDup keeps/drops, IVF routing) respect
+    // semantic boundaries; purity near 1/|labels| means the embedding
+    // space and the labels disagree. Scale shape: one (cell, label)
+    // map-side-combined count (cells × labels rows), the majority
+    // pick and totals over that aggregate, nothing corpus-sized past
+    // the first agg.
+    "sim_label_purity" -> ((s, d) => {
+      val assigned = kmeansAssign(s, d).select(col("vec_id"), col("cell"))
+      val lab = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val counts = assigned.join(lab, "vec_id")
+        .groupBy("cell", "label")
+        .agg(count(lit(1)).alias("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cell").orderBy(col("n").desc, col("label").asc)
+      val top = counts
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cell"), col("label").alias("top_label"),
+          col("n").alias("top_n"))
+      val tot = counts.groupBy("cell").agg(sum(col("n")).alias("cell_n"))
+      top.join(tot, "cell")
+        .select(col("cell").cast(LongType).alias("cell"),
+          col("top_label").cast(LongType).alias("top_label"),
+          col("top_n"), col("cell_n"))
+        .withColumn("purity_ppm", expr("top_n * 1000000 div cell_n"))
+        .orderBy("cell")
+    }),
+
     // Recall-vs-nprobe tuning curve for the IVF index: recall@TopK
     // against the exact brute-force ground truth at 1, 2, and 4
     // probed cells — THE operating-point decision for an IVF
@@ -2172,6 +2205,29 @@ object SimilarityQueries {
          |SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes
          |FROM alln GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    // the shared k-means CTEs, (cell, label) counts, majority pick,
+    // exact ppm purity
+    "sim_label_purity" ->
+      s"""WITH $sqlKmeansAssign,
+         |cnt AS (
+         |  SELECT a.cell, e.label, CAST(count(*) AS BIGINT) AS n
+         |  FROM a1 a JOIN embeddings e ON a.vec_id = e.vec_id
+         |  GROUP BY 1, 2),
+         |top AS (
+         |  SELECT cell, label AS top_label, n AS top_n FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY cell
+         |      ORDER BY n DESC, label ASC) AS rn
+         |    FROM cnt) t
+         |  WHERE rn = 1),
+         |tot AS (
+         |  SELECT cell, CAST(sum(n) AS BIGINT) AS cell_n
+         |  FROM cnt GROUP BY 1)
+         |SELECT CAST(top.cell AS BIGINT) AS cell,
+         |  CAST(top_label AS BIGINT) AS top_label, top_n, cell_n,
+         |  CAST(top_n * 1000000 // cell_n AS BIGINT) AS purity_ppm
+         |FROM top JOIN tot ON top.cell = tot.cell
+         |ORDER BY cell""".stripMargin,
 
     // k-means CTEs + brute-force ground truth + one rank leg per
     // probe count; a vector lives in exactly one cell, so the legs

@@ -158,6 +158,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "rel_seasonality", // 1-row grand-total scalar vs the 168 cells
     "sim_margin", // inherits sim_knn_graph's hyperplane broadcast
     "sim_nprobe_sweep", // centroid/probe broadcasts + 1-row scalars
+    "sim_label_purity", // kmeansCore's centroid broadcast
     "pipe_manifest") // inherits curriculum/curate component broadcasts
 
   test("no query plan contains a CartesianProduct") {
@@ -275,6 +276,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_centroid_balance", // kmeansCore's id-bounded seed broadcast
     "sim_margin", // inherits sim_knn_graph's id-bounded plane broadcast
     "sim_nprobe_sweep", // id-bounded probes + kmeans seed broadcast
+    "sim_label_purity", // kmeansCore's id-bounded seed broadcast
     "pipe_manifest", // inherits pipe_curate's staged-component hints
     "sim_sq8_ann") // id-bounded probe codes / probe vectors
 
