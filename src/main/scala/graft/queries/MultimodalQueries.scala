@@ -148,6 +148,38 @@ object MultimodalQueries {
        |        x -> CAST(ascii(x) AS BIGINT))),
        |    (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
+  /** Stub-decoder pHash → band keys → distinct candidate pairs as
+    * oracle CTEs — ONE copy shared by the mm_phash / mm_hamming_hist
+    * / mm_dedup oracles so the three replays cannot drift apart (the
+    * sqlBpeRoundCtes discipline). Ends at
+    * `pairs(ida, idb, pha, phb)`.
+    */
+  private val sqlPhashPairCtes: String =
+    s"""vals AS (
+       |  SELECT doc_id AS media_id,
+       |    list_transform(range(0, 60), i ->
+       |      CAST(ascii(substr(text,
+       |        CAST((i * length(text)) // 60 AS INTEGER) + 1, 1))
+       |        AS BIGINT)) AS v
+       |  FROM documents),
+       |ph AS (
+       |  SELECT media_id,
+       |    list_sum(list_transform(range(0, 60), i ->
+       |      CASE WHEN v[CAST(i AS INTEGER) + 1] * 60 > list_sum(v)
+       |        THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT)
+       |      END)) AS phash
+       |  FROM vals),
+       |bands AS (
+       |  SELECT media_id, phash, t.b,
+       |    (phash >> CAST(t.b * 15 AS INTEGER)) & 32767 AS key
+       |  FROM ph, UNNEST(range(0, 4)) t(b)),
+       |pairs AS (
+       |  SELECT DISTINCT a.media_id AS ida, b.media_id AS idb,
+       |    a.phash AS pha, b.phash AS phb
+       |  FROM bands a JOIN bands b
+       |    ON a.b = b.b AND a.key = b.key AND a.media_id < b.media_id)"""
+      .stripMargin
+
   val oracles: Map[String, String] = Map(
     "mm_features" ->
       s"""SELECT doc_id AS media_id,
@@ -193,58 +225,14 @@ object MultimodalQueries {
     // stub luma = byte at floor(i·len/60); bit i when v·60 > Σv;
     // 4×15-bit band join; Hamming via bit_count(xor).
     "mm_phash" ->
-      s"""WITH vals AS (
-         |  SELECT doc_id AS media_id,
-         |    list_transform(range(0, 60), i ->
-         |      CAST(ascii(substr(text,
-         |        CAST((i * length(text)) // 60 AS INTEGER) + 1, 1))
-         |        AS BIGINT)) AS v
-         |  FROM documents),
-         |ph AS (
-         |  SELECT media_id,
-         |    list_sum(list_transform(range(0, 60), i ->
-         |      CASE WHEN v[CAST(i AS INTEGER) + 1] * 60 > list_sum(v)
-         |        THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT)
-         |      END)) AS phash
-         |  FROM vals),
-         |bands AS (
-         |  SELECT media_id, phash, t.b,
-         |    (phash >> CAST(t.b * 15 AS INTEGER)) & 32767 AS key
-         |  FROM ph, UNNEST(range(0, 4)) t(b)),
-         |pairs AS (
-         |  SELECT DISTINCT a.media_id AS ida, b.media_id AS idb,
-         |    a.phash AS pha, b.phash AS phb
-         |  FROM bands a JOIN bands b
-         |    ON a.b = b.b AND a.key = b.key AND a.media_id < b.media_id)
+      s"""WITH $sqlPhashPairCtes
          |SELECT ida, idb,
          |  CAST(bit_count(xor(pha, phb)) AS BIGINT) AS hamming
          |FROM pairs ORDER BY ida, idb""".stripMargin,
 
     // the mm_phash pair CTEs, rolled up per Hamming distance
     "mm_hamming_hist" ->
-      s"""WITH vals AS (
-         |  SELECT doc_id AS media_id,
-         |    list_transform(range(0, 60), i ->
-         |      CAST(ascii(substr(text,
-         |        CAST((i * length(text)) // 60 AS INTEGER) + 1, 1))
-         |        AS BIGINT)) AS v
-         |  FROM documents),
-         |ph AS (
-         |  SELECT media_id,
-         |    list_sum(list_transform(range(0, 60), i ->
-         |      CASE WHEN v[CAST(i AS INTEGER) + 1] * 60 > list_sum(v)
-         |        THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT)
-         |      END)) AS phash
-         |  FROM vals),
-         |bands AS (
-         |  SELECT media_id, phash, t.b,
-         |    (phash >> CAST(t.b * 15 AS INTEGER)) & 32767 AS key
-         |  FROM ph, UNNEST(range(0, 4)) t(b)),
-         |pairs AS (
-         |  SELECT DISTINCT a.media_id AS ida, b.media_id AS idb,
-         |    a.phash AS pha, b.phash AS phb
-         |  FROM bands a JOIN bands b
-         |    ON a.b = b.b AND a.key = b.key AND a.media_id < b.media_id)
+      s"""WITH $sqlPhashPairCtes
          |SELECT CAST(bit_count(xor(pha, phb)) AS BIGINT) AS hamming,
          |  CAST(count(*) AS BIGINT) AS n_pairs,
          |  bit_count(xor(pha, phb)) <= $MmHamThresh AS within
@@ -253,29 +241,10 @@ object MultimodalQueries {
     // same CTEs as mm_phash; edges at Hamming <= 8, transitive
     // closure, component min = keeper
     "mm_dedup" ->
-      s"""WITH RECURSIVE vals AS (
-         |  SELECT doc_id AS media_id,
-         |    list_transform(range(0, 60), i ->
-         |      CAST(ascii(substr(text,
-         |        CAST((i * length(text)) // 60 AS INTEGER) + 1, 1))
-         |        AS BIGINT)) AS v
-         |  FROM documents),
-         |ph AS (
-         |  SELECT media_id,
-         |    list_sum(list_transform(range(0, 60), i ->
-         |      CASE WHEN v[CAST(i AS INTEGER) + 1] * 60 > list_sum(v)
-         |        THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT)
-         |      END)) AS phash
-         |  FROM vals),
-         |bands AS (
-         |  SELECT media_id, phash, t.b,
-         |    (phash >> CAST(t.b * 15 AS INTEGER)) & 32767 AS key
-         |  FROM ph, UNNEST(range(0, 4)) t(b)),
+      s"""WITH RECURSIVE $sqlPhashPairCtes,
          |cand AS (
-         |  SELECT DISTINCT a.media_id AS ida, b.media_id AS idb
-         |  FROM bands a JOIN bands b
-         |    ON a.b = b.b AND a.key = b.key AND a.media_id < b.media_id
-         |  WHERE bit_count(xor(a.phash, b.phash)) <= $MmHamThresh),
+         |  SELECT ida, idb FROM pairs
+         |  WHERE bit_count(xor(pha, phb)) <= $MmHamThresh),
          |edges(a, b) AS (SELECT ida, idb FROM cand
          |                UNION SELECT idb, ida FROM cand),
          |reach(a, b) AS (
