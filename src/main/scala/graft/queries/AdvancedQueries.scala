@@ -249,8 +249,9 @@ object AdvancedQueries {
     // standard sub-linear flattening that keeps big sources from
     // drowning small ones), then clamped to EpochCap repetitions —
     // the table a training run's data loader is configured from.
-    // All-integer arithmetic (floor-sqrt weights, integral division,
-    // ceil epochs) so the oracle replays bit-for-bit. Scale shape:
+    // All-integer arithmetic (floor-sqrt weights, micro-unit budget
+    // shares with bounded intermediates, ceil epochs) so the oracle
+    // replays bit-for-bit at any corpus size. Scale shape:
     // composed from pipe_report's already-oracled funnel table —
     // everything after it touches O(sources) rows, with the 1-row
     // totals scalar broadcast.
@@ -265,8 +266,20 @@ object AdvancedQueries {
       val tot = weighted.agg(sum(col("wt")).alias("tw"),
         sum(col("kept_tokens")).alias("tt"))
       weighted.crossJoin(broadcast(tot))
+        // staged division (the rel_basket_affinity discipline): the
+        // naive (BudgetMult * tt * wt) div tw overflows int64 at the
+        // stated design scale (tt ~2.5e13 kept tokens × wt ~5e6
+        // sqrt-weight ⇒ ~3.8e20 > 2^63) and would silently wrap under
+        // non-ANSI Spark while DuckDB promotes to HUGEINT. Quantize
+        // each source's share of the budget to micro-units first
+        // (bsm ≤ BudgetMult·10^6 since wt ≤ tw), then apply it to tt
+        // in two bounded terms. Every intermediate stays under 2^63
+        // for tt up to ~3e18 tokens — five orders above the 100 TB
+        // point; precision cost ≤ tt/10^6 tokens per source.
+        .withColumn("bsm",
+          expr(s"($BudgetMult * wt * 1000000) div tw"))
         .withColumn("alloc_tokens",
-          expr(s"($BudgetMult * tt * wt) div tw"))
+          expr("(tt div 1000000) * bsm + ((tt % 1000000) * bsm) div 1000000"))
         .withColumn("plan_tokens",
           least(col("alloc_tokens"), lit(EpochCap) * col("kept_tokens")))
         .withColumn("epochs",
@@ -791,9 +804,13 @@ object AdvancedQueries {
          |        FROM wtd),
          |alloc AS (
          |  SELECT source, kept_docs, kept_tokens, wt,
-         |    CAST(($BudgetMult * tt * wt) // tw AS BIGINT)
+         |    CAST((tt // 1000000) * bsm
+         |      + ((tt % 1000000) * bsm) // 1000000 AS BIGINT)
          |      AS alloc_tokens
-         |  FROM wtd CROSS JOIN tot)
+         |  FROM (SELECT *,
+         |          CAST(($BudgetMult * wt * 1000000) // tw AS BIGINT)
+         |            AS bsm
+         |        FROM wtd CROSS JOIN tot) q)
          |SELECT source, kept_docs, kept_tokens, wt, alloc_tokens,
          |  CAST(least(alloc_tokens, $EpochCap * kept_tokens) AS BIGINT)
          |    AS plan_tokens,

@@ -273,9 +273,15 @@ object CdcQueries {
       val bounds = events(s, d)
         .agg(min(col("event_id")).alias("lo"),
           max(col("event_id")).alias("hi"))
+      // DISTINCT ids per bucket, not raw rows: under at-least-once
+      // redelivery a duplicated event_id would otherwise make a bucket
+      // that contains a hole count as full and the gap go unflagged —
+      // while the oracle's NOT-IN set semantics would still report it.
+      // countDistinct partial-aggregates on (b, event_id) map-side, so
+      // the shuffle still carries O(distinct ids / bucket) rows.
       val perB = data
-        .select(expr(s"event_id div $GapBucket").alias("b"))
-        .groupBy("b").agg(count(lit(1)).alias("n"))
+        .select(expr(s"event_id div $GapBucket").alias("b"), col("event_id"))
+        .groupBy("b").agg(countDistinct(col("event_id")).alias("n"))
       val allB = bounds
         .select(explode(sequence(expr(s"lo div $GapBucket"),
           expr(s"hi div $GapBucket"))).alias("b"))
