@@ -18,10 +18,14 @@ import graft.Tables
   * Scale notes:
   *  - exact dedup is a single hash-partitioned group-by (map-side
   *    combine, no skew: keys are hashes).
-  *  - the Jaccard inverted index is quadratic in posting-list length;
-  *    it is the *verifier* stage. At 100 TB candidate generation must
-  *    come from LSH banding (dd_minhash_lsh): band keys hash-partition
-  *    evenly and each bucket joins locally.
+  *  - the Jaccard inverted index is quadratic in posting-list length,
+  *    so every posting join runs over the df-CAPPED shingle universe
+  *    (see [[DefaultMaxShingleDf]]) — Σdf² becomes ≤ cap·Σdf, and the
+  *    one hot boilerplate key that would melt a 100 TB run is dropped
+  *    before the join. It is still the *verifier* stage: at 100 TB
+  *    candidate generation must come from LSH banding
+  *    (dd_minhash_lsh): band keys hash-partition evenly and each
+  *    bucket joins locally.
   *  - SimHash is a pure per-document aggregate (one explode + one
   *    group-by keyed by doc_id — the natural partitioning).
   */
@@ -57,6 +61,49 @@ object DedupQueries {
     val spec = s"$K|$P|${As.mkString(",")}|${Bs.mkString(",")}|sh3"
     java.security.MessageDigest.getInstance("MD5")
       .digest(spec.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+  }
+
+  /** Hot-shingle document-frequency ceiling for the posting-list
+    * detectors (`graft.dedup.maxShingleDf`, default
+    * [[DefaultMaxShingleDf]] — what the oracle replays). The inverted-
+    * index self-join behind dd_ngram_jaccard / dd_containment /
+    * dd_sketch_error's exact side costs Σ df² over posting lists: one
+    * boilerplate shingle ("all rights reserved …") shared by f
+    * documents alone contributes f²/2 join rows — 10¹² pairs from a
+    * single hot key on a real crawl. Dropping shingles with df above
+    * the ceiling bounds the join at cap·Σdf (the frequency-cap
+    * practice of Lee et al. 2022, arXiv:2107.06499): a shingle shared
+    * by thousands of documents carries no near-dup signal, only cost.
+    * Jaccard/containment are then measured over the CAPPED shingle
+    * universe (sizes too, so the measure stays a true set ratio).
+    * At the verification scales the testdata's max df is 25, so the
+    * default ceiling is in force but never binds — oracle hashes are
+    * unchanged; on a real corpus it is THE knob that keeps these
+    * detectors alive at 100×.
+    */
+  final val DefaultMaxShingleDf = 64L
+
+  private[queries] def maxShingleDf(s: SparkSession): Long = {
+    val n = s.conf.get("graft.dedup.maxShingleDf",
+      DefaultMaxShingleDf.toString).toLong
+    // a ceiling of 1 would drop every SHARED shingle — the detectors
+    // would silently report "no near-duplicates"; fail loudly instead
+    require(n >= 2,
+      s"graft.dedup.maxShingleDf must be >= 2, got $n")
+    n
+  }
+
+  /** (doc_id, s) posting rows from a (doc_id, sh) shingle frame, with
+    * every shingle whose document frequency exceeds `cap` removed.
+    * The df aggregate is one map-side-combined pass over the (staged)
+    * shingle index; the hot set is tiny by construction (≤ Σdf/cap
+    * keys), so the anti-join is cheap on any scale.
+    */
+  private[queries] def cappedInvOf(sh: DataFrame, cap: Long): DataFrame = {
+    val inv = sh.select(col("doc_id"), explode(col("sh")).alias("s"))
+    val hot = inv.groupBy("s").agg(count(lit(1)).alias("df"))
+      .filter(col("df") > cap).select(col("s"))
+    inv.join(hot, Seq("s"), "left_anti")
   }
 
   /** doc_id + distinct word-3-gram shingles.
@@ -152,12 +199,14 @@ object DedupQueries {
         .orderBy("keeper")),
 
     // N-gram Jaccard near-dup: inverted shingle index self-join,
-    // exact |A∩B| / |A∪B| on full shingle sets, threshold 0.3.
+    // exact |A∩B| / |A∪B| over the df-capped shingle universe (see
+    // DefaultMaxShingleDf — the hot-boilerplate guard that keeps the
+    // posting join bounded at cap·Σdf), threshold 0.3. Sizes come
+    // from the same capped universe so jac stays a true set ratio.
     "dd_ngram_jaccard" -> ((s, d) => {
-      val sh = shingled(s, d)
-      val sizes = sh.select(col("doc_id"), size(col("sh")).cast(LongType)
-        .alias("nsh"))
-      val inv = sh.select(col("doc_id"), explode(col("sh")).alias("s"))
+      val inv = cappedInvOf(shingled(s, d), maxShingleDf(s))
+      val sizes = inv.groupBy("doc_id")
+        .agg(count(lit(1)).alias("nsh"))
       val a = inv.alias("a")
       val b = inv.alias("b")
       val common = a.join(b,
@@ -186,14 +235,14 @@ object DedupQueries {
     // containment of the shorter side stays high, so thresholding
     // max(C(A,B), C(B,A)) catches doc-inside-doc duplication —
     // boilerplate expansion, quote inflation, wrapper pages. Same
-    // inverted-index scale shape as dd_ngram_jaccard: posting-list
-    // equi-join, keyed count, two hash joins against the per-doc
-    // sizes table (no broadcast hint — corpus-sized at scale).
+    // inverted-index scale shape as dd_ngram_jaccard — including the
+    // df ceiling (DefaultMaxShingleDf) that bounds the posting join —
+    // keyed count, two hash joins against the per-doc sizes table
+    // (no broadcast hint — corpus-sized at scale).
     "dd_containment" -> ((s, d) => {
-      val sh = shingled(s, d)
-      val sizes = sh.select(col("doc_id"), size(col("sh")).cast(LongType)
-        .alias("nsh"))
-      val inv = sh.select(col("doc_id"), explode(col("sh")).alias("s"))
+      val inv = cappedInvOf(shingled(s, d), maxShingleDf(s))
+      val sizes = inv.groupBy("doc_id")
+        .agg(count(lit(1)).alias("nsh"))
       val a = inv.alias("a")
       val b = inv.alias("b")
       val common = a.join(b,
@@ -244,18 +293,24 @@ object DedupQueries {
     // / dd_dedup_verdict are noisy; re-run after changing K and watch
     // the histogram collapse into bucket 0. All-integer micro-unit
     // error, so the oracle replays exactly. Scale shape: the exact
-    // side is the audited posting-list intersection (one 8-byte row
-    // per shared shingle over the shuffle, never all-pairs); the
-    // estimate rides the staged signatures; candidates that collide
-    // in a band WITHOUT sharing a shingle (possible — band keys hash
-    // more than containment) take the zero-overlap left-join branch.
+    // side is the posting-list intersection DOUBLY bounded — the df
+    // ceiling (DefaultMaxShingleDf) drops hot boilerplate shingles,
+    // and a semi-join restricts postings to documents that actually
+    // appear in an LSH candidate pair (only their exact Jaccard is
+    // ever consumed), so the self-join costs cap·Σdf over candidate
+    // documents, never the corpus; the estimate rides the staged
+    // signatures; candidates that collide in a band WITHOUT sharing
+    // a (surviving) shingle take the zero-overlap left-join branch.
     "dd_sketch_error" -> ((s, d) => {
       val est = queries("dd_minhash_lsh")(s, d)
         .select(col("ida"), col("idb"), col("agree"))
-      val sh = shingled(s, d)
-      val sizes = sh.select(col("doc_id"),
-        size(col("sh")).cast(LongType).alias("nsh"))
-      val inv = sh.select(col("doc_id"), explode(col("sh")).alias("s"))
+      val candDocs = est.select(col("ida").alias("doc_id"))
+        .unionByName(est.select(col("idb").alias("doc_id")))
+        .distinct()
+      val inv = cappedInvOf(shingled(s, d), maxShingleDf(s))
+        .join(candDocs, Seq("doc_id"), "left_semi")
+      val sizes = inv.groupBy("doc_id")
+        .agg(count(lit(1)).alias("nsh"))
       val common = inv.alias("a").join(inv.alias("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").alias("ida"),
@@ -678,6 +733,19 @@ object DedupQueries {
       |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
       |       FROM docs, UNNEST(range(1, len(w) - 1)) t(i))""".stripMargin
 
+  /** sh → per-shingle df → df-capped posting list `shc`, the oracle
+    * twin of [[cappedInvOf]] with the DEFAULT ceiling baked in (a
+    * session tuning `graft.dedup.maxShingleDf` diverges from the
+    * oracle by design — the SQL replays the default, like CmsWidth).
+    * One fragment shared by every posting-join oracle so the ceiling
+    * can never drift between them.
+    */
+  private val sqlCappedPostings: String =
+    s"""sdf AS (SELECT s, CAST(count(*) AS BIGINT) AS df
+       |        FROM sh GROUP BY 1),
+       |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN sdf USING (s)
+       |        WHERE sdf.df <= $DefaultMaxShingleDf)""".stripMargin
+
   private val sqlSignature: String = {
     // per doc: list of shingle hashes reduced mod P, then K minima
     val mins = (0 until K).map { i =>
@@ -733,11 +801,12 @@ object DedupQueries {
 
     "dd_ngram_jaccard" ->
       s"""WITH $sqlShingles,
+         |$sqlCappedPostings,
          |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh
-         |          FROM sh GROUP BY doc_id),
+         |          FROM shc GROUP BY doc_id),
          |pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
          |            CAST(count(*) AS BIGINT) AS common
-         |          FROM sh a JOIN sh b
+         |          FROM shc a JOIN shc b
          |            ON a.s = b.s AND a.doc_id < b.doc_id
          |          GROUP BY 1, 2)
          |SELECT ida, idb, common, sa.nsh AS sa, sb.nsh AS sb,
@@ -750,11 +819,12 @@ object DedupQueries {
 
     "dd_containment" ->
       s"""WITH $sqlShingles,
+         |$sqlCappedPostings,
          |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh
-         |          FROM sh GROUP BY doc_id),
+         |          FROM shc GROUP BY doc_id),
          |pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
          |            CAST(count(*) AS BIGINT) AS common
-         |          FROM sh a JOIN sh b
+         |          FROM shc a JOIN shc b
          |            ON a.s = b.s AND a.doc_id < b.doc_id
          |          GROUP BY 1, 2)
          |SELECT ida, idb, common,
@@ -788,11 +858,16 @@ object DedupQueries {
          |sh AS (SELECT DISTINCT doc_id,
          |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
          |       FROM docs, UNNEST(range(1, len(w) - 1)) t(i)),
+         |$sqlCappedPostings,
+         |cdocs AS (SELECT ida AS doc_id FROM cand
+         |          UNION SELECT idb FROM cand),
+         |shcc AS (SELECT shc.doc_id, shc.s
+         |         FROM shc JOIN cdocs USING (doc_id)),
          |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh
-         |          FROM sh GROUP BY 1),
+         |          FROM shcc GROUP BY 1),
          |pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
          |            CAST(count(*) AS BIGINT) AS common
-         |          FROM sh a JOIN sh b
+         |          FROM shcc a JOIN shcc b
          |            ON a.s = b.s AND a.doc_id < b.doc_id
          |          GROUP BY 1, 2),
          |err AS (
