@@ -36,13 +36,38 @@ object StagedIndex {
     MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
+  /** Content tokens memoized per (session, input set). Un-memoized,
+    * EVERY stage access re-listed its input recursively — with 167
+    * queries × several staged references each, thousands of
+    * driver-side listings per suite, and on an object store at 100 TB
+    * each listing is O(files) and billed. Within one session an input
+    * snapshot is treated as immutable (exactly the bench/verify
+    * contract, and the object-store layout discipline: a new snapshot
+    * is a new path, not an in-place rewrite); after an in-place
+    * rewrite call [[refreshTokens]]. A NEW session always re-lists,
+    * so the cross-session staleness guarantee — a stale stage can
+    * never serve a new input — is unchanged.
+    */
+  private val tokenCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  /** Drop every memoized content token: the next stage access
+    * re-lists its inputs. For sessions that rewrite an input path
+    * in place (tests; ad-hoc exploration).
+    */
+  def refreshTokens(): Unit = tokenCache.clear()
+
+  private def contentToken(s: SparkSession, inputs: Seq[String]): String =
+    tokenCache.computeIfAbsent((s, inputs.sorted.mkString("|")),
+      _ => listedToken(s, inputs))
+
   /** Cheap input-content token: (name, length, mtime) of every file
     * under each input path. If the input dataset is rewritten — even
-    * byte-identically — the token changes and the index restages; a
-    * stale stage can never serve a new input. One driver-side FS
-    * listing per stage access, no data read.
+    * byte-identically — the token changes and the index restages.
+    * One driver-side FS listing per input per session (memoized
+    * above), no data read.
     */
-  private def contentToken(s: SparkSession, inputs: Seq[String]): String = {
+  private def listedToken(s: SparkSession, inputs: Seq[String]): String = {
     val conf = s.sparkContext.hadoopConfiguration
     val parts = inputs.sorted.flatMap { in =>
       val p = new org.apache.hadoop.fs.Path(in)
