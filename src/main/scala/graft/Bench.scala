@@ -21,7 +21,7 @@ object BenchExpect {
     "cdc_apply" -> 0.6,
     "cdc_scd2" -> 0.8,
     "cdc_delta_agg" -> 1.0,
-    "dd_cluster" -> 2.3,
+    "dd_cluster" -> 0.4, // staged labels (r7)
     "dd_cross_dedup" -> 1.5,
     "dd_decontaminate" -> 1.5,
     "dd_dedup_verdict" -> 3.0,
@@ -43,8 +43,8 @@ object BenchExpect {
     "p1_cdc_envelope" -> 0.4,
     "pipe_curate" -> 1.0,
     "pipe_report" -> 1.2,
-    "pipe_pack" -> 1.8,
-    "pipe_split" -> 1.8,
+    "pipe_pack" -> 1.0, // staged curate verdict (r7)
+    "pipe_split" -> 0.6, // staged cluster labels (r7)
     "sim_rrf_fusion" -> 1.6,
     "pipe_mm_curate" -> 1.2,
     "p3_topic_route" -> 0.3,
@@ -125,7 +125,7 @@ object BenchExpect {
     "tx_normalize" -> 0.5,
     "tx_pack" -> 0.8,
     "tx_shard" -> 0.5,
-    "tx_quality_bins" -> 1.5,
+    "tx_quality_bins" -> 0.4, // staged deciles (r7)
     "tx_inverted_index" -> 0.8,
     "tx_bm25_topk" -> 0.8,
     "tx_pii" -> 0.5,
@@ -136,7 +136,7 @@ object BenchExpect {
     "tx_bpe_apply" -> 2.8, // the same rounds + the corpus tokenize join
     "sim_mrl_ann" -> 0.5,
     "sim_label_centroids" -> 0.6,
-    "pipe_curriculum" -> 3.0, // quality bins + global rank (r6 calm)
+    "pipe_curriculum" -> 1.1, // staged deciles + global rank (r7)
     "pipe_dsir" -> 2.8,
     "pipe_datacard" -> 1.2, // pipe_report re-agg, staged verdicts
     "tx_pack_stats" -> 0.9,
@@ -151,7 +151,7 @@ object BenchExpect {
     "tx_fertility" -> 3.0, // tx_bpe_apply's rounds + the lang roll-up
     "tx_readability" -> 0.5,
     "sim_ood_score" -> 1.4, // kmeansCore + constant-group GroupRank
-    "dd_cluster_stats" -> 2.4, // dd_cluster closure + tiny roll-ups
+    "dd_cluster_stats" -> 0.6, // staged labels + tiny roll-ups (r7)
     "tx_novelty" -> 1.6, // O(grams) first-seen agg + join back
     "rel_basket_affinity" -> 2.5, // orderkey self-join, k^2-bounded
     "sim_centroid_balance" -> 1.0,
@@ -165,7 +165,7 @@ object BenchExpect {
     "sim_nprobe_sweep" -> 2.2, // 3 ivf legs + brute-force truth
     "dd_sketch_error" -> 2.6, // posting intersection + staged sigs
     "rel_rank_stats" -> 1.0, // custkey agg + GroupRank derivations
-    "pipe_manifest" -> 4.5, // pack + split + curriculum id joins
+    "pipe_manifest" -> 2.3, // staged components, id joins only (r7)
     "sim_label_purity" -> 1.0, // kmeans assignment + tiny aggs
   )
 

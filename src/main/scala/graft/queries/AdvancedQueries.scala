@@ -53,34 +53,32 @@ object AdvancedQueries {
   final val EpochCap = 4L
   final val BudgetMult = 3L
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-
-    // The capstone: one end-to-end curation verdict per document,
-    // composed from three independently-oracle-checked operators —
-    // the quality gate (tx_filter_verdict), the text near-dup verdict
-    // (dd_dedup_verdict), and the semantic near-dup verdict
-    // (dd_semdedup, joined on the shared doc/vec id, left join
-    // because embeddings may cover only a corpus prefix). kept =
-    // passes quality AND is no one's text dup AND no one's semantic
-    // dup — exactly the decision a training-data pipeline materializes
-    // before packing. Scale shape: three doc-keyed equi-joins of
-    // per-doc verdict tables, each of which already has a bounded
-    // plan; nothing new shuffles beyond the id joins.
-    "pipe_curate" -> ((s, d) => {
+  /** The staged end-to-end curation verdict — doc_id + the three gate
+    * booleans + kept. Five consumers re-derived this per run
+    * (pipe_pack, pipe_report, pipe_datacard, pipe_epoch_plan,
+    * pipe_manifest — each through pipe_curate's composition); it is
+    * doc_id + 4 booleans, the perfect staged artifact, so the
+    * composed verdict is now materialized once per input snapshot
+    * like the component indexes it joins. The stage name embeds the
+    * k-means cell knob (the one session knob the semantic component
+    * depends on) — a tuned session can never read a stale verdict.
+    * Row order is unspecified (parquet read-back); the pipe_curate
+    * query re-applies its ORDER BY.
+    */
+  private def curateVerdict(s: SparkSession, d: String): DataFrame =
+    StagedIndex.orStage(s,
+      s"pipe_curate_verdict_c${SimilarityQueries.kmeansCells(s)}_v1", d,
+      Seq(s"$d/documents.parquet", s"$d/embeddings.parquet")) {
       val quality = TextQueries.filterVerdictOf(Tables.documents(s, d))
         .select(col("doc_id"), col("keep").alias("keep_quality"))
-      // the two expensive verdict tables are staged once per input
-      // snapshot (the production pattern PLANS.md names: materialize
-      // per snapshot, then every consumer joins a compact table) —
-      // the components' full derivation costs remain separately
-      // measured by their own queries, and the staged rows ARE the
-      // recomputed rows, so oracle parity is unaffected
+      // the two expensive component verdicts are themselves staged
+      // once per input snapshot — their derivation costs remain
+      // separately measured by their own queries, and the staged rows
+      // ARE the recomputed rows, so oracle parity is unaffected
       val textDup = StagedIndex.orStage(s, "curate_textdup_v1", d,
         Seq(s"$d/documents.parquet")) {
         DedupQueries.queries("dd_dedup_verdict")(s, d)
       }.select(col("doc_id"), col("is_dup").alias("is_dup_text"))
-      // the stage name embeds the cell knob — a session running with
-      // a different graft.kmeans.cells must never read a stale table
       val semDup = StagedIndex.orStage(s,
         s"curate_semdup_c${SimilarityQueries.kmeansCells(s)}_v1", d,
         Seq(s"$d/embeddings.parquet")) {
@@ -94,8 +92,22 @@ object AdvancedQueries {
           coalesce(col("is_dup_sem"), lit(false)).alias("is_dup_sem"))
         .withColumn("kept",
           col("keep_quality") && !col("is_dup_text") && !col("is_dup_sem"))
-        .orderBy("doc_id")
-    }),
+    }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // The capstone: one end-to-end curation verdict per document,
+    // composed from three independently-oracle-checked operators —
+    // the quality gate (tx_filter_verdict), the text near-dup verdict
+    // (dd_dedup_verdict), and the semantic near-dup verdict
+    // (dd_semdedup, joined on the shared doc/vec id, left join
+    // because embeddings may cover only a corpus prefix). kept =
+    // passes quality AND is no one's text dup AND no one's semantic
+    // dup — exactly the decision a training-data pipeline materializes
+    // before packing. Scale shape: three doc-keyed equi-joins of
+    // per-doc verdict tables, each of which already has a bounded
+    // plan; nothing new shuffles beyond the id joins.
+    "pipe_curate" -> ((s, d) => curateVerdict(s, d).orderBy("doc_id")),
 
     // Curation verdict → packed training rows: the end-to-end hop a
     // training-data pipeline actually ships. The kept id set from
@@ -106,7 +118,7 @@ object AdvancedQueries {
     // partition + local cumsum + broadcast chunk offsets). Nothing
     // here adds a new shuffle class: one id join + the pack shape.
     "pipe_pack" -> ((s, d) => {
-      val keptIds = AdvancedQueries.queries("pipe_curate")(s, d)
+      val keptIds = curateVerdict(s, d)
         .filter(col("kept")).select("doc_id")
       TextQueries.packOf(Tables.documents(s, d).join(keptIds, "doc_id"))
     }),
@@ -174,7 +186,7 @@ object AdvancedQueries {
     }),
 
     "pipe_curriculum" -> ((s, d) => {
-      val bins = TextQueries.queries("tx_quality_bins")(s, d)
+      val bins = TextQueries.qualityDeciles(s, d)
         .select(col("doc_id"), col("decile"))
       val hashed = Tables.documents(s, d)
         .select(col("doc_id"), DedupQueries.h60(col("text")).alias("h"))
@@ -201,7 +213,8 @@ object AdvancedQueries {
     // plain hash join at scale), then per-row hash arithmetic — no
     // new shuffle class beyond the id join.
     "pipe_split" -> ((s, d) => {
-      val clusters = DedupQueries.queries("dd_cluster")(s, d)
+      val clusters = DedupQueries.clusterLabels(s, d)
+        .select(col("id").alias("doc_id"), col("label").alias("cluster_id"))
       Tables.documents(s, d).select(col("doc_id"))
         .join(clusters, Seq("doc_id"), "left")
         .select(col("doc_id"),
@@ -224,7 +237,7 @@ object AdvancedQueries {
     // the per-doc verdict, one map-side-combined agg to
     // O(langs × sources) rows — nothing corpus-sized moves after it.
     "pipe_report" -> ((s, d) => {
-      val verdict = AdvancedQueries.queries("pipe_curate")(s, d)
+      val verdict = curateVerdict(s, d)
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("source"),
           size(split(col("text"), " ")).cast(LongType).alias("n_tokens"))

@@ -358,13 +358,10 @@ object DedupQueries {
     // multiplicatively and converge in O(log n) rounds; each round is
     // a bounded number of shuffles of the edge set (tiny relative to
     // the corpus), never a corpus-wide operation.
-    "dd_cluster" -> ((s, d) => {
-      val pairs = candidatePairs(s, d)
-      connectedComponents(
-        pairs.select(col("ida").alias("src"), col("idb").alias("dst")))
+    "dd_cluster" -> ((s, d) =>
+      clusterLabels(s, d)
         .select(col("id").alias("doc_id"), col("label").alias("cluster_id"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // Near-dup component SIZE HISTOGRAM — the dataset-card table that
     // says whether duplication is a long tail of pairs or a few
@@ -576,6 +573,22 @@ object DedupQueries {
     * which an LSH candidate pair is accepted as a true near-duplicate.
     */
   final val VerifyAgree = 31
+
+  /** The staged near-dup component labels (id, label) — the iterative
+    * star contraction is the one multi-round job in the dedup family,
+    * and THREE consumers re-ran it per suite (dd_cluster,
+    * dd_cluster_stats, pipe_split → pipe_manifest). Materialized once
+    * per snapshot like the signature index it derives from; the stage
+    * name embeds the MinHash-constants fingerprint, so a constants
+    * change can never read stale labels. O(paired docs) rows.
+    */
+  private[queries] def clusterLabels(s: SparkSession, d: String): DataFrame =
+    StagedIndex.orStage(s, s"dd_cluster_labels_v1_$StageFp", d,
+      docsInput(d)) {
+      connectedComponents(
+        candidatePairs(s, d)
+          .select(col("ida").alias("src"), col("idb").alias("dst")))
+    }
 
   /** Winnowing core behind `dd_winnow` (specs drive it on synthetic
     * frames): word-5-gram h60 hashes, window w = 4, rightmost-min

@@ -484,6 +484,28 @@ object TextQueries {
           .cast(LongType)).alias("score_micro"))
   }
 
+  /** The staged quality-decile table (doc_id, avg_micro, decile) —
+    * shared by tx_quality_bins and pipe_curriculum (→ pipe_manifest),
+    * which re-derived the LM scoring + corpus-wide decile rank per
+    * run. Deterministic from the snapshot (no session knobs), so it
+    * stages like the verdict tables; rows are unordered (parquet
+    * read-back) and consumers apply their own ORDER BY.
+    */
+  private[queries] def qualityDeciles(s: SparkSession, d: String)
+      : DataFrame =
+    StagedIndex.orStage(s, "tx_quality_deciles_v1", d,
+      Seq(s"$d/documents.parquet")) {
+      val lm = lmScoreOf(s, d)
+        .select(col("doc_id"),
+          expr("score_micro div n_bigrams").alias("avg_micro"))
+        .withColumn("g0", lit(0))
+      GroupRank.rank(lm, "g0",
+          Seq(col("avg_micro").asc, col("doc_id").asc))
+        .select(col("doc_id"), col("avg_micro"),
+          GroupRank.ntileFromRank(10, col("rn"), col("grp_n"))
+            .alias("decile"))
+    }
+
   /** TF-IDF core behind `tx_tfidf` (specs drive it on synthetic
     * frames): per-(doc, term) counts, vocabulary-sized df table
     * broadcast back, idf as the exact rational N/df (one double
@@ -878,18 +900,7 @@ object TextQueries {
     // ntileFromRank turns (rank, n) into the SQL-standard ntile(10)
     // arithmetically. Scale shape: lmScoreOf's staged/broadcast plan
     // plus one balanced range shuffle of the doc-sized score table.
-    "tx_quality_bins" -> ((s, d) => {
-      val lm = lmScoreOf(s, d)
-        .select(col("doc_id"),
-          expr("score_micro div n_bigrams").alias("avg_micro"))
-        .withColumn("g0", lit(0))
-      GroupRank.rank(lm, "g0",
-          Seq(col("avg_micro").asc, col("doc_id").asc))
-        .select(col("doc_id"), col("avg_micro"),
-          GroupRank.ntileFromRank(10, col("rn"), col("grp_n"))
-            .alias("decile"))
-        .orderBy("doc_id")
-    }),
+    "tx_quality_bins" -> ((s, d) => qualityDeciles(s, d).orderBy("doc_id")),
 
     // Text normalization: lowercase, strip non-alphanumerics to
     // spaces, collapse runs, trim — the canonical pre-tokenization

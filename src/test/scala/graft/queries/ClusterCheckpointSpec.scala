@@ -17,9 +17,18 @@ class ClusterCheckpointSpec extends AnyFunSuite {
   lazy val spark: SparkSession = graft.GraftSession.builder("4").getOrCreate()
   private val sf = "/root/testdata/sf0.001"
 
-  private def labels(): Seq[(Long, Long)] =
-    graft.SparkEntry.queries("dd_cluster")(spark, sf)
+  /** dd_cluster labels through a FRESH stage root per call: the label
+    * table is staged per snapshot now, so reusing one root would let
+    * the second call scan the first call's parquet and never run the
+    * contraction whose checkpoint path this spec exists to exercise.
+    */
+  private def labels(): Seq[(Long, Long)] = {
+    spark.conf.set("graft.stage.dir",
+      Files.createTempDirectory("ckpt_stage").toString)
+    try graft.SparkEntry.queries("dd_cluster")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    finally spark.conf.unset("graft.stage.dir")
+  }
 
   test("reliable checkpoint writes files and produces identical labels") {
     val defaultLabels = labels()
