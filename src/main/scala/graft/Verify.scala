@@ -23,6 +23,9 @@ object Verify {
     // of letting the round's correctness silently zero.
     val oracleCoupledKnobs = Map(
       "graft.cms.width" -> graft.queries.TextQueries.CmsWidth.toString,
+      "graft.bpe.merges" -> graft.queries.TextQueries.BpeMerges.toString,
+      "graft.dedup.maxShingleDf" ->
+        graft.queries.DedupQueries.DefaultMaxShingleDf.toString,
       "graft.pq.shortlist" -> "50",
       "graft.sq8.shortlist" ->
         graft.queries.SimilarityQueries.Sq8Shortlist.toString,
