@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical 100×-shape evidence: replicate documents/embeddings
+  * ×F with per-replica rehash (each replica's content is distinct, so
+  * corpus VOLUME grows without manufacturing cross-replica
+  * duplicates), run the riskiest dedup/ANN queries at each factor,
+  * and report wall time plus max-task skew — converting the "yes at
+  * 100 TB" design arguments into measurements, and surfacing any
+  * hot-key blow-up before a user does.
+  *
+  * `runMain graft.ScaleProbe [baseDir] [factors] [queries]`
+  * prints one line per (query, factor, pass):
+  * `[scale] <q> x<F> pass<p>: <sec> s skew=<maxTask/meanTask>`.
+  * Pass 1 includes the replica's stage builds; pass 2 is the steady
+  * state. Skew is the worst per-stage max/mean task-duration ratio
+  * over stages with ≥ 8 tasks (1.0 = perfectly balanced).
+  *
+  * Rehash: replica i > 0 prefixes every word with `r{i}q` (every
+  * shingle/hash changes — the clean volume-scaling setup; boilerplate
+  * hot keys are HotShingleSpec's constructed job, not this one) and
+  * rotates each embedding by i mod dim positions (norm-preserving).
+  * Replica 0 is the base bytes, so ×1 equals the unreplicated run.
+  */
+object ScaleProbe {
+
+  /** Per-stage (sum, max, n) of task durations since the last reset. */
+  private class SkewListener extends SparkListener {
+    val stages = scala.collection.concurrent.TrieMap
+      .empty[Int, (Long, Long, Long)]
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+      if (t.taskInfo != null && t.taskInfo.successful) {
+        val d = t.taskInfo.duration
+        stages.updateWith(t.stageId) {
+          case Some((s, m, n)) => Some((s + d, math.max(m, d), n + 1))
+          case None => Some((d, d, 1L))
+        }
+      }
+    def reset(): Unit = stages.clear()
+    /** worst max/mean ratio over stages with >= 8 tasks */
+    def worstSkew: Double = {
+      val ratios = stages.values.collect {
+        case (sum, max, n) if n >= 8 && sum > 0 =>
+          max.toDouble / (sum.toDouble / n)
+      }
+      if (ratios.isEmpty) 1.0 else ratios.max
+    }
+  }
+
+  private def replicate(s: SparkSession, base: String, dir: String,
+      f: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_READY"))) return
+    val docs = s.read.parquet(s"$base/documents.parquet")
+    val embs = s.read.parquet(s"$base/embeddings.parquet")
+    val dim = 64
+    def docRep(i: Int): DataFrame =
+      if (i == 0) docs
+      else docs.select(
+        (col("doc_id") + lit(i.toLong * 1000000L)).alias("doc_id"),
+        regexp_replace(col("text"), "(^| )", s"$$1r${i}q").alias("text"),
+        col("lang"), col("source"), col("n_chars"))
+    def embRep(i: Int): DataFrame = {
+      val r = i % dim
+      if (r == 0)
+        embs.select((col("vec_id") + lit(i.toLong * 1000000L))
+          .alias("vec_id"), col("embedding"), col("label"))
+      else
+        embs.select(
+          (col("vec_id") + lit(i.toLong * 1000000L)).alias("vec_id"),
+          concat(slice(col("embedding"), r + 1, dim - r),
+            slice(col("embedding"), 1, r)).alias("embedding"),
+          col("label"))
+    }
+    (0 until f).map(docRep).reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    (0 until f).map(embRep).reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/_READY")).close()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val factors =
+      if (args.length > 1) args(1).split(",").map(_.toInt).toSeq
+      else Seq(1, 10, 100)
+    val names =
+      if (args.length > 2) args(2).split(",").toSeq
+      else Seq("dd_minhash_lsh", "dd_cluster", "dd_ngram_jaccard",
+        "sim_knn_graph")
+    val spark = GraftSession.local()
+    // ad-hoc session knobs for sweeps: SPARK_GRAFT_CONF="k=v,k=v"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',').filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
+    val skew = new SkewListener
+    spark.sparkContext.addSparkListener(skew)
+    for (f <- factors) {
+      val dir = s"/tmp/graft_scale_x$f"
+      replicate(spark, base, dir, f)
+      spark.conf.set("graft.stage.dir", s"/tmp/graft_scale_stage_x$f")
+      for (n <- names; pass <- 1 to 2) {
+        spark.catalog.clearCache()
+        skew.reset()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] $n x$f pass$pass: $sec%.2f s " +
+          f"skew=${skew.worstSkew}%.1f")
+      }
+    }
+    spark.stop()
+  }
+}

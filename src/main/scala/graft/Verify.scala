@@ -32,6 +32,7 @@ object Verify {
       "graft.mrl.shortlist" ->
         graft.queries.SimilarityQueries.MrlShortlist.toString,
       "graft.kmeans.cells" -> graft.queries.SimilarityQueries.NCentroids.toString,
+      "graft.lsh.planes" -> graft.queries.SimilarityQueries.NPlanes.toString,
       "graft.ivf.probes" -> "2",
       "graft.media.decoder" -> "stub")
     oracleCoupledKnobs.foreach { case (k, default) =>

@@ -60,8 +60,26 @@ object SimilarityQueries {
       s"graft.mrl.shortlist must be in (0, 2^20], got $n")
     n
   }
-  final val NPlanes = 6    // LSH: 2^6 = 64 buckets
+  final val NPlanes = 6    // LSH default: 2^6 = 64 buckets (oracle depth)
   final val NCentroids = 8 // IVF: data-derived centroid seeds
+
+  /** Hyperplane-count knob (`graft.lsh.planes`, default [[NPlanes]] —
+    * what the oracle replays). THE LSH-bucket scale knob, measured
+    * (PLANS.md "×1/×10/×100"): with planes fixed, bucket population
+    * grows linearly in N and the within-bucket join quadratically —
+    * sim_knn_graph's ×100 point went super-linear exactly this way.
+    * 2^planes should track corpus size (the kmeansCells rule);
+    * raising it leaves every plan shape unchanged (the plane table is
+    * a ≤20-row broadcast and buckets stay hash-partitioned keys).
+    */
+  private[queries] def lshPlanes(s: SparkSession): Int = {
+    val n = s.conf.get("graft.lsh.planes", NPlanes.toString).toInt
+    // bucket ids are 2^planes longs; 20 keeps the bit weights exact
+    // and the plane broadcast trivial
+    require(n >= 1 && n <= 20,
+      s"graft.lsh.planes must be in [1, 20], got $n")
+    n
+  }
 
   /** integer-quantized embedding: array<long>.
     *
@@ -201,7 +219,7 @@ object SimilarityQueries {
     // statistic an ANN search plans with.
     "sim_lsh_bucket" -> ((s, d) => {
       val all = quantized(s, d)
-      val planes = all.filter(col("vec_id") < NPlanes)
+      val planes = all.filter(col("vec_id") < lshPlanes(s))
         .select(col("vec_id").alias("pid"), col("q").alias("pq"))
       val bucketed = all.crossJoin(broadcast(planes))
         .withColumn("bit",
@@ -223,7 +241,7 @@ object SimilarityQueries {
     // of a training-data pipeline.
     "dd_embed_cosine" -> ((s, d) => {
       val all = quantized(s, d)
-      val planes = all.filter(col("vec_id") < NPlanes)
+      val planes = all.filter(col("vec_id") < lshPlanes(s))
         .select(col("vec_id").alias("pid"), col("q").alias("pq"))
       val withBucket = all.crossJoin(broadcast(planes))
         .withColumn("bit",
@@ -260,7 +278,7 @@ object SimilarityQueries {
     // double expression in both engines, so binning is exact.
     "sim_threshold_sweep" -> ((s, d) => {
       val all = quantized(s, d)
-      val planes = all.filter(col("vec_id") < NPlanes)
+      val planes = all.filter(col("vec_id") < lshPlanes(s))
         .select(col("vec_id").alias("pid"), col("q").alias("pq"))
       val withBucket = all.crossJoin(broadcast(planes))
         .withColumn("bit",
@@ -488,7 +506,7 @@ object SimilarityQueries {
     // (multi-probe) to recover boundary recall — same plan repeated.
     "sim_knn_graph" -> ((s, d) => {
       val all = quantized(s, d)
-      val planes = all.filter(col("vec_id") < NPlanes)
+      val planes = all.filter(col("vec_id") < lshPlanes(s))
         .select(col("vec_id").alias("pid"), col("q").alias("pq"))
       val withBucket = all.crossJoin(broadcast(planes))
         .withColumn("bit",
@@ -532,7 +550,7 @@ object SimilarityQueries {
     // out-edges missing their score row, and isolated nodes simply
     // decay to the 0.15e6 floor.
     "graph_pagerank" -> ((s, d) => {
-      val edges = StagedIndex.orStage(s, "graph_knn_edges_v1", d,
+      val edges = StagedIndex.orStage(s, s"graph_knn_edges_p${lshPlanes(s)}_v1", d,
         Seq(s"$d/embeddings.parquet")) {
         queries("sim_knn_graph")(s, d)
           .select(col("vec_id").alias("src"), col("nbr").alias("dst"))
@@ -566,7 +584,7 @@ object SimilarityQueries {
     // votes aggregate on (src, label), and the majority pick is a
     // WindowGroupLimit-pruned rank on the corpus-cardinality src key.
     "sim_knn_label" -> ((s, d) => {
-      val edges = StagedIndex.orStage(s, "graph_knn_edges_v1", d,
+      val edges = StagedIndex.orStage(s, s"graph_knn_edges_p${lshPlanes(s)}_v1", d,
         Seq(s"$d/embeddings.parquet")) {
         queries("sim_knn_graph")(s, d)
           .select(col("vec_id").alias("src"), col("nbr").alias("dst"))
@@ -687,7 +705,7 @@ object SimilarityQueries {
     // one map-side-combined degree agg, a left join for the
     // zero-degree nodes, and a roll-up to O(max degree) rows.
     "graph_degree_dist" -> ((s, d) => {
-      val edges0 = StagedIndex.orStage(s, "graph_knn_edges_v1", d,
+      val edges0 = StagedIndex.orStage(s, s"graph_knn_edges_p${lshPlanes(s)}_v1", d,
         Seq(s"$d/embeddings.parquet")) {
         queries("sim_knn_graph")(s, d)
           .select(col("vec_id").alias("src"), col("nbr").alias("dst"))
@@ -833,7 +851,7 @@ object SimilarityQueries {
     // is order-independent within a round), so the oracle replays the
     // identical unrolled rounds.
     "graph_core" -> ((s, d) => {
-      val edges0 = StagedIndex.orStage(s, "graph_knn_edges_v1", d,
+      val edges0 = StagedIndex.orStage(s, s"graph_knn_edges_p${lshPlanes(s)}_v1", d,
         Seq(s"$d/embeddings.parquet")) {
         queries("sim_knn_graph")(s, d)
           .select(col("vec_id").alias("src"), col("nbr").alias("dst"))
@@ -863,7 +881,7 @@ object SimilarityQueries {
     }),
 
     "graph_label_prop" -> ((s, d) => {
-      val edges = StagedIndex.orStage(s, "graph_knn_edges_v1", d,
+      val edges = StagedIndex.orStage(s, s"graph_knn_edges_p${lshPlanes(s)}_v1", d,
         Seq(s"$d/embeddings.parquet")) {
         queries("sim_knn_graph")(s, d)
           .select(col("vec_id").alias("src"), col("nbr").alias("dst"))
@@ -975,7 +993,7 @@ object SimilarityQueries {
     // partition-of-analysis; shard the graph (or drop to 1e3 units)
     // beyond that.
     "graph_modularity" -> ((s, d) => {
-      val edges = StagedIndex.orStage(s, "graph_knn_edges_v1", d,
+      val edges = StagedIndex.orStage(s, s"graph_knn_edges_p${lshPlanes(s)}_v1", d,
         Seq(s"$d/embeddings.parquet")) {
         queries("sim_knn_graph")(s, d)
           .select(col("vec_id").alias("src"), col("nbr").alias("dst"))
@@ -1020,7 +1038,7 @@ object SimilarityQueries {
     // and the coefficient's one division is integral micro-units, so
     // the oracle replays it exactly.
     "graph_triangles" -> ((s, d) => {
-      val edges = StagedIndex.orStage(s, "graph_knn_edges_v1", d,
+      val edges = StagedIndex.orStage(s, s"graph_knn_edges_p${lshPlanes(s)}_v1", d,
         Seq(s"$d/embeddings.parquet")) {
         queries("sim_knn_graph")(s, d)
           .select(col("vec_id").alias("src"), col("nbr").alias("dst"))
@@ -1068,7 +1086,7 @@ object SimilarityQueries {
     // joins of the node-sized degree table, and the global top-20 is
     // a TakeOrdered (no full sort ever materializes).
     "graph_jaccard" -> ((s, d) => {
-      val edges = StagedIndex.orStage(s, "graph_knn_edges_v1", d,
+      val edges = StagedIndex.orStage(s, s"graph_knn_edges_p${lshPlanes(s)}_v1", d,
         Seq(s"$d/embeddings.parquet")) {
         queries("sim_knn_graph")(s, d)
           .select(col("vec_id").alias("src"), col("nbr").alias("dst"))
@@ -1353,7 +1371,7 @@ object SimilarityQueries {
   // the bucket).
   private def lshAnn(s: SparkSession, d: String): DataFrame = {
     val all = quantized(s, d)
-      val planes = all.filter(col("vec_id") < NPlanes)
+      val planes = all.filter(col("vec_id") < lshPlanes(s))
         .select(col("vec_id").alias("pid"), col("q").alias("pq"))
       val withBucket = all.crossJoin(broadcast(planes))
         .withColumn("bit",
