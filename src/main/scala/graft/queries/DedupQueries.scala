@@ -156,10 +156,19 @@ object DedupQueries {
   /** (doc_id, band, key) LSH band rows over a signature table — the
     * index every LSH consumer equi-joins on.
     */
-  private[queries] def bandedOf(sig: DataFrame): DataFrame = {
-    val bandCols = (0 until Bands).map { bnd =>
-      val parts = (0 until RowsPerBand)
-        .map(r => col(s"m${bnd * RowsPerBand + r}"))
+  private[queries] def bandedOf(sig: DataFrame): DataFrame =
+    bandedAt(sig, Bands, RowsPerBand)
+
+  /** bandedOf at an explicit (bands × rows-per-band) geometry over
+    * the same K-long signature — the dd_band_sweep leg builder.
+    */
+  private[queries] def bandedAt(sig: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    require(bands * rowsPerBand <= K,
+      s"banding $bands×$rowsPerBand exceeds signature length $K")
+    val bandCols = (0 until bands).map { bnd =>
+      val parts = (0 until rowsPerBand)
+        .map(r => col(s"m${bnd * rowsPerBand + r}"))
       struct(lit(bnd).alias("band"),
         concat_ws("_", parts: _*).alias("key"))
     }
@@ -331,6 +340,47 @@ object DedupQueries {
         .groupBy("err_bucket")
         .agg(count(lit(1)).alias("n_pairs"))
         .orderBy("err_bucket")
+    }),
+
+    // Banding-geometry sweep — the S-curve tuning table for the LSH
+    // knob the MinHash family actually exposes (bands × rows-per-band
+    // over the same K=32 signature; Leskovec/Rajaraman/Ullman's
+    // standard analysis: more bands ⇒ lower collision threshold ⇒
+    // more candidates, fewer misses). For 16×2 / 8×4 (the default) /
+    // 4×8: candidate-pair volume, pairs surviving the
+    // signature-agreement verify (≥ 31/32), and candidate precision —
+    // the cost/recall tradeoff read off BEFORE committing a banding
+    // to a 100-TB run (candidate volume IS the dedup pipeline's
+    // shuffle bill). Every leg is the already-audited band-join shape
+    // on the staged signatures; results are three 1-row aggregates.
+    "dd_band_sweep" -> ((s, d) => {
+      val sig = signatures(s, d)
+      val sigArr = array((0 until K).map(i => col(s"m$i")): _*)
+      val sa = sig.select(col("doc_id").alias("ida"), sigArr.alias("siga"))
+      val sb = sig.select(col("doc_id").alias("idb"), sigArr.alias("sigb"))
+      Seq((16, 2), (8, 4), (4, 8)).map { case (bands, rpb) =>
+        val bd = bandedAt(sig, bands, rpb)
+        val cand = bd.alias("a").join(bd.alias("b"),
+            col("a.band") === col("b.band") &&
+              col("a.key") === col("b.key") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").alias("ida"), col("b.doc_id").alias("idb"))
+          .distinct()
+        cand.join(sa, "ida").join(sb, "idb")
+          .withColumn("agree",
+            size(filter(zip_with(col("siga"), col("sigb"),
+              (x, y) => x === y), bb => bb)))
+          .agg(count(lit(1)).alias("n_candidates"),
+            coalesce(sum(when(col("agree") >= VerifyAgree, 1L)
+              .otherwise(0L)), lit(0L)).alias("n_verified"))
+          .select(lit(bands.toLong).alias("bands"),
+            lit(rpb.toLong).alias("rows_per_band"),
+            col("n_candidates"), col("n_verified"))
+      }.reduce(_ unionByName _)
+        .withColumn("precision_ppm",
+          when(col("n_candidates") > 0,
+            expr("n_verified * 1000000 div n_candidates")).otherwise(0L))
+        .orderBy("bands")
     }),
 
     // SimHash: 16-bit signed-sum fingerprint over word hashes.
@@ -862,6 +912,48 @@ object DedupQueries {
          |JOIN sigs sa ON cand.ida = sa.doc_id
          |JOIN sigs sb ON cand.idb = sb.doc_id
          |ORDER BY ida, idb""".stripMargin
+    },
+
+    // three banding geometries unrolled over the shared signature
+    // CTE; each leg is the dd_minhash_lsh band join + verify count
+    "dd_band_sweep" -> {
+      val sigList = (0 until K).map(i => s"m$i").mkString("[", ", ", "]")
+      def leg(bands: Int, rpb: Int): String = {
+        val bandKeys = (0 until bands).map { bnd =>
+          val parts = (0 until rpb).map(r => s"m${bnd * rpb + r}")
+          s"SELECT doc_id, $bnd AS band, " +
+            s"concat_ws('_', ${parts.mkString(", ")}) AS key FROM sig"
+        }.mkString("\n UNION ALL ")
+        s"""bd$bands AS ($bandKeys),
+           |cd$bands AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+           |  FROM bd$bands a JOIN bd$bands b
+           |    ON a.band = b.band AND a.key = b.key
+           |       AND a.doc_id < b.doc_id),
+           |st$bands AS (
+           |  SELECT CAST($bands AS BIGINT) AS bands,
+           |    CAST($rpb AS BIGINT) AS rows_per_band,
+           |    CAST(count(*) AS BIGINT) AS n_candidates,
+           |    CAST(coalesce(sum(CASE WHEN len(list_filter(
+           |      range(1, ${K + 1}), i -> sa.sig[i] = sb.sig[i]))
+           |        >= $VerifyAgree THEN 1 ELSE 0 END), 0) AS BIGINT)
+           |      AS n_verified
+           |  FROM cd$bands c
+           |  JOIN sigs sa ON c.ida = sa.doc_id
+           |  JOIN sigs sb ON c.idb = sb.doc_id)""".stripMargin
+      }
+      s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w
+         |             FROM documents),
+         |$sqlSignature,
+         |sigs AS (SELECT doc_id, $sigList AS sig FROM sig),
+         |${Seq((16, 2), (8, 4), (4, 8)).map { case (b, r) => leg(b, r) }
+           .mkString(",\n")}
+         |SELECT bands, rows_per_band, n_candidates, n_verified,
+         |  CASE WHEN n_candidates > 0
+         |    THEN CAST(n_verified * 1000000 // n_candidates AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS precision_ppm
+         |FROM (SELECT * FROM st16 UNION ALL SELECT * FROM st8
+         |      UNION ALL SELECT * FROM st4) u
+         |ORDER BY bands""".stripMargin
     },
 
     "dd_sketch_error" -> {

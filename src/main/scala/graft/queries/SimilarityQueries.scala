@@ -371,6 +371,34 @@ object SimilarityQueries {
 
     "sim_lsh_ann" -> (lshAnn(_, _)),
 
+    // Recall-vs-plane-count tuning curve — the audit table behind the
+    // graft.lsh.planes knob (the ×100 scale probe's one super-linear
+    // finding: fixed 2^6 buckets make the within-bucket join
+    // quadratic as the corpus grows; PLANS.md "×1/×10/×100"). For
+    // planes ∈ {4, 6, 8}: bucket the corpus, take each probe's
+    // same-bucket cosine top-k, and score recall@k against the
+    // brute-force truth — the measurement that says how much recall a
+    // finer (cheaper-at-scale) bucketing costs BEFORE committing the
+    // knob for a 100-TB run. Same composition discipline as
+    // sim_nprobe_sweep: every leg is the already-oracled lshAnn shape
+    // at a different constant, hits via one semi-join per leg against
+    // the shared exact table, O(1) result rows.
+    "sim_planes_sweep" -> ((s, d) => {
+      val exact = cosineTopK(s, d).select(col("qid"), col("vec_id"))
+      val total = exact.agg(count(lit(1)).alias("total"))
+      Seq(4, 6, 8).map { p =>
+        lshAnnAt(s, d, p).select(col("qid"), col("vec_id"))
+          .join(exact, Seq("qid", "vec_id"), "left_semi")
+          .agg(count(lit(1)).alias("hits"))
+          .withColumn("planes", lit(p.toLong))
+      }.reduce(_ unionByName _)
+        .crossJoin(broadcast(total))
+        .withColumn("recall_ppm", expr("hits * 1000000 div total"))
+        .select(col("planes"), col("hits"), col("total"),
+          col("recall_ppm"))
+        .orderBy("planes")
+    }),
+
     // Product quantization (Jégou et al. 2011, "Product Quantization
     // for Nearest Neighbor Search"), production shape: split dim-64
     // vectors into 4 16-dim subspaces, encode each sub-vector as its
@@ -1369,9 +1397,14 @@ object SimilarityQueries {
   // ANN search restricted to the probe's bucket: the end-to-end
   // LSH query shape (candidate generation + exact re-rank inside
   // the bucket).
-  private def lshAnn(s: SparkSession, d: String): DataFrame = {
+  private def lshAnn(s: SparkSession, d: String): DataFrame =
+    lshAnnAt(s, d, lshPlanes(s))
+
+  /** lshAnn at an explicit plane count — the sweep's leg builder. */
+  private def lshAnnAt(s: SparkSession, d: String, nPlanes: Int)
+      : DataFrame = {
     val all = quantized(s, d)
-      val planes = all.filter(col("vec_id") < lshPlanes(s))
+      val planes = all.filter(col("vec_id") < nPlanes)
         .select(col("vec_id").alias("pid"), col("q").alias("pq"))
       val withBucket = all.crossJoin(broadcast(planes))
         .withColumn("bit",
@@ -2250,6 +2283,56 @@ object SimilarityQueries {
     // k-means CTEs + brute-force ground truth + one rank leg per
     // probe count; a vector lives in exactly one cell, so the legs
     // need no dedup
+    // three unrolled lshAnn legs at constant plane counts + the shared
+    // brute-force truth — the sim_nprobe_sweep factoring
+    "sim_planes_sweep" -> {
+      def leg(p: Int) =
+        s"""pl$p AS (SELECT vec_id AS pid, qv AS pq FROM qn
+           |         WHERE vec_id < $p),
+           |bk$p AS (
+           |  SELECT v.vec_id,
+           |    CAST(sum(CASE WHEN ${sqlDot("v.qv", "p.pq")} > 0
+           |      THEN (1 << p.pid) ELSE 0 END) AS BIGINT) AS bucket
+           |  FROM qn v CROSS JOIN pl$p p
+           |  GROUP BY v.vec_id),
+           |wb$p AS (SELECT b.vec_id, b.bucket, qn.qv, qn.n2
+           |         FROM bk$p b JOIN qn ON b.vec_id = qn.vec_id),
+           |r$p AS (
+           |  SELECT qid, vec_id FROM (
+           |    SELECT q.vec_id AS qid, v.vec_id,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY CAST(${sqlDot("q.qv", "v.qv")} AS BIGINT)
+           |          / (sqrt(CAST(q.n2 AS DOUBLE))
+           |             * sqrt(CAST(v.n2 AS DOUBLE))) DESC,
+           |          v.vec_id ASC) AS rk
+           |    FROM wb$p q JOIN wb$p v
+           |      ON v.bucket = q.bucket AND v.vec_id <> q.vec_id
+           |    WHERE q.vec_id < $NQueries) t
+           |  WHERE rk <= $TopK),
+           |h$p AS (SELECT CAST($p AS BIGINT) AS planes,
+           |  CAST(count(*) AS BIGINT) AS hits
+           |  FROM r$p JOIN exact e USING (qid, vec_id))""".stripMargin
+      s"""WITH $sqlQuant,
+         |exact AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT p.vec_id AS qid, v.vec_id,
+         |      row_number() OVER (PARTITION BY p.vec_id
+         |        ORDER BY CAST(${sqlDot("p.qv", "v.qv")} AS BIGINT)
+         |          / (sqrt(CAST(p.n2 AS DOUBLE))
+         |             * sqrt(CAST(v.n2 AS DOUBLE))) DESC,
+         |          v.vec_id ASC) AS rk
+         |    FROM qn p JOIN qn v ON v.vec_id <> p.vec_id
+         |    WHERE p.vec_id < $NQueries) t
+         |  WHERE rk <= $TopK),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM exact),
+         |${Seq(4, 6, 8).map(leg).mkString(",\n")}
+         |SELECT planes, hits, total,
+         |  CAST(hits * 1000000 // total AS BIGINT) AS recall_ppm
+         |FROM (SELECT * FROM h4 UNION ALL SELECT * FROM h6
+         |      UNION ALL SELECT * FROM h8) u
+         |CROSS JOIN tot ORDER BY planes""".stripMargin
+    },
+
     "sim_nprobe_sweep" -> {
       def leg(p: Int) =
         s"""r$p AS (

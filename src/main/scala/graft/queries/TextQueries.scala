@@ -959,6 +959,50 @@ object TextQueries {
     // Text normalization: lowercase, strip non-alphanumerics to
     // spaces, collapse runs, trim — the canonical pre-tokenization
     // cleanup pass. Pure per-row expressions, runs at scan speed.
+    // Duplicated-span REMOVAL accounting (the step after
+    // dd_span_dedup's measurement — Lee et al. 2022's ExactSubstr
+    // deduplicates by CUTTING the repeated spans, not dropping docs):
+    // a word position is cut when any corpus-repeated 16-gram covers
+    // it, so the table reports per doc how many words survive span
+    // stripping and the keep ratio the cut implies. Positions come
+    // from the NON-distinct positional gram list (an intra-doc repeat
+    // is a repeat — dd_span_dedup's distinct-per-doc index answers a
+    // different question), so coverage is exact: explode each
+    // duplicated gram into its 16 positions, count distinct positions
+    // per doc. Scale shape: one map-side-combined occurrence count
+    // per gram hash (8-byte rows over the shuffle), one equi-join
+    // back, a bounded 16× position explode ONLY for duplicated grams
+    // (rare on a clean corpus), and a doc-keyed distinct count;
+    // under-16-word docs take the zero-cut left-join branch.
+    "tx_span_strip" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val grams = docs
+        .select(col("doc_id"), w.alias("w"))
+        .filter(size(col("w")) >= 16)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 15), " +
+            "i -> struct(i AS p, array_join(slice(w, i, 16), ' ') AS g))"))
+          .alias("sg"))
+        .select(col("doc_id"), col("sg.p").alias("p"),
+          DedupQueries.h60(col("sg.g")).alias("gh"))
+      val dup = grams.groupBy("gh")
+        .agg(count(lit(1)).alias("occ"))
+        .filter(col("occ") >= 2)
+        .select(col("gh"))
+      val cut = grams.join(dup, "gh")
+        .select(col("doc_id"),
+          explode(expr("sequence(p, p + 15)")).alias("cp"))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("cp")).alias("n_cut_words"))
+      docs.select(col("doc_id"), size(w).cast(LongType).alias("n_words"))
+        .join(cut, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"),
+          coalesce(col("n_cut_words"), lit(0L)).alias("n_cut_words"))
+        .withColumn("keep_ppm",
+          expr("(n_words - n_cut_words) * 1000000 div n_words"))
+        .orderBy("doc_id")
+    }),
+
     "tx_normalize" -> ((s, d) => {
       val norm = trim(regexp_replace(
         regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
@@ -1621,6 +1665,33 @@ object TextQueries {
         |FROM (SELECT doc_id, lang, string_split(text, ' ') AS w
         |      FROM documents) t
         |ORDER BY doc_id""".stripMargin,
+
+    // the same positional gram index relationally: occurrences >= 2,
+    // covered positions p..p+15 per duplicated gram, distinct per doc
+    "tx_span_strip" ->
+      s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w
+         |             FROM documents),
+         |g AS (SELECT doc_id, CAST(i AS BIGINT) AS p,
+         |        ${DedupQueries.SqlH60("array_to_string(w[i:i+15], ' ')")}
+         |          AS gh
+         |      FROM docs, UNNEST(range(1, len(w) - 14)) t(i)
+         |      WHERE len(w) >= 16),
+         |dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+         |cov AS (
+         |  SELECT doc_id,
+         |    CAST(count(DISTINCT cp) AS BIGINT) AS n_cut_words
+         |  FROM (SELECT g.doc_id, g.p + j AS cp
+         |        FROM g JOIN dup USING (gh),
+         |             UNNEST(range(0, 16)) u(j)) q
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+         |  coalesce(c.n_cut_words, 0) AS n_cut_words,
+         |  CAST((CAST(len(string_split(d.text, ' ')) AS BIGINT)
+         |    - coalesce(c.n_cut_words, 0)) * 1000000
+         |    // len(string_split(d.text, ' ')) AS BIGINT) AS keep_ppm
+         |FROM documents d LEFT JOIN cov c USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "tx_normalize" ->
       """SELECT doc_id,
