@@ -282,6 +282,7 @@ object Bench {
       SparkEntry.queries("graph_pagerank")(spark, sfDir)
       SparkEntry.queries("pipe_mm_curate")(spark, sfDir)
       SparkEntry.queries("dd_winnow")(spark, sfDir)
+      SparkEntry.queries("dd_agreement")(spark, sfDir)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] pre-stage failed: ${e.getMessage}")
@@ -293,8 +294,9 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BUDGET_SEC", "450").toLong
     // Reserve a slice of the budget for the streaming-runtime
-    // throughput measurement after the sweeps.
-    val sweepBudget = math.max(60L, budgetSec - 60L)
+    // throughput measurements after the sweeps (envelope + snapshot,
+    // each under the default AND RocksDB state-store providers).
+    val sweepBudget = math.max(60L, budgetSec - 90L)
     val tStart = System.nanoTime()
     def elapsedSec = (System.nanoTime() - tStart) / 1e9
     val maxSweeps = sys.env.getOrElse("SPARK_GRAFT_SWEEPS", "99").toInt
@@ -350,10 +352,17 @@ object Bench {
       (n / sec).round
     }.getOrElse(-1L)
     // The same envelope measured on the actual streaming runtime
-    // (replay source → EnvelopeTransform → noop streaming sink).
+    // (replay source → EnvelopeTransform → noop streaming sink),
+    // under both state-store providers (the envelope is stateless, so
+    // the two must agree — pinned by reporting both), plus the
+    // state-store-BOUND figure: the StreamingSnapshot keyed upsert,
+    // where RocksDB vs default heap is a real cost difference.
     val streamEps = BenchStreaming.envelopeEventsPerSec(spark)
+    val streamEpsRocks = BenchStreaming.envelopeEventsPerSecRocksDb(spark)
+    val snapEps = BenchStreaming.snapshotEventsPerSecDefault(spark)
+    val snapEpsRocks = BenchStreaming.snapshotEventsPerSecRocksDb(spark)
     val stagedJson = stagedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"capped":$cappedFinal,"sweeps":$sweep,"stage_build_sec":$stageBuildSec,"staged":$stagedJson,"envelope_events_per_sec":$eventsPerSec,"streaming_envelope_events_per_sec":$streamEps,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"capped":$cappedFinal,"sweeps":$sweep,"stage_build_sec":$stageBuildSec,"staged":$stagedJson,"envelope_events_per_sec":$eventsPerSec,"streaming_envelope_events_per_sec":$streamEps,"streaming_envelope_events_per_sec_rocksdb":$streamEpsRocks,"streaming_snapshot_events_per_sec":$snapEps,"streaming_snapshot_events_per_sec_rocksdb":$snapEpsRocks,"sf":"$sfDir"}"""
     println(line)
     // The driver captures stdout with `tail`, which can start
     // mid-artifact and truncate the per-query map. Persist the full

@@ -128,4 +128,118 @@ object BenchStreaming {
     try (1 to 3).map(_ => onePass(spark, opts, n, capSec)).max
     finally ChangeEventReplaySource.unregister(fixture)
   }
+
+  private val RocksDb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+
+  /** Run `f` with the given state-store provider (None = Spark's
+    * default HDFS-backed heap provider), restoring the prior setting.
+    */
+  private def withProvider[A](spark: SparkSession,
+      provider: Option[String])(f: => A): A = {
+    val prior = spark.conf.getOption(ProviderKey)
+    provider match {
+      case Some(p) => spark.conf.set(ProviderKey, p)
+      case None => spark.conf.unset(ProviderKey)
+    }
+    try f
+    finally prior match {
+      case Some(v) => spark.conf.set(ProviderKey, v)
+      case None => spark.conf.unset(ProviderKey)
+    }
+  }
+
+  /** The envelope passes with the RocksDB provider configured — the
+    * 100-TB state-store configuration. The envelope path is STATELESS
+    * (filter + projection, no keyed state), so no store is ever
+    * instantiated and the figure must track the default-store number;
+    * reporting it pins that configuring RocksDB costs the stateless
+    * plane nothing. The state-store-BOUND comparison is
+    * [[snapshotEventsPerSec]].
+    */
+  def envelopeEventsPerSecRocksDb(
+      spark: SparkSession,
+      n: Int = sys.env.getOrElse("SPARK_GRAFT_STREAM_EVENTS", "300000").toInt,
+      capSec: Long = 60L): Long =
+    withProvider(spark, Some(RocksDb))(envelopeEventsPerSec(spark, n, capSec))
+
+  /** Stateful streaming throughput: the StreamingSnapshot upsert
+    * (flatMapGroupsWithState, one state row per live key — the
+    * terminal CDC consumer and the op where the state store IS the
+    * cost: every micro-batch loads, mutates, and commits keyed
+    * state). n synthetic changes over nKeys keys across `batches`
+    * micro-batches, so cross-batch state load/commit — the part the
+    * provider choice actually changes — is inside the measured
+    * window. Returns events/s, or -1 on failure.
+    */
+  def snapshotEventsPerSec(
+      spark: SparkSession,
+      provider: Option[String],
+      n: Int = sys.env.getOrElse("SPARK_GRAFT_STREAM_EVENTS", "300000").toInt / 2,
+      nKeys: Int = 50000,
+      batches: Int = 10,
+      capSec: Long = 90L): Long = withProvider(spark, provider) {
+    import spark.implicits._
+    import graft.streaming.StreamingSnapshot
+    import graft.streaming.StreamingSnapshot.Change
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("bench_snap_ckpt")
+    try {
+      val in =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Change]
+      val q = StreamingSnapshot(in.toDS()).writeStream
+        .format("noop")
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("update")
+        .trigger(Trigger.ProcessingTime(0L))
+        .start()
+      @volatile var capped = false
+      val watchdog = new Thread(() => {
+        try {
+          Thread.sleep(capSec * 1000L)
+          capped = true
+          q.stop()
+        } catch { case _: InterruptedException => () }
+      })
+      watchdog.setDaemon(true)
+      watchdog.start()
+      val perBatch = math.max(1, n / batches)
+      val t0 = System.nanoTime()
+      try {
+        var b = 0
+        while (b < batches && !capped) {
+          val data = (0 until perBatch).map { j =>
+            val id = b.toLong * perBatch + j
+            Change(key = id % nKeys, eventId = id,
+              op = if (id % 10 == 9) "d" else "u",
+              doc = s"""{"a": $id}""", cents = id)
+          }
+          in.addData(data)
+          q.processAllAvailable()
+          b += 1
+        }
+        val wallSec = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        val processed = b.toLong * perBatch
+        if (processed > 0) (processed / wallSec).round else -1L
+      } finally watchdog.interrupt()
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] streaming snapshot failed: ${e.getMessage}")
+        -1L
+    } finally {
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
+  }
+
+  /** Best-of-3 snapshot throughput per provider. */
+  def snapshotEventsPerSecDefault(spark: SparkSession): Long =
+    (1 to 3).map(_ => snapshotEventsPerSec(spark, None)).max
+  def snapshotEventsPerSecRocksDb(spark: SparkSession): Long =
+    (1 to 3).map(_ => snapshotEventsPerSec(spark, Some(RocksDb))).max
 }

@@ -37,4 +37,18 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Apply ad-hoc session knobs from `SPARK_GRAFT_CONF="k=v,k=v"` —
+    * the one parser Profile/Bench/ScaleProbe all share. A token
+    * without '=' fails with a message naming it (not a MatchError).
+    */
+  def applyEnvConf(s: SparkSession): Unit =
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',').map(_.trim)
+      .filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => s.conf.set(k, v)
+          case _ => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_CONF entry '$kv' is not key=value")
+        }
+      })
 }

@@ -11,12 +11,7 @@ object Profile {
     val names = args.drop(1).toSeq
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     val spark = GraftSession.local()
-    // ad-hoc session knobs for sweeps: SPARK_GRAFT_CONF="k=v,k=v"
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',').filter(_.nonEmpty)
-      .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k, v)
-      })
+    GraftSession.applyEnvConf(spark)
 
     for (name <- names; pass <- 1 to passes) {
       spark.catalog.clearCache()

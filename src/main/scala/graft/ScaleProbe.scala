@@ -22,7 +22,12 @@ import org.apache.spark.sql.functions._
   * Rehash: replica i > 0 prefixes every word with `r{i}q` (every
   * shingle/hash changes — the clean volume-scaling setup; boilerplate
   * hot keys are HotShingleSpec's constructed job, not this one) and
-  * rotates each embedding by i mod dim positions (norm-preserving).
+  * rotates each embedding by i mod dim positions, then sign-flips
+  * coordinates by a hash pattern keyed on the rotation block i / dim
+  * (both transforms norm-preserving). The sign flip is what keeps
+  * replicas distinct past factor dim: with rotation alone, replica
+  * dim+j would be byte-identical to replica j and the ×100 dedup/ANN
+  * numbers would be inflated by manufactured exact-duplicate pairs.
   * Replica 0 is the base bytes, so ×1 equals the unreplicated run.
   */
 object ScaleProbe {
@@ -66,15 +71,22 @@ object ScaleProbe {
         col("lang"), col("source"), col("n_chars"))
     def embRep(i: Int): DataFrame = {
       val r = i % dim
-      if (r == 0)
-        embs.select((col("vec_id") + lit(i.toLong * 1000000L))
-          .alias("vec_id"), col("embedding"), col("label"))
-      else
-        embs.select(
-          (col("vec_id") + lit(i.toLong * 1000000L)).alias("vec_id"),
-          concat(slice(col("embedding"), r + 1, dim - r),
-            slice(col("embedding"), 1, r)).alias("embedding"),
-          col("label"))
+      val block = i / dim
+      val rotated =
+        if (r == 0) col("embedding")
+        else concat(slice(col("embedding"), r + 1, dim - r),
+          slice(col("embedding"), 1, r))
+      // block 0 keeps the base bytes (×1 == unreplicated); block b>0
+      // negates coordinate j iff hash(b, j) is odd — a deterministic
+      // per-block sign mask, so replicas i and i+dim never coincide
+      val perturbed =
+        if (block == 0) rotated
+        else transform(rotated, (x, j) =>
+          when(pmod(hash(lit(block), j), lit(2)) === 1, -x).otherwise(x))
+      embs.select(
+        (col("vec_id") + lit(i.toLong * 1000000L)).alias("vec_id"),
+        perturbed.alias("embedding"),
+        col("label"))
     }
     (0 until f).map(docRep).reduce(_ unionByName _)
       .repartition(32)
@@ -95,12 +107,7 @@ object ScaleProbe {
       else Seq("dd_minhash_lsh", "dd_cluster", "dd_ngram_jaccard",
         "sim_knn_graph")
     val spark = GraftSession.local()
-    // ad-hoc session knobs for sweeps: SPARK_GRAFT_CONF="k=v,k=v"
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',').filter(_.nonEmpty)
-      .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k, v)
-      })
+    GraftSession.applyEnvConf(spark)
     val skew = new SkewListener
     spark.sparkContext.addSparkListener(skew)
     for (f <- factors) {

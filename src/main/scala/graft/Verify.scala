@@ -40,6 +40,10 @@ object Verify {
       require(v == default,
         s"$k=$v but the DuckDB oracles replay the default ($default); " +
           "unset it for verification runs")
+      // pin explicitly: lsh.planes / kmeans.cells derive their UNSET
+      // default from the corpus count, and verification must replay
+      // the oracle constants regardless of corpus size
+      spark.conf.set(k, default)
     }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

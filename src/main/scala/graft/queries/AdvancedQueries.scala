@@ -67,7 +67,7 @@ object AdvancedQueries {
     */
   private def curateVerdict(s: SparkSession, d: String): DataFrame =
     StagedIndex.orStage(s,
-      s"pipe_curate_verdict_c${SimilarityQueries.kmeansCells(s)}_v1", d,
+      s"pipe_curate_verdict_c${SimilarityQueries.kmeansCells(s, d)}_v1", d,
       Seq(s"$d/documents.parquet", s"$d/embeddings.parquet")) {
       val quality = TextQueries.filterVerdictOf(Tables.documents(s, d))
         .select(col("doc_id"), col("keep").alias("keep_quality"))
@@ -80,7 +80,7 @@ object AdvancedQueries {
         DedupQueries.queries("dd_dedup_verdict")(s, d)
       }.select(col("doc_id"), col("is_dup").alias("is_dup_text"))
       val semDup = StagedIndex.orStage(s,
-        s"curate_semdup_c${SimilarityQueries.kmeansCells(s)}_v1", d,
+        s"curate_semdup_c${SimilarityQueries.kmeansCells(s, d)}_v1", d,
         Seq(s"$d/embeddings.parquet")) {
         SimilarityQueries.queries("dd_semdedup")(s, d)
       }.select(col("vec_id").alias("doc_id"),

@@ -325,16 +325,24 @@ object DedupQueries {
         .groupBy(col("a.doc_id").alias("ida"),
           col("b.doc_id").alias("idb"))
         .agg(count(lit(1)).alias("common"))
+      // sizes joins are LEFT: a candidate doc whose every shingle
+      // exceeded the df cap has no sizes row at all; an inner join
+      // would silently drop its pairs from the histogram instead of
+      // scoring them. All-capped docs carry nsh=0 and an empty-union
+      // pair takes exact=0 (no surviving evidence of overlap).
       est
         .join(sizes.select(col("doc_id").alias("ida"),
-          col("nsh").alias("sa")), "ida")
+          col("nsh").alias("sa")), Seq("ida"), "left")
         .join(sizes.select(col("doc_id").alias("idb"),
-          col("nsh").alias("sb")), "idb")
+          col("nsh").alias("sb")), Seq("idb"), "left")
         .join(common, Seq("ida", "idb"), "left")
         .withColumn("est_micro", expr(s"agree * 1000000 div $K"))
         .withColumn("exact_micro", expr(
-          "coalesce(common, 0) * 1000000 div " +
-            "(sa + sb - coalesce(common, 0))"))
+          "CASE WHEN coalesce(sa, 0) + coalesce(sb, 0) " +
+            "- coalesce(common, 0) > 0 " +
+            "THEN coalesce(common, 0) * 1000000 div " +
+            "(coalesce(sa, 0) + coalesce(sb, 0) - coalesce(common, 0)) " +
+            "ELSE 0 END"))
         .withColumn("err_bucket",
           expr("abs(est_micro - exact_micro) div 50000"))
         .groupBy("err_bucket")
@@ -588,15 +596,30 @@ object DedupQueries {
     // SQL. The pair tables are candidate-sized (tiny): the joins/aggs
     // here never touch the corpus.
     "dd_agreement" -> ((s, d) => {
-      val methods: Seq[(String, DataFrame)] = Seq(
-        "minhash" -> queries("dd_minhash_lsh")(s, d),
-        "ngram" -> queries("dd_ngram_jaccard")(s, d),
-        "winnow" -> queries("dd_winnow")(s, d),
-        "contain" -> queries("dd_containment")(s, d),
-        "embed" -> SimilarityQueries.queries("dd_embed_cosine")(s, d))
-      val pm = methods.map { case (m, df) =>
-        df.select(lit(m).alias("m"), col("ida"), col("idb"))
-      }.reduce(_ union _)
+      // The union below is consumed THREE times (the per-method total
+      // plus both sides of the pair self-join) — unstaged, every
+      // detector pipeline (two capped-posting self-joins among them)
+      // re-evaluated per reference. Stage the method-pair union once
+      // per snapshot instead: O(detected pairs) rows, the canonical
+      // shared artifact of the detector family. The stage name embeds
+      // every knob a leg depends on (MinHash constants fingerprint,
+      // the shingle-df cap, the LSH plane count), so a tuned session
+      // can never read stale pairs; staged rows ARE the recomputed
+      // rows, so the oracle is unaffected.
+      val pm = StagedIndex.orStage(s,
+        s"dd_method_pairs_v1_${StageFp}_df${maxShingleDf(s)}" +
+          s"_p${SimilarityQueries.lshPlanes(s, d)}",
+        d, Seq(s"$d/documents.parquet", s"$d/embeddings.parquet")) {
+        val methods: Seq[(String, DataFrame)] = Seq(
+          "minhash" -> queries("dd_minhash_lsh")(s, d),
+          "ngram" -> queries("dd_ngram_jaccard")(s, d),
+          "winnow" -> queries("dd_winnow")(s, d),
+          "contain" -> queries("dd_containment")(s, d),
+          "embed" -> SimilarityQueries.queries("dd_embed_cosine")(s, d))
+        methods.map { case (m, df) =>
+          df.select(lit(m).alias("m"), col("ida"), col("idb"))
+        }.reduce(_ union _)
+      }
       val tot = pm.groupBy("m").agg(count(lit(1)).alias("n"))
       val both = pm.select(col("m").alias("m1"), col("ida"), col("idb"))
         .join(pm.select(col("m").alias("m2"), col("ida"), col("idb")),
@@ -980,14 +1003,18 @@ object DedupQueries {
          |    CAST(len(list_filter(range(1, ${K + 1}),
          |      i -> sa.sig[i] = sb.sig[i])) * 1000000 // $K AS BIGINT)
          |      AS est_micro,
-         |    CAST(coalesce(p.common, 0) * 1000000
-         |      // (za.nsh + zb.nsh - coalesce(p.common, 0)) AS BIGINT)
+         |    CASE WHEN coalesce(za.nsh, 0) + coalesce(zb.nsh, 0)
+         |        - coalesce(p.common, 0) > 0
+         |      THEN CAST(coalesce(p.common, 0) * 1000000
+         |        // (coalesce(za.nsh, 0) + coalesce(zb.nsh, 0)
+         |           - coalesce(p.common, 0)) AS BIGINT)
+         |      ELSE CAST(0 AS BIGINT) END
          |      AS exact_micro
          |  FROM cand c
          |  JOIN sigs sa ON c.ida = sa.doc_id
          |  JOIN sigs sb ON c.idb = sb.doc_id
-         |  JOIN sizes za ON c.ida = za.doc_id
-         |  JOIN sizes zb ON c.idb = zb.doc_id
+         |  LEFT JOIN sizes za ON c.ida = za.doc_id
+         |  LEFT JOIN sizes zb ON c.idb = zb.doc_id
          |  LEFT JOIN pairs p ON c.ida = p.ida AND c.idb = p.idb)
          |SELECT CAST(abs(est_micro - exact_micro) // 50000 AS BIGINT)
          |    AS err_bucket,

@@ -60,26 +60,64 @@ object SimilarityQueries {
       s"graft.mrl.shortlist must be in (0, 2^20], got $n")
     n
   }
-  final val NPlanes = 6    // LSH default: 2^6 = 64 buckets (oracle depth)
-  final val NCentroids = 8 // IVF: data-derived centroid seeds
+  final val NPlanes = 6    // LSH oracle constant: 2^6 = 64 buckets
+  final val NCentroids = 8 // IVF oracle constant: centroid seeds
 
-  /** Hyperplane-count knob (`graft.lsh.planes`, default [[NPlanes]] —
-    * what the oracle replays). THE LSH-bucket scale knob, measured
-    * (PLANS.md "×1/×10/×100"): with planes fixed, bucket population
-    * grows linearly in N and the within-bucket join quadratically —
-    * sim_knn_graph's ×100 point went super-linear exactly this way.
-    * 2^planes should track corpus size (the kmeansCells rule);
-    * raising it leaves every plan shape unchanged (the plane table is
-    * a ≤20-row broadcast and buckets stay hash-partitioned keys).
+  /** Auto-derivation targets. The ×100 probe proved 2^planes must
+    * track corpus size (with planes fixed, bucket population grows
+    * linearly in N and the within-bucket join quadratically —
+    * sim_knn_graph's super-linear ×100 point), and sum(|cell|²)
+    * likewise wants |cell| constant, so when the knobs are UNSET the
+    * defaults are computed from the corpus count instead of being
+    * constants a 100-TB user must know to override. Targets are
+    * chosen so the oracle corpus (N=500 at sf0.01) derives exactly
+    * the constants the DuckDB SQL hard-codes (6 planes, 8 cells);
+    * Verify additionally pins the knobs explicitly, so verification
+    * never depends on that coincidence.
     */
-  private[queries] def lshPlanes(s: SparkSession): Int = {
-    val n = s.conf.get("graft.lsh.planes", NPlanes.toString).toInt
-    // bucket ids are 2^planes longs; 20 keeps the bit weights exact
-    // and the plane broadcast trivial
-    require(n >= 1 && n <= 20,
-      s"graft.lsh.planes must be in [1, 20], got $n")
-    n
+  final val TargetBucketPop = 8L  // mean vectors per LSH bucket
+  final val TargetCellPop = 64L   // mean vectors per k-means cell
+
+  /** ceil(log2(N / TargetBucketPop)) clamped to [1, 20]. */
+  private[queries] def derivedPlanes(n: Long): Int = {
+    val ratio = math.max(1L, n).toDouble / TargetBucketPop
+    val raw = math.ceil(math.log(ratio) / math.log(2.0)).toInt
+    math.min(20, math.max(1, raw))
   }
+
+  /** ceil(N / TargetCellPop) clamped to [1, 2^20]. */
+  private[queries] def derivedCells(n: Long): Int = {
+    val raw = (math.max(1L, n) + TargetCellPop - 1) / TargetCellPop
+    math.min(1L << 20, math.max(1L, raw)).toInt
+  }
+
+  /** Corpus count behind the derived defaults — one count job per
+    * (session, input dir), memoized; stopped sessions evicted.
+    */
+  private val embCountMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Long]
+  private def embCount(s: SparkSession, d: String): Long = {
+    embCountMemo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    embCountMemo.getOrElseUpdate((s, d), Tables.embeddings(s, d).count())
+  }
+
+  /** Hyperplane-count knob (`graft.lsh.planes`; unset ⇒ derived from
+    * the corpus count, see [[derivedPlanes]] — the oracle replays
+    * [[NPlanes]], which Verify pins). Raising it leaves every plan
+    * shape unchanged (the plane table is a ≤20-row broadcast and
+    * buckets stay hash-partitioned keys).
+    */
+  private[queries] def lshPlanes(s: SparkSession, d: String): Int =
+    s.conf.getOption("graft.lsh.planes") match {
+      case Some(v) =>
+        val n = v.toInt
+        // bucket ids are 2^planes longs; 20 keeps the bit weights
+        // exact and the plane broadcast trivial
+        require(n >= 1 && n <= 20,
+          s"graft.lsh.planes must be in [1, 20], got $n")
+        n
+      case None => derivedPlanes(embCount(s, d))
+    }
 
   /** integer-quantized embedding: array<long>.
     *
@@ -219,7 +257,7 @@ object SimilarityQueries {
     // statistic an ANN search plans with.
     "sim_lsh_bucket" -> ((s, d) => {
       val all = quantized(s, d)
-      val planes = all.filter(col("vec_id") < lshPlanes(s))
+      val planes = all.filter(col("vec_id") < lshPlanes(s, d))
         .select(col("vec_id").alias("pid"), col("q").alias("pq"))
       val bucketed = all.crossJoin(broadcast(planes))
         .withColumn("bit",
@@ -241,7 +279,7 @@ object SimilarityQueries {
     // of a training-data pipeline.
     "dd_embed_cosine" -> ((s, d) => {
       val all = quantized(s, d)
-      val planes = all.filter(col("vec_id") < lshPlanes(s))
+      val planes = all.filter(col("vec_id") < lshPlanes(s, d))
         .select(col("vec_id").alias("pid"), col("q").alias("pq"))
       val withBucket = all.crossJoin(broadcast(planes))
         .withColumn("bit",
@@ -278,7 +316,7 @@ object SimilarityQueries {
     // double expression in both engines, so binning is exact.
     "sim_threshold_sweep" -> ((s, d) => {
       val all = quantized(s, d)
-      val planes = all.filter(col("vec_id") < lshPlanes(s))
+      val planes = all.filter(col("vec_id") < lshPlanes(s, d))
         .select(col("vec_id").alias("pid"), col("q").alias("pq"))
       val withBucket = all.crossJoin(broadcast(planes))
         .withColumn("bit",
@@ -534,7 +572,7 @@ object SimilarityQueries {
     // (multi-probe) to recover boundary recall — same plan repeated.
     "sim_knn_graph" -> ((s, d) => {
       val all = quantized(s, d)
-      val planes = all.filter(col("vec_id") < lshPlanes(s))
+      val planes = all.filter(col("vec_id") < lshPlanes(s, d))
         .select(col("vec_id").alias("pid"), col("q").alias("pq"))
       val withBucket = all.crossJoin(broadcast(planes))
         .withColumn("bit",
@@ -578,7 +616,7 @@ object SimilarityQueries {
     // out-edges missing their score row, and isolated nodes simply
     // decay to the 0.15e6 floor.
     "graph_pagerank" -> ((s, d) => {
-      val edges = StagedIndex.orStage(s, s"graph_knn_edges_p${lshPlanes(s)}_v1", d,
+      val edges = StagedIndex.orStage(s, s"graph_knn_edges_p${lshPlanes(s, d)}_v1", d,
         Seq(s"$d/embeddings.parquet")) {
         queries("sim_knn_graph")(s, d)
           .select(col("vec_id").alias("src"), col("nbr").alias("dst"))
@@ -612,7 +650,7 @@ object SimilarityQueries {
     // votes aggregate on (src, label), and the majority pick is a
     // WindowGroupLimit-pruned rank on the corpus-cardinality src key.
     "sim_knn_label" -> ((s, d) => {
-      val edges = StagedIndex.orStage(s, s"graph_knn_edges_p${lshPlanes(s)}_v1", d,
+      val edges = StagedIndex.orStage(s, s"graph_knn_edges_p${lshPlanes(s, d)}_v1", d,
         Seq(s"$d/embeddings.parquet")) {
         queries("sim_knn_graph")(s, d)
           .select(col("vec_id").alias("src"), col("nbr").alias("dst"))
@@ -733,7 +771,7 @@ object SimilarityQueries {
     // one map-side-combined degree agg, a left join for the
     // zero-degree nodes, and a roll-up to O(max degree) rows.
     "graph_degree_dist" -> ((s, d) => {
-      val edges0 = StagedIndex.orStage(s, s"graph_knn_edges_p${lshPlanes(s)}_v1", d,
+      val edges0 = StagedIndex.orStage(s, s"graph_knn_edges_p${lshPlanes(s, d)}_v1", d,
         Seq(s"$d/embeddings.parquet")) {
         queries("sim_knn_graph")(s, d)
           .select(col("vec_id").alias("src"), col("nbr").alias("dst"))
@@ -879,7 +917,7 @@ object SimilarityQueries {
     // is order-independent within a round), so the oracle replays the
     // identical unrolled rounds.
     "graph_core" -> ((s, d) => {
-      val edges0 = StagedIndex.orStage(s, s"graph_knn_edges_p${lshPlanes(s)}_v1", d,
+      val edges0 = StagedIndex.orStage(s, s"graph_knn_edges_p${lshPlanes(s, d)}_v1", d,
         Seq(s"$d/embeddings.parquet")) {
         queries("sim_knn_graph")(s, d)
           .select(col("vec_id").alias("src"), col("nbr").alias("dst"))
@@ -909,7 +947,7 @@ object SimilarityQueries {
     }),
 
     "graph_label_prop" -> ((s, d) => {
-      val edges = StagedIndex.orStage(s, s"graph_knn_edges_p${lshPlanes(s)}_v1", d,
+      val edges = StagedIndex.orStage(s, s"graph_knn_edges_p${lshPlanes(s, d)}_v1", d,
         Seq(s"$d/embeddings.parquet")) {
         queries("sim_knn_graph")(s, d)
           .select(col("vec_id").alias("src"), col("nbr").alias("dst"))
@@ -1021,7 +1059,7 @@ object SimilarityQueries {
     // partition-of-analysis; shard the graph (or drop to 1e3 units)
     // beyond that.
     "graph_modularity" -> ((s, d) => {
-      val edges = StagedIndex.orStage(s, s"graph_knn_edges_p${lshPlanes(s)}_v1", d,
+      val edges = StagedIndex.orStage(s, s"graph_knn_edges_p${lshPlanes(s, d)}_v1", d,
         Seq(s"$d/embeddings.parquet")) {
         queries("sim_knn_graph")(s, d)
           .select(col("vec_id").alias("src"), col("nbr").alias("dst"))
@@ -1066,7 +1104,7 @@ object SimilarityQueries {
     // and the coefficient's one division is integral micro-units, so
     // the oracle replays it exactly.
     "graph_triangles" -> ((s, d) => {
-      val edges = StagedIndex.orStage(s, s"graph_knn_edges_p${lshPlanes(s)}_v1", d,
+      val edges = StagedIndex.orStage(s, s"graph_knn_edges_p${lshPlanes(s, d)}_v1", d,
         Seq(s"$d/embeddings.parquet")) {
         queries("sim_knn_graph")(s, d)
           .select(col("vec_id").alias("src"), col("nbr").alias("dst"))
@@ -1114,7 +1152,7 @@ object SimilarityQueries {
     // joins of the node-sized degree table, and the global top-20 is
     // a TakeOrdered (no full sort ever materializes).
     "graph_jaccard" -> ((s, d) => {
-      val edges = StagedIndex.orStage(s, s"graph_knn_edges_p${lshPlanes(s)}_v1", d,
+      val edges = StagedIndex.orStage(s, s"graph_knn_edges_p${lshPlanes(s, d)}_v1", d,
         Seq(s"$d/embeddings.parquet")) {
         queries("sim_knn_graph")(s, d)
           .select(col("vec_id").alias("src"), col("nbr").alias("dst"))
@@ -1301,25 +1339,31 @@ object SimilarityQueries {
   }
 
   /** Cell count for the learned-k-means operators
-    * (`graft.kmeans.cells`, default NCentroids — what the oracle
-    * replays). THE scale knob: sum(|cell|²) bounds the semantic-dedup
-    * pair scan and |cell| bounds an IVF probe, so a 1000× corpus
-    * wants ~1000× more cells, not bigger ones; raising this leaves
-    * every plan shape unchanged (the centroid table stays broadcast —
-    * even 1M centroids ≈ 512 MB is routinely broadcastable at that
-    * scale, and the Lloyd step is the same keyed agg).
+    * (`graft.kmeans.cells`; unset ⇒ derived from the corpus count,
+    * see [[derivedCells]] — the oracle replays [[NCentroids]], which
+    * Verify pins). THE scale knob: sum(|cell|²) bounds the
+    * semantic-dedup pair scan and |cell| bounds an IVF probe, so a
+    * 1000× corpus wants ~1000× more cells, not bigger ones; raising
+    * this leaves every plan shape unchanged (the centroid table stays
+    * broadcast — even 1M centroids ≈ 512 MB is routinely
+    * broadcastable at that scale, and the Lloyd step is the same
+    * keyed agg).
     */
-  private[queries] def kmeansCells(s: SparkSession): Int = {
-    val n = s.conf.get("graft.kmeans.cells", NCentroids.toString).toInt
-    // 0/negative would silently yield an empty seed set — dd_semdedup
-    // would then report "no semantic duplicates" and pipe_curate would
-    // stage and consume that as a verdict. Fail loudly instead. The
-    // upper bound keeps the centroid table broadcastable (1M × Dim
-    // floats ≈ 512 MB, the documented ceiling of the scale note above).
-    require(n > 0 && n <= (1 << 20),
-      s"graft.kmeans.cells must be in (0, 2^20], got $n")
-    n
-  }
+  private[queries] def kmeansCells(s: SparkSession, d: String): Int =
+    s.conf.getOption("graft.kmeans.cells") match {
+      case Some(v) =>
+        val n = v.toInt
+        // 0/negative would silently yield an empty seed set —
+        // dd_semdedup would then report "no semantic duplicates" and
+        // pipe_curate would stage and consume that as a verdict. Fail
+        // loudly instead. The upper bound keeps the centroid table
+        // broadcastable (1M × Dim floats ≈ 512 MB, the documented
+        // ceiling of the scale note above).
+        require(n > 0 && n <= (1 << 20),
+          s"graft.kmeans.cells must be in (0, 2^20], got $n")
+        n
+      case None => derivedCells(embCount(s, d))
+    }
 
   /** Learned centroids (seed with the first `graft.kmeans.cells`
     * vectors, one floor-exact Lloyd step) and the corpus assigned to
@@ -1341,7 +1385,7 @@ object SimilarityQueries {
         .select(col("vec_id"), col("cid").alias("cell"), col("q"),
           col("n2"))
     }
-    val seeds = all.filter(col("vec_id") < kmeansCells(s))
+    val seeds = all.filter(col("vec_id") < kmeansCells(s, d))
       .select(col("vec_id").alias("cid"), col("q").alias("cq"),
         col("n2").alias("cn2"))
     // one Lloyd step: element-wise floor(mean) per cell — exact in
@@ -1398,7 +1442,7 @@ object SimilarityQueries {
   // LSH query shape (candidate generation + exact re-rank inside
   // the bucket).
   private def lshAnn(s: SparkSession, d: String): DataFrame =
-    lshAnnAt(s, d, lshPlanes(s))
+    lshAnnAt(s, d, lshPlanes(s, d))
 
   /** lshAnn at an explicit plane count — the sweep's leg builder. */
   private def lshAnnAt(s: SparkSession, d: String, nPlanes: Int)

@@ -53,13 +53,26 @@ object StagedIndex {
 
   /** Drop every memoized content token: the next stage access
     * re-lists its inputs. For sessions that rewrite an input path
-    * in place (tests; ad-hoc exploration).
+    * in place (tests; ad-hoc exploration). Also drops TextQueries'
+    * BPE frame memo — it caches localCheckpointed frames derived from
+    * the pre-rewrite input, and without the clear an orStage miss
+    * under the NEW token would stage those stale frames as fresh.
     */
-  def refreshTokens(): Unit = tokenCache.clear()
+  def refreshTokens(): Unit = {
+    tokenCache.clear()
+    TextQueries.clearBpeMemo()
+  }
 
-  private def contentToken(s: SparkSession, inputs: Seq[String]): String =
+  private def contentToken(s: SparkSession, inputs: Seq[String]): String = {
+    // evict tokens of stopped sessions first (mirrors bpeMemo): a
+    // ConcurrentHashMap key holds its SparkSession strongly, so
+    // without this a long-lived JVM cycling sessions would retain
+    // every stopped context for its lifetime
+    val it = tokenCache.keySet.iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
     tokenCache.computeIfAbsent((s, inputs.sorted.mkString("|")),
       _ => listedToken(s, inputs))
+  }
 
   /** Cheap input-content token: (name, length, mtime) of every file
     * under each input path. If the input dataset is rewritten — even

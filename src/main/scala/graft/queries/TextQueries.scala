@@ -268,6 +268,13 @@ object TextQueries {
   private val bpeMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, Int), (DataFrame, DataFrame)]
 
+  /** Invalidate memoized BPE frames after an in-place input rewrite —
+    * called by [[StagedIndex.refreshTokens]] so a restage under the new
+    * content token rebuilds from the rewritten bytes, never from a
+    * pre-rewrite localCheckpoint.
+    */
+  private[queries] def clearBpeMemo(): Unit = bpeMemo.clear()
+
   /** The BPE merge-learning rounds (see tx_bpe_learn's Scaladoc for
     * semantics and scale shape), STAGED per (input snapshot, depth):
     * returns the merge-rule table (round, pair, merged, cnt) and the

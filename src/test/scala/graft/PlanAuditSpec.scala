@@ -106,7 +106,15 @@ class PlanAuditSpec extends AnyFunSuite {
       // inherits pipe_curriculum's global-GroupRank + vocab scalar
       "pipe_manifest",
       // 1-row order-total scalar vs the 20-row affinity table
-      "rel_basket_affinity")
+      "rel_basket_affinity",
+      // union of three 1-row scalar aggregates (one per band count b):
+      // each leg reduces the staged signature table to a single
+      // (b, pairs, dup_pairs) row before the union — the only rows
+      // that ever cross a single-partition exchange are those three
+      "dd_band_sweep",
+      // same union-of-1-row-scalar-aggregates shape, one leg per
+      // plane count, plus the 1-row ground-truth total
+      "sim_planes_sweep")
 
   // Queries that intentionally broadcast a tiny build side against a
   // non-equi / cross predicate (band dim, probe rows, hyperplanes,
@@ -159,7 +167,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_margin", // inherits sim_knn_graph's hyperplane broadcast
     "sim_nprobe_sweep", // centroid/probe broadcasts + 1-row scalars
     "sim_label_purity", // kmeansCore's centroid broadcast
-    "pipe_manifest") // inherits curriculum/curate component broadcasts
+    "pipe_manifest", // inherits curriculum/curate component broadcasts
+    // crossJoin(broadcast(total)): a 1-row ground-truth total crossed
+    // onto the 3-row per-plane-count result — both sides tiny by
+    // construction, plus the inherited hyperplane broadcasts
+    "sim_planes_sweep")
 
   test("no query plan contains a CartesianProduct") {
     plans.foreach { case (sf, n, p) =>
