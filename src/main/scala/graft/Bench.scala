@@ -89,7 +89,10 @@ object BenchExpect {
     "rel_market_share" -> 0.8,
     "tx_length_profile" -> 0.4,
     "tx_class_tfidf" -> 0.8,
-    "dd_agreement" -> 3.5, // 5-method cross + hyperplane leg (r6 calm)
+    "dd_agreement" -> 0.8, // staged method-pair union (r8); was 3.5 unstaged
+    "dd_band_sweep" -> 1.2, // three band-geometry legs on staged sigs (r8 calm)
+    "sim_planes_sweep" -> 1.5, // three plane depths + ground truth (r8 calm)
+    "tx_span_strip" -> 2.7, // positional gram hash + dup-position count (r8)
     "sim_threshold_sweep" -> 0.8,
     "cdc_reconcile" -> 1.0,
     "cdc_topic_stats" -> 0.5,

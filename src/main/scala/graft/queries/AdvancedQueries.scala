@@ -753,7 +753,7 @@ object AdvancedQueries {
          |FROM documents d JOIN ($pipeCurateSql) c USING (doc_id)
          |GROUP BY 1, 2 ORDER BY lang, source""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  lazy val oracles: Map[String, String] = Map(
     "pipe_curate" -> pipeCurateSql,
 
     // tx_quality_bins' own oracle as a derived table, hash-shuffled

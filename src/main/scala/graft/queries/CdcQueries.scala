@@ -391,7 +391,7 @@ object CdcQueries {
         col("props").alias("doc"),
         round(col("value") * 100, 0).cast(LongType).alias("cents"))
 
-  val oracles: Map[String, String] = Map(
+  lazy val oracles: Map[String, String] = Map(
     "s1_scan_pushdown" ->
       """SELECT event_id, user_id,
         |  CAST(round(value * 100, 0) AS BIGINT) AS cents

@@ -1210,7 +1210,7 @@ object DedupQueries {
 
   // composed from the five components' own oracles (each embeds its
   // full WITH chain as a derived table, the pipe_curate pattern)
-  val oracles: Map[String, String] = baseOracles +
+  lazy val oracles: Map[String, String] = baseOracles +
     ("dd_agreement" -> {
       val union = Seq(
         "minhash" -> baseOracles("dd_minhash_lsh"),

@@ -180,7 +180,7 @@ object MultimodalQueries {
        |    ON a.b = b.b AND a.key = b.key AND a.media_id < b.media_id)"""
       .stripMargin
 
-  val oracles: Map[String, String] = Map(
+  lazy val oracles: Map[String, String] = Map(
     "mm_features" ->
       s"""SELECT doc_id AS media_id,
          |  'img/' || source AS kind,

@@ -1098,7 +1098,7 @@ object RelationalQueries {
         .orderBy("o_orderpriority")
     }))
 
-  val oracles: Map[String, String] = Map(
+  lazy val oracles: Map[String, String] = Map(
 
     // SQL's own window functions emit the ranks; the derived
     // statistics are replayed with the same integer formulas

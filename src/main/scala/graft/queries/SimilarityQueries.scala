@@ -1602,7 +1602,7 @@ object SimilarityQueries {
          |  FROM scored) t
          |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  lazy val oracles: Map[String, String] = Map(
     "sim_cosine_topk" -> sqlCosineTopk,
 
     // lexical leg replayed from the documents table (the tx_bm25_topk

@@ -1468,7 +1468,7 @@ object TextQueries {
         .orderBy("doc_id")
     }))
 
-  val oracles: Map[String, String] = Map(
+  lazy val oracles: Map[String, String] = Map(
     "tx_shard" ->
       s"""WITH hashed AS (
          |  SELECT doc_id,
