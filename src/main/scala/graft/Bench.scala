@@ -28,8 +28,8 @@ object BenchExpect {
     "dd_embed_cosine" -> 0.7,
     "dd_exact" -> 0.5,
     "dd_minhash_lsh" -> 0.8,
-    "dd_containment" -> 3.0,
-    "dd_ngram_jaccard" -> 2.5,
+    "dd_containment" -> 0.8, // staged capped-common/sizes (r8); was 3.0
+    "dd_ngram_jaccard" -> 0.8, // staged capped-common/sizes (r8); was 2.5
     "dd_winnow" -> 1.0,
     "dd_semdedup" -> 1.5,
     "dd_simhash" -> 0.8,
@@ -92,7 +92,8 @@ object BenchExpect {
     "dd_agreement" -> 0.8, // staged method-pair union (r8); was 3.5 unstaged
     "dd_band_sweep" -> 1.2, // three band-geometry legs on staged sigs (r8 calm)
     "sim_planes_sweep" -> 1.5, // three plane depths + ground truth (r8 calm)
-    "tx_span_strip" -> 2.7, // positional gram hash + dup-position count (r8)
+    "tx_span_strip" -> 1.0, // staged positional gram index (r8)
+    "tx_span_cut" -> 1.8, // span removal + per-doc reassembly (r8)
     "sim_threshold_sweep" -> 0.8,
     "cdc_reconcile" -> 1.0,
     "cdc_topic_stats" -> 0.5,
@@ -166,7 +167,7 @@ object BenchExpect {
     "rel_seasonality" -> 0.6, // scan-speed buckets, 168-cell agg
     "mm_hamming_hist" -> 1.0, // banded pair stream + tiny agg
     "sim_nprobe_sweep" -> 2.2, // 3 ivf legs + brute-force truth
-    "dd_sketch_error" -> 2.6, // posting intersection + staged sigs
+    "dd_sketch_error" -> 1.8, // staged capped-common + staged sigs (r8)
     "rel_rank_stats" -> 1.0, // custkey agg + GroupRank derivations
     "pipe_manifest" -> 2.3, // staged components, id joins only (r7)
     "sim_label_purity" -> 1.0, // kmeans assignment + tiny aggs
@@ -286,6 +287,7 @@ object Bench {
       SparkEntry.queries("pipe_mm_curate")(spark, sfDir)
       SparkEntry.queries("dd_winnow")(spark, sfDir)
       SparkEntry.queries("dd_agreement")(spark, sfDir)
+      SparkEntry.queries("tx_span_cut")(spark, sfDir)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] pre-stage failed: ${e.getMessage}")

@@ -106,6 +106,42 @@ object DedupQueries {
     inv.join(hot, Seq("s"), "left_anti")
   }
 
+  /** Per-doc CAPPED shingle-set size (doc_id, nsh), staged once per
+    * snapshot. Shared by dd_ngram_jaccard / dd_containment /
+    * dd_sketch_error — each used to re-derive it from the posting
+    * index per run. The stage name embeds the constants fingerprint
+    * AND the df cap, so a re-tuned ceiling restages.
+    */
+  private def cappedSizes(s: SparkSession, d: String): DataFrame =
+    StagedIndex.orStage(s,
+      s"dd_capped_sizes_v1_${StageFp}_df${maxShingleDf(s)}", d,
+      docsInput(d)) {
+      cappedInvOf(shingled(s, d), maxShingleDf(s))
+        .groupBy("doc_id").agg(count(lit(1)).alias("nsh"))
+    }
+
+  /** Pairwise CAPPED shingle intersection counts (ida < idb, common),
+    * staged once per snapshot — THE posting-self-join artifact, the
+    * single most expensive derivation in the dedup family, previously
+    * rebuilt independently by dd_ngram_jaccard, dd_containment, and
+    * dd_sketch_error's exact side. O(co-occurring pairs) rows,
+    * bounded at cap·Σdf by the df ceiling; consumers apply their own
+    * thresholds (Jaccard ≥ 0.3, containment ≥ 0.5, candidate
+    * restriction), so one artifact serves all three measures — the
+    * compute-once-per-snapshot pattern every staged index follows.
+    */
+  private def cappedCommon(s: SparkSession, d: String): DataFrame =
+    StagedIndex.orStage(s,
+      s"dd_capped_common_v1_${StageFp}_df${maxShingleDf(s)}", d,
+      docsInput(d)) {
+      val inv = cappedInvOf(shingled(s, d), maxShingleDf(s))
+      inv.alias("a").join(inv.alias("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").alias("ida"),
+          col("b.doc_id").alias("idb"))
+        .agg(count(lit(1)).alias("common"))
+    }
+
   /** doc_id + distinct word-3-gram shingles.
     *
     * Staged to parquet once per input dir (StagedIndex): the shingle
@@ -213,15 +249,8 @@ object DedupQueries {
     // posting join bounded at cap·Σdf), threshold 0.3. Sizes come
     // from the same capped universe so jac stays a true set ratio.
     "dd_ngram_jaccard" -> ((s, d) => {
-      val inv = cappedInvOf(shingled(s, d), maxShingleDf(s))
-      val sizes = inv.groupBy("doc_id")
-        .agg(count(lit(1)).alias("nsh"))
-      val a = inv.alias("a")
-      val b = inv.alias("b")
-      val common = a.join(b,
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").alias("ida"), col("b.doc_id").alias("idb"))
-        .agg(count(lit(1)).alias("common"))
+      val common = cappedCommon(s, d)
+      val sizes = cappedSizes(s, d)
       val sa = sizes.select(col("doc_id").alias("ida"), col("nsh").alias("sa"))
       val sb = sizes.select(col("doc_id").alias("idb"), col("nsh").alias("sb"))
       // No broadcast hint on the per-doc sizes tables: one row per
@@ -249,15 +278,8 @@ object DedupQueries {
     // keyed count, two hash joins against the per-doc sizes table
     // (no broadcast hint — corpus-sized at scale).
     "dd_containment" -> ((s, d) => {
-      val inv = cappedInvOf(shingled(s, d), maxShingleDf(s))
-      val sizes = inv.groupBy("doc_id")
-        .agg(count(lit(1)).alias("nsh"))
-      val a = inv.alias("a")
-      val b = inv.alias("b")
-      val common = a.join(b,
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").alias("ida"), col("b.doc_id").alias("idb"))
-        .agg(count(lit(1)).alias("common"))
+      val common = cappedCommon(s, d)
+      val sizes = cappedSizes(s, d)
       val sa = sizes.select(col("doc_id").alias("ida"), col("nsh").alias("sa"))
       val sb = sizes.select(col("doc_id").alias("idb"), col("nsh").alias("sb"))
       common
@@ -302,29 +324,17 @@ object DedupQueries {
     // / dd_dedup_verdict are noisy; re-run after changing K and watch
     // the histogram collapse into bucket 0. All-integer micro-unit
     // error, so the oracle replays exactly. Scale shape: the exact
-    // side is the posting-list intersection DOUBLY bounded — the df
-    // ceiling (DefaultMaxShingleDf) drops hot boilerplate shingles,
-    // and a semi-join restricts postings to documents that actually
-    // appear in an LSH candidate pair (only their exact Jaccard is
-    // ever consumed), so the self-join costs cap·Σdf over candidate
-    // documents, never the corpus; the estimate rides the staged
-    // signatures; candidates that collide in a band WITHOUT sharing
-    // a (surviving) shingle take the zero-overlap left-join branch.
+    // side rides the STAGED capped-posting artifacts (cappedCommon /
+    // cappedSizes — per-pair intersection and per-doc set size are
+    // independent of any candidate restriction, so the shared tables
+    // serve here verbatim); the estimate rides the staged signatures;
+    // candidates that collide in a band WITHOUT sharing a (surviving)
+    // shingle take the zero-overlap left-join branch.
     "dd_sketch_error" -> ((s, d) => {
       val est = queries("dd_minhash_lsh")(s, d)
         .select(col("ida"), col("idb"), col("agree"))
-      val candDocs = est.select(col("ida").alias("doc_id"))
-        .unionByName(est.select(col("idb").alias("doc_id")))
-        .distinct()
-      val inv = cappedInvOf(shingled(s, d), maxShingleDf(s))
-        .join(candDocs, Seq("doc_id"), "left_semi")
-      val sizes = inv.groupBy("doc_id")
-        .agg(count(lit(1)).alias("nsh"))
-      val common = inv.alias("a").join(inv.alias("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").alias("ida"),
-          col("b.doc_id").alias("idb"))
-        .agg(count(lit(1)).alias("common"))
+      val sizes = cappedSizes(s, d)
+      val common = cappedCommon(s, d)
       // sizes joins are LEFT: a candidate doc whose every shingle
       // exceeded the df cap has no sizes row at all; an inner join
       // would silently drop its pairs from the histogram instead of
@@ -469,10 +479,14 @@ object DedupQueries {
     // doc-keyed agg; docs shorter than 16 words take the zero-span
     // left-join branch.
     "dd_span_dedup" -> ((s, d) => {
-      val grams = Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(graft.functions.WordShingles(col("text"), 16)).alias("g"))
-        .select(col("doc_id"), h60(col("g")).alias("gh"))
+      // distinct-per-doc gram index, derived from the staged
+      // POSITIONAL gram index the span family shares (a distinct of
+      // the scanned stage instead of re-tokenizing + re-hashing the
+      // corpus). Deliberately distinct-per-doc: here a gram repeated
+      // WITHIN one doc counts once (document-level dup fraction),
+      // unlike tx_span_strip's positional occ counts.
+      val grams = TextQueries.posGrams(s, d)
+        .select(col("doc_id"), col("gh")).distinct()
       val dup = grams.groupBy("gh")
         .agg(count(lit(1)).alias("df"))
         .filter(col("df") >= 2)

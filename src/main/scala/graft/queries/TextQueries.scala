@@ -607,6 +607,29 @@ object TextQueries {
         PiiIp, "<IP>"),
       PiiPhone, "<PHONE>")
 
+  /** Positional 16-gram hash index (doc_id, p, gh), staged once per
+    * snapshot — the shared derivation of the span family
+    * (tx_span_strip accounting, tx_span_cut rewriting). Building it
+    * is the expensive half of both queries (16-word join + md5 per
+    * word position); as a staged artifact it is 24 bytes/row
+    * columnar and each consumer scans it instead of re-hashing the
+    * corpus — the same compute-once-per-snapshot pattern as the
+    * shingle/signature indexes.
+    */
+  private[queries] def posGrams(s: SparkSession, d: String): DataFrame =
+    StagedIndex.orStage(s, "tx_pos_grams_v1_g16", d,
+      Seq(s"$d/documents.parquet")) {
+      Tables.documents(s, d)
+        .select(col("doc_id"), w.alias("w"))
+        .filter(size(col("w")) >= 16)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 15), " +
+            "i -> struct(i AS p, array_join(slice(w, i, 16), ' ') AS g))"))
+          .alias("sg"))
+        .select(col("doc_id"), col("sg.p").cast(LongType).alias("p"),
+          DedupQueries.h60(col("sg.g")).alias("gh"))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Rolling-hash document fingerprint (custom codegen expression).
     "tx_fingerprint" -> ((s, d) =>
@@ -983,15 +1006,7 @@ object TextQueries {
     // under-16-word docs take the zero-cut left-join branch.
     "tx_span_strip" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val grams = docs
-        .select(col("doc_id"), w.alias("w"))
-        .filter(size(col("w")) >= 16)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(w) - 15), " +
-            "i -> struct(i AS p, array_join(slice(w, i, 16), ' ') AS g))"))
-          .alias("sg"))
-        .select(col("doc_id"), col("sg.p").alias("p"),
-          DedupQueries.h60(col("sg.g")).alias("gh"))
+      val grams = posGrams(s, d)
       val dup = grams.groupBy("gh")
         .agg(count(lit(1)).alias("occ"))
         .filter(col("occ") >= 2)
@@ -1007,6 +1022,50 @@ object TextQueries {
           coalesce(col("n_cut_words"), lit(0L)).alias("n_cut_words"))
         .withColumn("keep_ppm",
           expr("(n_words - n_cut_words) * 1000000 div n_words"))
+        .orderBy("doc_id")
+    }),
+
+    // Duplicated-span CUTTING — the rewrite step tx_span_strip only
+    // ACCOUNTS for (Lee et al. 2022 ExactSubstr deduplicates by
+    // removing the repeated spans and keeping the document): emit
+    // each doc's text with every word position covered by a
+    // corpus-repeated 16-gram removed, plus the surviving word
+    // count. Scale shape: tx_span_strip's linear pipeline (postings
+    // joined to the DISTINCT duplicated-gram set — f rows for a gram
+    // repeated f times, never f²), then one per-doc ordered
+    // reassembly: collect_list is bounded by document length and
+    // grouped on the doc key, the corpus's natural partitioning.
+    // A fully-boilerplate doc cuts to the empty string (kept rows
+    // vanish; the left join restores it with n_kept_words = 0).
+    "tx_span_cut" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val grams = posGrams(s, d)
+      val dup = grams.groupBy("gh")
+        .agg(count(lit(1)).alias("occ"))
+        .filter(col("occ") >= 2)
+        .select(col("gh"))
+      val cutPos = grams.join(dup, "gh")
+        .select(col("doc_id"),
+          explode(expr("sequence(p, p + 15)")).alias("p"))
+        .distinct()
+      val words = docs
+        .select(col("doc_id"), posexplode(w).as(Seq("p0", "wd")))
+        .select(col("doc_id"),
+          (col("p0") + 1).cast(LongType).alias("p"), col("wd"))
+      val kept = words.join(cutPos, Seq("doc_id", "p"), "left_anti")
+      val rebuilt = kept.groupBy("doc_id")
+        .agg(
+          // positions are unique per doc, so the struct sort is a
+          // total order and the reassembly is deterministic
+          array_join(transform(
+            array_sort(collect_list(struct(col("p"), col("wd")))),
+            x => x.getField("wd")), " ").alias("kept_text"),
+          count(lit(1)).alias("n_kept_words"))
+      docs.select(col("doc_id"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("kept_text"), lit("")).alias("kept_text"),
+          coalesce(col("n_kept_words"), lit(0L)).alias("n_kept_words"))
         .orderBy("doc_id")
     }),
 
@@ -1698,6 +1757,34 @@ object TextQueries {
          |    - coalesce(c.n_cut_words, 0)) * 1000000
          |    // len(string_split(d.text, ' ')) AS BIGINT) AS keep_ppm
          |FROM documents d LEFT JOIN cov c USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "tx_span_cut" ->
+      s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w
+         |             FROM documents),
+         |g AS (SELECT doc_id, CAST(i AS BIGINT) AS p,
+         |        ${DedupQueries.SqlH60("array_to_string(w[i:i+15], ' ')")}
+         |          AS gh
+         |      FROM docs, UNNEST(range(1, len(w) - 14)) t(i)
+         |      WHERE len(w) >= 16),
+         |dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+         |cut AS (SELECT DISTINCT g.doc_id, g.p + j AS p
+         |        FROM g JOIN dup USING (gh),
+         |             UNNEST(range(0, 16)) u(j)),
+         |words AS (SELECT doc_id, CAST(i AS BIGINT) AS p, w[i] AS wd
+         |          FROM docs, UNNEST(range(1, len(w) + 1)) t(i)),
+         |kept AS (SELECT wo.doc_id, wo.p, wo.wd
+         |         FROM words wo LEFT JOIN cut c
+         |           ON wo.doc_id = c.doc_id AND wo.p = c.p
+         |         WHERE c.p IS NULL),
+         |reb AS (SELECT doc_id,
+         |          string_agg(wd, ' ' ORDER BY p) AS kept_text,
+         |          CAST(count(*) AS BIGINT) AS n_kept_words
+         |        FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(r.kept_text, '') AS kept_text,
+         |  coalesce(r.n_kept_words, 0) AS n_kept_words
+         |FROM documents d LEFT JOIN reb r USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
 
     "tx_normalize" ->
