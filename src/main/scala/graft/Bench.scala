@@ -24,21 +24,21 @@ object BenchExpect {
     "dd_cluster" -> 0.4, // staged labels (r7)
     "dd_cross_dedup" -> 1.5,
     "dd_decontaminate" -> 1.5,
-    "dd_dedup_verdict" -> 3.0,
+    "dd_dedup_verdict" -> 0.8, // staged verified-component labels (r8)
     "dd_embed_cosine" -> 0.7,
     "dd_exact" -> 0.5,
     "dd_minhash_lsh" -> 0.8,
     "dd_containment" -> 0.8, // staged capped-common/sizes (r8); was 3.0
     "dd_ngram_jaccard" -> 0.8, // staged capped-common/sizes (r8); was 2.5
     "dd_winnow" -> 1.0,
-    "dd_semdedup" -> 1.5,
+    "dd_semdedup" -> 0.7, // staged kmeans core (r8)
     "dd_simhash" -> 0.8,
     "dd_span_dedup" -> 1.9,
     "f1_optype_filter" -> 0.3,
     "mm_features" -> 0.3,
     "mm_frames" -> 0.3,
-    "mm_dedup" -> 3.8,
-    "mm_phash" -> 0.8,
+    "mm_dedup" -> 0.8, // staged pair table + component labels (r8)
+    "mm_phash" -> 0.5, // staged pair table (r8)
     "mm_resize" -> 0.3,
     "p1_cdc_envelope" -> 0.4,
     "pipe_curate" -> 1.0,
@@ -104,7 +104,7 @@ object BenchExpect {
     "sim_cosine_topk" -> 0.5,
     "sim_filtered_ann" -> 0.6,
     "sim_ivf_ann" -> 0.7,
-    "sim_ivf_kmeans" -> 1.3,
+    "sim_ivf_kmeans" -> 0.8, // staged kmeans core (r8)
     "sim_lsh_ann" -> 0.7,
     "sim_pq_ann" -> 1.0,
     "sim_ivfpq_ann" -> 1.3,
@@ -154,23 +154,23 @@ object BenchExpect {
     "sim_dim_stats" -> 0.5,
     "tx_fertility" -> 3.0, // tx_bpe_apply's rounds + the lang roll-up
     "tx_readability" -> 0.5,
-    "sim_ood_score" -> 1.4, // kmeansCore + constant-group GroupRank
+    "sim_ood_score" -> 0.9, // staged kmeans core + GroupRank (r8)
     "dd_cluster_stats" -> 0.6, // staged labels + tiny roll-ups (r7)
     "tx_novelty" -> 1.6, // O(grams) first-seen agg + join back
     "rel_basket_affinity" -> 2.5, // orderkey self-join, k^2-bounded
-    "sim_centroid_balance" -> 1.0,
+    "sim_centroid_balance" -> 0.6, // staged kmeans core (r8)
     "cdc_gap_detect" -> 1.0, // bucketed scan + rare-bucket expansion
     "rel_cohort_ltv" -> 0.9, // two custkey aggs + tiny roll-up
     "graph_degree_dist" -> 0.8, // staged edges + two tiny aggs
     "rel_pareto_abc" -> 1.2, // part agg + global GroupRank cumsum
     "sim_margin" -> 1.0, // staged kNN edges + 2-row pivot agg
     "rel_seasonality" -> 0.6, // scan-speed buckets, 168-cell agg
-    "mm_hamming_hist" -> 1.0, // banded pair stream + tiny agg
-    "sim_nprobe_sweep" -> 2.2, // 3 ivf legs + brute-force truth
+    "mm_hamming_hist" -> 0.5, // staged pair table rollup (r8)
+    "sim_nprobe_sweep" -> 2.0, // 3 ivf legs on staged core + truth (r8)
     "dd_sketch_error" -> 1.8, // staged capped-common + staged sigs (r8)
     "rel_rank_stats" -> 1.0, // custkey agg + GroupRank derivations
     "pipe_manifest" -> 2.3, // staged components, id joins only (r7)
-    "sim_label_purity" -> 1.0, // kmeans assignment + tiny aggs
+    "sim_label_purity" -> 0.8, // staged kmeans assignment (r8)
   )
 
   def apply(n: String): Double = expect.getOrElse(n, default)
@@ -288,6 +288,7 @@ object Bench {
       SparkEntry.queries("dd_winnow")(spark, sfDir)
       SparkEntry.queries("dd_agreement")(spark, sfDir)
       SparkEntry.queries("tx_span_cut")(spark, sfDir)
+      SparkEntry.queries("mm_dedup")(spark, sfDir)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] pre-stage failed: ${e.getMessage}")

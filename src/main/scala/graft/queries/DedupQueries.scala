@@ -545,18 +545,27 @@ object DedupQueries {
     // all touch only the candidate graph; the corpus-wide part is one
     // left join of ids against the (tiny) label table.
     "dd_dedup_verdict" -> ((s, d) => {
-      val sig = signatures(s, d)
-      val sigArr = array((0 until K).map(i => col(s"m$i")): _*)
-      val sa = sig.select(col("doc_id").alias("ida"), sigArr.alias("siga"))
-      val sb = sig.select(col("doc_id").alias("idb"), sigArr.alias("sigb"))
-      val edges = candidatePairs(s, d)
-        .join(sa, "ida").join(sb, "idb")
-        .withColumn("agree",
-          size(filter(zip_with(col("siga"), col("sigb"),
-            (x, y) => x === y), b => b)))
-        .filter(col("agree") >= VerifyAgree)
-        .select(col("ida").alias("src"), col("idb").alias("dst"))
-      val labels = connectedComponents(edges)
+      // candidate gen + signature verify + star contraction — the
+      // whole verified-component derivation — staged once per
+      // snapshot (the dd_cluster labels discipline, but over the
+      // VERIFIED edge set, which is a different graph than the raw
+      // candidate one clusterLabels holds); the verdict itself is
+      // one left join of the id universe against the label table
+      val labels = StagedIndex.orStage(s,
+        s"dd_verdict_labels_v1_$StageFp", d, docsInput(d)) {
+        val sig = signatures(s, d)
+        val sigArr = array((0 until K).map(i => col(s"m$i")): _*)
+        val sa = sig.select(col("doc_id").alias("ida"), sigArr.alias("siga"))
+        val sb = sig.select(col("doc_id").alias("idb"), sigArr.alias("sigb"))
+        val edges = candidatePairs(s, d)
+          .join(sa, "ida").join(sb, "idb")
+          .withColumn("agree",
+            size(filter(zip_with(col("siga"), col("sigb"),
+              (x, y) => x === y), b => b)))
+          .filter(col("agree") >= VerifyAgree)
+          .select(col("ida").alias("src"), col("idb").alias("dst"))
+        connectedComponents(edges)
+      }
       Tables.documents(s, d).select(col("doc_id"))
         .join(labels, col("doc_id") === col("id"), "left")
         .select(col("doc_id"),

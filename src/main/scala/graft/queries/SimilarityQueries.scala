@@ -1370,10 +1370,21 @@ object SimilarityQueries {
     * them — the shared k-means core behind `sim_ivf_kmeans` and
     * `dd_semdedup`. Returns
     * (centroids (cid, cq, cn2), assigned (vec_id, cell, q, n2)).
+    *
+    * BOTH frames are staged per snapshot: six queries (ivf_kmeans,
+    * nprobe_sweep, semdedup, ood_score, centroid_balance,
+    * label_purity — plus pipe_curate through dd_semdedup) consume the
+    * core, and unstaged each re-ran the seed assignment, the Lloyd
+    * step, and the O(N·cells) final assignment per query. The
+    * assignment stage derives from the STAGED centroid table, so the
+    * two can never disagree; the cell-count knob lives in both stage
+    * names (a re-tuned geometry restages).
     */
   private def kmeansCore(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
     val all = quantized(s, d)
+    val cells = kmeansCells(s, d)
+    val in = Seq(s"$d/embeddings.parquet")
     def assign(cents: DataFrame): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("vec_id").orderBy(col("dist2").asc, col("cid").asc)
@@ -1385,22 +1396,29 @@ object SimilarityQueries {
         .select(col("vec_id"), col("cid").alias("cell"), col("q"),
           col("n2"))
     }
-    val seeds = all.filter(col("vec_id") < kmeansCells(s, d))
-      .select(col("vec_id").alias("cid"), col("q").alias("cq"),
-        col("n2").alias("cn2"))
-    // one Lloyd step: element-wise floor(mean) per cell — exact in
-    // both engines (sums stay far below 2^53)
-    val cents1 = assign(seeds)
-      .select(col("cell"), posexplode(col("q")).as(Seq("pos", "v")))
-      .groupBy("cell", "pos")
-      .agg(floor(avg(col("v"))).cast(LongType).alias("cv"))
-      .groupBy("cell")
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("cv")))),
-        x => x.getField("cv")).alias("cq"))
-      .select(col("cell").alias("cid"), col("cq"),
-        dot(col("cq"), col("cq")).alias("cn2"))
-    (cents1, assign(cents1))
+    val cents1 = StagedIndex.orStage(s, s"sim_kmeans_cents_c${cells}_v1",
+      d, in) {
+      val seeds = all.filter(col("vec_id") < cells)
+        .select(col("vec_id").alias("cid"), col("q").alias("cq"),
+          col("n2").alias("cn2"))
+      // one Lloyd step: element-wise floor(mean) per cell — exact in
+      // both engines (sums stay far below 2^53)
+      assign(seeds)
+        .select(col("cell"), posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(floor(avg(col("v"))).cast(LongType).alias("cv"))
+        .groupBy("cell")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("cv")))),
+          x => x.getField("cv")).alias("cq"))
+        .select(col("cell").alias("cid"), col("cq"),
+          dot(col("cq"), col("cq")).alias("cn2"))
+    }
+    val assigned = StagedIndex.orStage(s, s"sim_kmeans_assign_c${cells}_v1",
+      d, in) {
+      assign(cents1)
+    }
+    (cents1, assigned)
   }
 
   private def kmeansAssign(s: SparkSession, d: String): DataFrame =

@@ -246,7 +246,11 @@ class PlanAuditSpec extends AnyFunSuite {
   // limits run BEFORE the exchange, so only k rows per (partition,
   // group) ever shuffle. That insertion is an optimizer inference (a
   // cast or predicate-shape change can silently drop it), so pin it.
-  private val rankLimited = Set("dd_semdedup", "rel_topk",
+  // dd_semdedup is NOT pinned here since r8: its rn=1 assignment
+  // window moved into the staged kmeans-core build, so the audited
+  // steady-state plan is a stage scan + joins with no window at all
+  // (the build plan still gets the pushdown when it runs).
+  private val rankLimited = Set("rel_topk",
     "rel_window_nav", "sim_cosine_topk", "sim_filtered_ann",
     "sim_ivf_ann", "sim_ivf_kmeans", "sim_lsh_ann", "sim_pq_ann",
     "sim_ivfpq_ann", "sim_recall_at_k", "tx_tfidf", "tx_source_cap",
