@@ -167,6 +167,8 @@ object BenchExpect {
     "rel_seasonality" -> 0.6, // scan-speed buckets, 168-cell agg
     "mm_hamming_hist" -> 0.5, // staged pair table rollup (r8)
     "sim_nprobe_sweep" -> 2.0, // 3 ivf legs on staged core + truth (r8)
+    "sim_multiprobe_ann" -> 1.4, // bucket + flip-bucket rerank (r8)
+    "sim_multiprobe_recall" -> 2.0, // 3 component legs + semi-joins (r8)
     "dd_sketch_error" -> 1.8, // staged capped-common + staged sigs (r8)
     "rel_rank_stats" -> 1.0, // custkey agg + GroupRank derivations
     "pipe_manifest" -> 2.3, // staged components, id joins only (r7)

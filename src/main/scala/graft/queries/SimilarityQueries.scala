@@ -409,6 +409,38 @@ object SimilarityQueries {
 
     "sim_lsh_ann" -> (lshAnn(_, _)),
 
+    // multi-probe variant (see multiProbeAnn's Scaladoc): same
+    // corpus-side plan, extra one-bit-flip buckets per probe
+    "sim_multiprobe_ann" -> (multiProbeAnn(_, _)),
+
+    // What multi-probe buys: per-probe recall@k of the single-probe
+    // and multi-probe LSH searches against brute-force truth — the
+    // table an operator reads before deciding whether boundary
+    // recall needs more probes or more planes. All three component
+    // pipelines are the already-audited shapes; the comparison
+    // itself is two semi-joins against the ≤ probes×k truth rows.
+    "sim_multiprobe_recall" -> ((s, d) => {
+      val truth = cosineTopK(s, d).select(col("qid"), col("vec_id"))
+      val single = lshAnn(s, d).select(col("qid"), col("vec_id"))
+      val multi = multiProbeAnn(s, d).select(col("qid"), col("vec_id"))
+      val base = truth.groupBy("qid").agg(count(lit(1)).alias("k"))
+      val hs = truth.join(single, Seq("qid", "vec_id"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).alias("hits_single"))
+      val hm = truth.join(multi, Seq("qid", "vec_id"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).alias("hits_multi"))
+      base
+        .join(hs, Seq("qid"), "left")
+        .join(hm, Seq("qid"), "left")
+        .select(col("qid"), col("k"),
+          coalesce(col("hits_single"), lit(0L)).alias("hits_single"),
+          coalesce(col("hits_multi"), lit(0L)).alias("hits_multi"))
+        .withColumn("recall_single_ppm",
+          expr("hits_single * 1000000 div k"))
+        .withColumn("recall_multi_ppm",
+          expr("hits_multi * 1000000 div k"))
+        .orderBy("qid")
+    }),
+
     // Recall-vs-plane-count tuning curve — the audit table behind the
     // graft.lsh.planes knob (the ×100 scale probe's one super-linear
     // finding: fixed 2^6 buckets make the within-bucket join
@@ -1462,6 +1494,70 @@ object SimilarityQueries {
   private def lshAnn(s: SparkSession, d: String): DataFrame =
     lshAnnAt(s, d, lshPlanes(s, d))
 
+  /** Extra buckets probed per query by [[multiProbeAnn]]: the probe's
+    * own bucket plus this many one-bit flips.
+    */
+  final val MultiProbeFlips = 2
+
+  /** Multi-probe LSH ANN (Lv et al., VLDB 2007): besides the probe's
+    * own bucket, search the buckets reached by flipping the
+    * [[MultiProbeFlips]] hyperplane bits with the smallest |margin| —
+    * the planes the probe sits closest to, where its true neighbors
+    * most plausibly landed on the other side. The standard
+    * recall-recovery move for bucketed LSH WITHOUT growing the plane
+    * count or replicating the index: the corpus side stays exactly
+    * the single-probe shape (one bucket per vector, hash-partitioned
+    * on the bucket key), and only the ≤ probes × (flips+1) probe rows
+    * multiply — `sim_multiprobe_recall` is the audit table showing
+    * what the extra buckets buy against brute-force truth.
+    */
+  private def multiProbeAnn(s: SparkSession, d: String): DataFrame = {
+    val all = quantized(s, d)
+    val nP = lshPlanes(s, d)
+    val planes = all.filter(col("vec_id") < nP)
+      .select(col("vec_id").alias("pid"), col("q").alias("pq"))
+    val withBucket = all.crossJoin(broadcast(planes))
+      .withColumn("bit",
+        when(dot(col("q"), col("pq")) > 0,
+          pow(lit(2.0), col("pid")).cast(LongType)).otherwise(0L))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("bit")).alias("bucket"))
+      .join(all, "vec_id")
+    val base = withBucket.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").alias("qid"), col("bucket").alias("qb"),
+        col("q").alias("qq"), col("n2").alias("qn2"))
+    // the flips smallest-|margin| planes per probe (deterministic
+    // pid tie-break); tiny: probes × planes rows through the window
+    val wM = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("m").asc, col("pid").asc)
+    val flips = all.filter(col("vec_id") < NQueries)
+      .crossJoin(broadcast(planes))
+      .withColumn("m", abs(dot(col("q"), col("pq"))))
+      .withColumn("mr", row_number().over(wM))
+      .filter(col("mr") <= MultiProbeFlips)
+      .select(col("vec_id").alias("qid"), col("pid"))
+    val flipped = base.join(flips, "qid")
+      .select(col("qid"),
+        col("qb").bitwiseXOR(pow(lit(2.0), col("pid")).cast(LongType))
+          .alias("qb"),
+        col("qq"), col("qn2"))
+    // distinct buckets per probe by construction (each flip toggles a
+    // different bit), so a candidate joins at most once per probe
+    val probeBuckets = base.unionByName(flipped)
+    val scored = withBucket
+      .join(broadcast(probeBuckets),
+        col("bucket") === col("qb") && col("vec_id") =!= col("qid"))
+      .withColumn("cos",
+        cosine(dot(col("qq"), col("q")), col("qn2"), col("n2")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    scored
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= TopK)
+      .select(col("qid"), col("rk"), col("vec_id"), col("cos"))
+      .orderBy("qid", "rk")
+  }
+
   /** lshAnn at an explicit plane count — the sweep's leg builder. */
   private def lshAnnAt(s: SparkSession, d: String, nPlanes: Int)
       : DataFrame = {
@@ -1556,6 +1652,77 @@ object SimilarityQueries {
          |  FROM qn p JOIN qn v ON v.vec_id <> p.vec_id
          |  WHERE p.vec_id < $NQueries)
          |SELECT qid, rk, vec_id, dp, cos FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rk
+         |  FROM scored) t
+         |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin
+
+  private lazy val sqlLshAnn: String =
+      s"""WITH $sqlQuant,
+         |planes AS (SELECT vec_id AS pid, qv AS pq FROM qn
+         |           WHERE vec_id < $NPlanes),
+         |bucketed AS (
+         |  SELECT v.vec_id,
+         |    CAST(sum(CASE WHEN ${sqlDot("v.qv", "p.pq")} > 0
+         |      THEN (1 << p.pid) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM qn v CROSS JOIN planes p
+         |  GROUP BY v.vec_id),
+         |wb AS (SELECT b.vec_id, b.bucket, qn.qv, qn.n2
+         |       FROM bucketed b JOIN qn ON b.vec_id = qn.vec_id),
+         |scored AS (
+         |  SELECT p.vec_id AS qid, v.vec_id AS vec_id,
+         |    CAST(${sqlDot("p.qv", "v.qv")} AS BIGINT)
+         |      / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(v.n2 AS DOUBLE)))
+         |      AS cos
+         |  FROM (SELECT * FROM wb WHERE vec_id < $NQueries) p
+         |  JOIN wb v ON v.bucket = p.bucket AND v.vec_id <> p.vec_id)
+         |SELECT qid, rk, vec_id, cos FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rk
+         |  FROM scored) t
+         |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin
+
+  // the sim_lsh_ann derivation plus per-probe one-bit-flip buckets on
+  // the MultiProbeFlips smallest-|margin| planes
+  private lazy val sqlMultiProbeAnn: String =
+      s"""WITH $sqlQuant,
+         |planes AS (SELECT vec_id AS pid, qv AS pq FROM qn
+         |           WHERE vec_id < $NPlanes),
+         |bucketed AS (
+         |  SELECT v.vec_id,
+         |    CAST(sum(CASE WHEN ${sqlDot("v.qv", "p.pq")} > 0
+         |      THEN (1 << p.pid) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM qn v CROSS JOIN planes p
+         |  GROUP BY v.vec_id),
+         |wb AS (SELECT b.vec_id, b.bucket, qn.qv, qn.n2
+         |       FROM bucketed b JOIN qn ON b.vec_id = qn.vec_id),
+         |pm AS (
+         |  SELECT v.vec_id AS qid, p.pid,
+         |    abs(CAST(${sqlDot("v.qv", "p.pq")} AS BIGINT)) AS m
+         |  FROM qn v CROSS JOIN planes p
+         |  WHERE v.vec_id < $NQueries),
+         |fl AS (SELECT qid, pid FROM (
+         |    SELECT qid, pid, row_number() OVER (PARTITION BY qid
+         |      ORDER BY m ASC, pid ASC) AS rn FROM pm) t
+         |  WHERE rn <= $MultiProbeFlips),
+         |base AS (SELECT vec_id AS qid, bucket AS qb FROM bucketed
+         |         WHERE vec_id < $NQueries),
+         |pb AS (SELECT qid, qb FROM base
+         |       UNION ALL
+         |       SELECT b.qid, xor(b.qb, CAST(1 << f.pid AS BIGINT))
+         |       FROM base b JOIN fl f ON b.qid = f.qid),
+         |probe AS (SELECT vec_id, qv, n2 FROM qn
+         |          WHERE vec_id < $NQueries),
+         |scored AS (
+         |  SELECT pb.qid, v.vec_id,
+         |    CAST(${sqlDot("p.qv", "v.qv")} AS BIGINT)
+         |      / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(v.n2 AS DOUBLE)))
+         |      AS cos
+         |  FROM pb
+         |  JOIN wb v ON v.bucket = pb.qb
+         |  JOIN probe p ON p.vec_id = pb.qid
+         |  WHERE v.vec_id <> pb.qid)
+         |SELECT qid, rk, vec_id, cos FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
          |    ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rk
          |  FROM scored) t
@@ -2045,30 +2212,37 @@ object SimilarityQueries {
          |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin,
 
 
-    "sim_lsh_ann" ->
-      s"""WITH $sqlQuant,
-         |planes AS (SELECT vec_id AS pid, qv AS pq FROM qn
-         |           WHERE vec_id < $NPlanes),
-         |bucketed AS (
-         |  SELECT v.vec_id,
-         |    CAST(sum(CASE WHEN ${sqlDot("v.qv", "p.pq")} > 0
-         |      THEN (1 << p.pid) ELSE 0 END) AS BIGINT) AS bucket
-         |  FROM qn v CROSS JOIN planes p
-         |  GROUP BY v.vec_id),
-         |wb AS (SELECT b.vec_id, b.bucket, qn.qv, qn.n2
-         |       FROM bucketed b JOIN qn ON b.vec_id = qn.vec_id),
-         |scored AS (
-         |  SELECT p.vec_id AS qid, v.vec_id AS vec_id,
-         |    CAST(${sqlDot("p.qv", "v.qv")} AS BIGINT)
-         |      / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(v.n2 AS DOUBLE)))
-         |      AS cos
-         |  FROM (SELECT * FROM wb WHERE vec_id < $NQueries) p
-         |  JOIN wb v ON v.bucket = p.bucket AND v.vec_id <> p.vec_id)
-         |SELECT qid, rk, vec_id, cos FROM (
-         |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
-         |    ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rk
-         |  FROM scored) t
-         |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin,
+    "sim_lsh_ann" -> sqlLshAnn,
+
+    "sim_multiprobe_ann" -> sqlMultiProbeAnn,
+
+    // the three component pipelines as subquery CTEs, compared by
+    // two (qid, vec_id) semi-joins against the truth rows
+    "sim_multiprobe_recall" ->
+      s"""WITH truth AS (SELECT qid, vec_id FROM ($sqlCosineTopk) t0),
+         |single AS (SELECT qid, vec_id FROM ($sqlLshAnn) t1),
+         |multi AS (SELECT qid, vec_id FROM ($sqlMultiProbeAnn) t2),
+         |base AS (SELECT qid, CAST(count(*) AS BIGINT) AS k
+         |         FROM truth GROUP BY 1),
+         |hs AS (SELECT t.qid, CAST(count(*) AS BIGINT) AS hits_single
+         |       FROM truth t JOIN single s
+         |         ON t.qid = s.qid AND t.vec_id = s.vec_id
+         |       GROUP BY 1),
+         |hm AS (SELECT t.qid, CAST(count(*) AS BIGINT) AS hits_multi
+         |       FROM truth t JOIN multi m
+         |         ON t.qid = m.qid AND t.vec_id = m.vec_id
+         |       GROUP BY 1)
+         |SELECT b.qid, b.k,
+         |  CAST(coalesce(hs.hits_single, 0) AS BIGINT) AS hits_single,
+         |  CAST(coalesce(hm.hits_multi, 0) AS BIGINT) AS hits_multi,
+         |  CAST(coalesce(hs.hits_single, 0) * 1000000 // b.k AS BIGINT)
+         |    AS recall_single_ppm,
+         |  CAST(coalesce(hm.hits_multi, 0) * 1000000 // b.k AS BIGINT)
+         |    AS recall_multi_ppm
+         |FROM base b
+         |LEFT JOIN hs ON b.qid = hs.qid
+         |LEFT JOIN hm ON b.qid = hm.qid
+         |ORDER BY b.qid""".stripMargin,
 
     // same edge derivation; clamped seeds (vec_id % LpSeedMod == 0),
     // then LpIters unrolled majority-vote rounds (count desc, label

@@ -171,7 +171,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // crossJoin(broadcast(total)): a 1-row ground-truth total crossed
     // onto the 3-row per-plane-count result — both sides tiny by
     // construction, plus the inherited hyperplane broadcasts
-    "sim_planes_sweep")
+    "sim_planes_sweep",
+    // hyperplane broadcast (≤20 rows) + broadcast probe-bucket rows
+    // (probes × flips+1), both id-bounded by construction
+    "sim_multiprobe_ann",
+    // inherits all three component pipelines' plane/probe broadcasts
+    "sim_multiprobe_recall")
 
   test("no query plan contains a CartesianProduct") {
     plans.foreach { case (sf, n, p) =>
@@ -255,6 +260,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_ivf_ann", "sim_ivf_kmeans", "sim_lsh_ann", "sim_pq_ann",
     "sim_ivfpq_ann", "sim_recall_at_k", "tx_tfidf", "tx_source_cap",
     "tx_sample_weighted", "sim_knn_graph", "tx_langid_ngram",
+    "sim_multiprobe_ann", // top-k rerank + the flips-per-probe rank
+    "sim_multiprobe_recall", // inherits all three rank-limited legs
     "sim_knn_label", // majority-vote rn=1 pick over (src, label) votes
     "graph_label_prop", // per-round majority pick on the src key
     "sim_sq8_ann", // integer-dot shortlist + exact rerank windows
@@ -294,7 +301,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_nprobe_sweep", // id-bounded probes + kmeans seed broadcast
     "sim_label_purity", // kmeansCore's id-bounded seed broadcast
     "pipe_manifest", // inherits pipe_curate's staged-component hints
-    "sim_sq8_ann") // id-bounded probe codes / probe vectors
+    "sim_sq8_ann", // id-bounded probe codes / probe vectors
+    "sim_multiprobe_ann", // id-bounded plane + probe-bucket hints
+    "sim_multiprobe_recall") // inherits the component pipelines' hints
 
   test("broadcast hints only on aggregated or generated (tiny) sides") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
