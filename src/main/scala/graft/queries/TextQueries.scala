@@ -619,15 +619,16 @@ object TextQueries {
   private[queries] def posGrams(s: SparkSession, d: String): DataFrame =
     StagedIndex.orStage(s, "tx_pos_grams_v1_g16", d,
       Seq(s"$d/documents.parquet")) {
+      // single-pass fused expression (graft.functions.PosGramHashes)
+      // — hash-identical to the transform/slice/array_join/md5 HOF
+      // chain it replaced (PosGramHashesSpec pins the equivalence),
+      // at md5 speed instead of interpreter speed
       Tables.documents(s, d)
-        .select(col("doc_id"), w.alias("w"))
-        .filter(size(col("w")) >= 16)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(w) - 15), " +
-            "i -> struct(i AS p, array_join(slice(w, i, 16), ' ') AS g))"))
-          .alias("sg"))
-        .select(col("doc_id"), col("sg.p").cast(LongType).alias("p"),
-          DedupQueries.h60(col("sg.g")).alias("gh"))
+        .select(col("doc_id"),
+          explode(graft.functions.PosGramHashes(col("text"), 16))
+            .alias("sg"))
+        .select(col("doc_id"), col("sg.p").alias("p"),
+          col("sg.gh").alias("gh"))
     }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

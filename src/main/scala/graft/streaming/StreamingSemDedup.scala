@@ -35,6 +35,11 @@ object StreamingSemDedup {
   case class Vec(vec_id: Long, embedding: Array[Float])
   case class Bucketed(bucket: Long, vec_id: Long, q: Array[Long], n2: Long)
   case class SemPair(ida: Long, idb: Long, cos: Double)
+  /** Event-time variants: `ts` drives the watermark + bucket TTL. */
+  case class TimedVec(vec_id: Long, embedding: Array[Float],
+    ts: java.sql.Timestamp)
+  case class TimedBucketed(bucket: Long, vec_id: Long, q: Array[Long],
+    n2: Long, ts: java.sql.Timestamp)
 
   /** round-half-up(x·10⁴) per element — EXACTLY Catalyst's
     * `round(cast(x as double) * 10000, 0).cast(long)`: the float is
@@ -158,6 +163,96 @@ object StreamingSemDedup {
     }
     state.update(held)
     bucketTtl.foreach(state.setTimeoutDuration)
+    out.iterator
+  }
+
+  // ----------------------------------------------------------------
+  // Event-time variant: the TTL rides the watermark, so bucket
+  // eviction is driven by the data's own clock (reprocessing a
+  // backlog evicts identically) — the same discipline as
+  // StreamingNearDup's event-time twin; processing-time TTL ages
+  // state by wall clock even during catch-up.
+  // ----------------------------------------------------------------
+
+  /** vectors → bucketed rows carrying the event time. */
+  def bucketedTimed(vecs: Dataset[TimedVec],
+      planes: Seq[Array[Long]]): Dataset[TimedBucketed] = {
+    implicit val enc = Encoders.product[TimedBucketed]
+    vecs.map { v =>
+      val q = quantize(v.embedding)
+      TimedBucketed(bucketOf(q, planes), v.vec_id, q, dot(q, q), v.ts)
+    }
+  }
+
+  /** Event-time bucket state: held (id, q, n2) entries plus the
+    * newest event time the bucket has EVER seen — the TTL anchor
+    * must be the bucket's max, not the current batch's max, or a
+    * late (within-watermark) arrival would move the deadline EARLIER
+    * and prematurely evict state. Changing this class's shape breaks
+    * restart-from-checkpoint for running streams (state schema
+    * check); evolve only with a fresh checkpoint dir.
+    */
+  case class TimedBucket(held: List[(Long, Array[Long], Long)], maxTs: Long)
+
+  /** Event-time twin of [[candidatePairs]]: buckets idle past
+    * `bucketTtlMs` in EVENT time (watermarked by `watermarkDelay`)
+    * are dropped. Same pairing semantics.
+    */
+  def candidatePairsEventTime(
+      vecs: Dataset[TimedVec],
+      planes: Seq[Array[Long]],
+      minCos: Double = 0.35,
+      maxPerBucket: Int = 256,
+      bucketTtlMs: Long = 3600L * 1000,
+      watermarkDelay: String = "10 minutes"): Dataset[SemPair] = {
+    import vecs.sparkSession.implicits._
+    bucketedTimed(vecs, planes)
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        matchBucketEventTime(minCos, maxPerBucket, bucketTtlMs))
+  }
+
+  /** Event-time bucket update: state times out when the watermark
+    * passes (newest event this bucket has ever seen) + TTL.
+    */
+  def matchBucketEventTime(minCos: Double, maxPerBucket: Int,
+      bucketTtlMs: Long)(
+      key: Long,
+      rows: Iterator[TimedBucketed],
+      state: GroupState[TimedBucket]): Iterator[SemPair] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
+    val prev = state.getOption.getOrElse(TimedBucket(Nil, Long.MinValue))
+    var held = prev.held
+    var maxTs = prev.maxTs
+    val out = scala.collection.mutable.ListBuffer.empty[SemPair]
+    rows.foreach { v =>
+      if (v.ts.getTime > maxTs) maxTs = v.ts.getTime
+      if (!held.exists(_._1 == v.vec_id)) {
+        held.foreach { case (otherId, otherQ, otherN2) =>
+          if (v.n2 > 0 && otherN2 > 0) {
+            val cos = dot(v.q, otherQ) /
+              (math.sqrt(v.n2.toDouble) * math.sqrt(otherN2.toDouble))
+            if (cos >= minCos) {
+              out += (if (otherId < v.vec_id)
+                SemPair(otherId, v.vec_id, cos)
+              else SemPair(v.vec_id, otherId, cos))
+            }
+          }
+        }
+        held = ((v.vec_id, v.q, v.n2) :: held).take(maxPerBucket)
+      }
+    }
+    state.update(TimedBucket(held, maxTs))
+    // Never set a timeout at/below the current watermark (Spark
+    // rejects it): an already-expired deadline fires at watermark+1.
+    val floor = state.getCurrentWatermarkMs() + 1
+    if (maxTs != Long.MinValue)
+      state.setTimeoutTimestamp(math.max(maxTs + bucketTtlMs, floor))
     out.iterator
   }
 }

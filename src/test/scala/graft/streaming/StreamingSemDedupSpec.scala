@@ -113,6 +113,61 @@ class StreamingSemDedupSpec extends AnyFunSuite {
     assert(pairs.contains((24L, 27L)))
   }
 
+  test("event-time variant: pairs inside the TTL; watermark evicts idle buckets") {
+    import spark.implicits._
+    import graft.streaming.StreamingSemDedup.TimedVec
+    implicit val sqlCtx = spark.sqlContext
+    // sign-controlled vectors: the `vec()` corpus is all-positive, so
+    // under any plane every vector shares ONE bucket and a
+    // watermark-advancing filler would refresh that bucket's TTL
+    // anchor forever. Build explicit planes (e0, e1) and two
+    // DISJOINT buckets: the a-family (x>0, y<0 → bucket 1) under
+    // test, and w-family fillers (x<0, y>0 → bucket 2) that advance
+    // the watermark without touching the a-bucket's state.
+    def emb(vals: Double*): Array[Float] = {
+      val a = Array.fill(Dim)(0f)
+      vals.zipWithIndex.foreach { case (v, i) => a(i) = v.toFloat }
+      a
+    }
+    val planes = Seq(
+      StreamingSemDedup.quantize(emb(1.0)),
+      StreamingSemDedup.quantize(emb(0.0, 1.0)))
+    val a1 = emb(1.0, -1.0)
+    val a2 = emb(0.9, -0.9, 0.1)
+    val a3 = emb(1.1, -1.1, 0.05)
+    val w1 = emb(-1.0, 1.0)
+    val w2 = emb(-0.9, 0.95)
+    val t0 = 1000000L // offset: rows at/below initial watermark drop as late
+    def t(ms: Long) = new java.sql.Timestamp(t0 + ms)
+    val in = MemoryStream[TimedVec]
+    val q = StreamingSemDedup.candidatePairsEventTime(in.toDS(), planes,
+      minCos = 0.9, maxPerBucket = 8, bucketTtlMs = 1000L,
+      watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("semdedup_et")
+      .outputMode("append").start()
+    try {
+      in.addData(TimedVec(1L, a1, t(0L)))
+      q.processAllAvailable()
+      in.addData(TimedVec(2L, a2, t(500L))) // inside TTL → pairs
+      q.processAllAvailable()
+      assert(spark.table("semdedup_et").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+      // advance the watermark far past the a-bucket's deadline from
+      // the other bucket, let the timeout batch fire, then a fresh
+      // near-dup of a1 finds its bucket empty: no new a-pair
+      in.addData(TimedVec(100L, w1, t(100000L)))
+      q.processAllAvailable()
+      in.addData(TimedVec(101L, w2, t(100001L)))
+      q.processAllAvailable()
+      in.addData(TimedVec(3L, a3, t(100002L)))
+      q.processAllAvailable()
+      val pairs = spark.table("semdedup_et").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+        s"evicted state must not pair with vector 3, got $pairs")
+    } finally q.stop()
+  }
+
   test("identical pairs under the RocksDB state store") {
     val RocksDb =
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
