@@ -67,6 +67,40 @@ class StagedIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("df-cap knob stages the posting-pair artifact under a distinct name") {
+    withStageDir {
+      val d = "/root/testdata/sf0.001"
+      DedupQueries.queries("dd_ngram_jaccard")(spark, d).count()
+      spark.conf.set("graft.dedup.maxShingleDf", "8")
+      try DedupQueries.queries("dd_ngram_jaccard")(spark, d).count()
+      finally spark.conf.unset("graft.dedup.maxShingleDf")
+      val names = StagedIndex.stagedNames(spark, d)
+      // two caps → two independent artifacts; a tuned session can
+      // never scan the other cap's pair set
+      assert(names.exists(_.matches("dd_capped_common_v1_[0-9a-f]+_df64")),
+        s"default-cap stage missing in $names")
+      assert(names.exists(_.matches("dd_capped_common_v1_[0-9a-f]+_df8")),
+        s"tuned-cap stage missing in $names")
+    }
+  }
+
+  test("cell-count knob stages the k-means core under a distinct name") {
+    withStageDir {
+      val d = "/root/testdata/sf0.001"
+      spark.conf.set("graft.kmeans.cells", "4")
+      try SimilarityQueries.queries("dd_semdedup")(spark, d).count()
+      finally spark.conf.unset("graft.kmeans.cells")
+      spark.conf.set("graft.kmeans.cells", "16")
+      try SimilarityQueries.queries("dd_semdedup")(spark, d).count()
+      finally spark.conf.unset("graft.kmeans.cells")
+      val names = StagedIndex.stagedNames(spark, d)
+      assert(names.contains("sim_kmeans_cents_c4_v1") &&
+        names.contains("sim_kmeans_assign_c4_v1"), s"c4 stages missing in $names")
+      assert(names.contains("sim_kmeans_cents_c16_v1") &&
+        names.contains("sim_kmeans_assign_c16_v1"), s"c16 stages missing in $names")
+    }
+  }
+
   test("graft.stage.dir=off falls back to the in-session memo") {
     spark.conf.set("graft.stage.dir", "off")
     try {
