@@ -141,7 +141,8 @@ object BenchExpect {
     "sim_mrl_ann" -> 0.5,
     "sim_label_centroids" -> 0.6,
     "pipe_curriculum" -> 1.1, // staged deciles + global rank (r7)
-    "pipe_dsir" -> 2.8,
+    "pipe_dsir" -> 1.2, // staged dsir scores (r8); was 2.8
+    "tx_dsir" -> 0.8, // staged dsir scores (r8)
     "pipe_datacard" -> 1.2, // pipe_report re-agg, staged verdicts
     "tx_pack_stats" -> 0.9,
     "tx_repetition" -> 1.0,

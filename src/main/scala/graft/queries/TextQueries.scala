@@ -194,12 +194,20 @@ object TextQueries {
         lit(defaultPpm)))
   }
 
-  private[queries] def dsirScores(s: SparkSession, d: String): DataFrame = {
-    val (ratio, _) = dsirRatio(Tables.documents(s, d))
-    dsirBk(Tables.documents(s, d))
-      .join(broadcast(ratio), "bkt")
-      .groupBy("doc_id").agg(sum(col("ppm")).alias("score_ppm"))
-  }
+  /** Staged per snapshot: the per-token hash pass behind the score
+    * is the expensive half and BOTH dsir consumers (tx_dsir's top-k,
+    * pipe_dsir's resampling audit) re-ran it per query. One
+    * (doc_id, score_ppm) row per document — the canonical staged
+    * artifact shape; the bucket count is in the name.
+    */
+  private[queries] def dsirScores(s: SparkSession, d: String): DataFrame =
+    StagedIndex.orStage(s, s"tx_dsir_scores_v1_b$DsirB", d,
+      Seq(s"$d/documents.parquet")) {
+      val (ratio, _) = dsirRatio(Tables.documents(s, d))
+      dsirBk(Tables.documents(s, d))
+        .join(broadcast(ratio), "bkt")
+        .groupBy("doc_id").agg(sum(col("ppm")).alias("score_ppm"))
+    }
 
   /** Oracle twin of [[dsirScores]]: DuckDB CTE block (spliced right
     * after WITH) ending in `scored(doc_id, score_ppm)`.
@@ -816,6 +824,11 @@ object TextQueries {
     // quadratic. novel_ppm is a floored integer ratio, docs shorter
     // than 3 words take the zero-gram left-join branch.
     "tx_novelty" -> ((s, d) => {
+      // NOT rewired to the staged shingle index: measured slower
+      // (2.16 s vs 1.6 s at sf0.1) — WordShingles is a tight custom
+      // expression, and scanning + exploding the staged string arrays
+      // costs more than re-deriving them; the stage pays off only for
+      // consumers that would otherwise run the interpreted HOF chain
       val grams = Tables.documents(s, d)
         .select(col("doc_id"),
           explode(graft.functions.WordShingles(col("text"), 3)).alias("g"))
