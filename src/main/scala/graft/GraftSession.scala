@@ -31,6 +31,12 @@ object GraftSession {
       // (8*k bytes), so a high threshold is safe.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         (1 << 22).toString)
+      // count/min/max over a bare parquet scan answer from footer
+      // statistics instead of reading pages — this is what makes the
+      // derived-geometry corpus count (SimilarityQueries.embCount,
+      // one count() per session per input) a metadata operation at
+      // 100 TB rather than a full scan
+      .config("spark.sql.parquet.aggregatePushdown", "true")
 
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
     val s = builder(cpus).getOrCreate()
