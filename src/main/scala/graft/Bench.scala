@@ -169,6 +169,7 @@ object BenchExpect {
     "mm_hamming_hist" -> 0.5, // staged pair table rollup (r8)
     "sim_nprobe_sweep" -> 2.0, // 3 ivf legs on staged core + truth (r8)
     "sim_multiprobe_ann" -> 1.4, // bucket + flip-bucket rerank (r8)
+    "sim_pq_code_balance" -> 1.3, // PQ encode + 32-row roll-up (r8)
     "sim_multiprobe_recall" -> 2.0, // 3 component legs + semi-joins (r8)
     "dd_sketch_error" -> 1.8, // staged capped-common + staged sigs (r8)
     "rel_rank_stats" -> 1.0, // custkey agg + GroupRank derivations

@@ -486,6 +486,27 @@ object SimilarityQueries {
     // final cosine, so the oracle replays it exactly.
     "sim_pq_ann" -> (pqAnn(_, _)),
 
+    // PQ codebook health: per (subspace, code) population and
+    // within-subspace share — the sim_centroid_balance twin for the
+    // product-quantizer. A code soaking up most of its subspace
+    // means the sub-centroids don't span the data (ADC distances
+    // collapse, recall dies quietly); this is the table to read
+    // before trusting sim_pq_ann/sim_ivfpq_ann shortlists at a new
+    // scale. Scale shape: the encode is the audited PQ shape
+    // (broadcast codebook, per-(vector, subspace) rank-1 window);
+    // everything after is a PqM×NCentroids-row roll-up.
+    "sim_pq_code_balance" -> ((s, d) => {
+      val (codes, _) = pqCodesLut(s, d)
+      val pop = codes.groupBy("m", "cid")
+        .agg(count(lit(1)).alias("n_vecs"))
+      val tot = pop.groupBy("m").agg(sum("n_vecs").alias("mtot"))
+      pop.join(tot, "m")
+        .select(col("m").cast(LongType).alias("m"), col("cid"),
+          col("n_vecs"),
+          expr("n_vecs * 1000000 div mtot").alias("share_ppm"))
+        .orderBy("m", "cid")
+    }),
+
     "sim_ivfpq_ann" -> (ivfPqAnn(_, _)),
 
     // Matryoshka two-stage retrieval (Kusupati et al. 2022,
@@ -1934,6 +1955,35 @@ object SimilarityQueries {
          |    ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rk
          |  FROM reranked) t
          |WHERE rk <= $TopK ORDER BY qid, rk""".stripMargin,
+
+    // the sim_pq_ann encode CTEs, rolled up per (subspace, code)
+    "sim_pq_code_balance" ->
+      s"""WITH $sqlQuant,
+         |sub AS (
+         |  SELECT vec_id, t.m,
+         |    qv[CAST(t.m * $PqSubDim + 1 AS INTEGER):
+         |       CAST((t.m + 1) * $PqSubDim AS INTEGER)] AS sv
+         |  FROM qn, UNNEST(range(0, $PqM)) t(m)),
+         |cb AS (
+         |  SELECT m, vec_id AS cid, sv AS cq,
+         |    list_sum(list_transform(sv, x -> x * x)) AS cn2
+         |  FROM sub WHERE vec_id < $NCentroids),
+         |codes AS (
+         |  SELECT vec_id, m, cid FROM (
+         |    SELECT s.vec_id, s.m, c.cid,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.m
+         |        ORDER BY list_sum(list_transform(s.sv, x -> x * x)) + c.cn2
+         |          - 2 * ${sqlDotSub("s.sv", "c.cq")} ASC, c.cid ASC) AS rn
+         |    FROM sub s JOIN cb c ON s.m = c.m) t
+         |  WHERE rn = 1),
+         |pop AS (SELECT m, cid, CAST(count(*) AS BIGINT) AS n_vecs
+         |        FROM codes GROUP BY 1, 2),
+         |tot AS (SELECT m, CAST(sum(n_vecs) AS BIGINT) AS mtot
+         |        FROM pop GROUP BY 1)
+         |SELECT CAST(p.m AS BIGINT) AS m, p.cid, p.n_vecs,
+         |  CAST(p.n_vecs * 1000000 // t.mtot AS BIGINT) AS share_ppm
+         |FROM pop p JOIN tot t ON p.m = t.m
+         |ORDER BY m, p.cid""".stripMargin,
 
     // IVF-PQ: sim_ivf_ann's cell assignment restricts sim_pq_ann's
     // ADC scoring to cell-mates; shortlist/rerank tail identical.

@@ -258,6 +258,7 @@ class PlanAuditSpec extends AnyFunSuite {
   private val rankLimited = Set("rel_topk",
     "rel_window_nav", "sim_cosine_topk", "sim_filtered_ann",
     "sim_ivf_ann", "sim_ivf_kmeans", "sim_lsh_ann", "sim_pq_ann",
+    "sim_pq_code_balance", // the PQ encode's rank-1 window
     "sim_ivfpq_ann", "sim_recall_at_k", "tx_tfidf", "tx_source_cap",
     "tx_sample_weighted", "sim_knn_graph", "tx_langid_ngram",
     "sim_multiprobe_ann", // top-k rerank + the flips-per-probe rank
@@ -303,7 +304,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "pipe_manifest", // inherits pipe_curate's staged-component hints
     "sim_sq8_ann", // id-bounded probe codes / probe vectors
     "sim_multiprobe_ann", // id-bounded plane + probe-bucket hints
-    "sim_multiprobe_recall") // inherits the component pipelines' hints
+    "sim_multiprobe_recall", // inherits the component pipelines' hints
+    "sim_pq_code_balance") // id-bounded sub-codebook broadcast
 
   test("broadcast hints only on aggregated or generated (tiny) sides") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
