@@ -53,12 +53,17 @@ object DedupQueries {
   final val As: Seq[Long] = (1 to K).map(i => (2L * i * i * 7919L + 1L) % P)
   final val Bs: Seq[Long] = (1 to K).map(i => (3L * i * 104729L + 7L) % P)
 
-  /** Stage-name fingerprint: any change to the MinHash constants (or
-    * the shingle width baked into the names below) changes the staged
-    * path, so a stale stage can never be read back as current.
+  /** Stage-name fingerprint: any change to the MinHash constants, the
+    * shingle width, the band geometry, or the verify threshold changes
+    * the staged path, so a stale stage can never be read back as
+    * current. Bands/RowsPerBand/VerifyAgree belong here because the
+    * staged candidate/verified-pair and component-label artifacts bake
+    * those knobs into their row sets (they are compile-time constants,
+    * so referencing them ahead of their declaration is safe).
     */
   private val StageFp: String = {
-    val spec = s"$K|$P|${As.mkString(",")}|${Bs.mkString(",")}|sh3"
+    val spec = s"$K|$P|${As.mkString(",")}|${Bs.mkString(",")}|sh3" +
+      s"|b${Bands}x$RowsPerBand|va$VerifyAgree"
     java.security.MessageDigest.getInstance("MD5")
       .digest(spec.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
   }
@@ -231,6 +236,41 @@ object DedupQueries {
       .distinct()
   }
 
+  /** LSH candidate pairs WITH their signature agreement
+    * (ida < idb, agree of K) — staged once per snapshot. This is the
+    * shared spine of the MinHash family: dd_minhash_lsh reports it
+    * verbatim (+ the estimated Jaccard), dd_dedup_verdict and
+    * dd_cross_dedup filter it at [[VerifyAgree]], dd_sketch_error
+    * scores it against the exact capped intersection. Unstaged, each
+    * consumer re-ran the band self-join + two signature joins per
+    * query; staged, the steady state is a scan of O(candidate pairs)
+    * rows. The stage name carries [[StageFp]] (constants, band
+    * geometry, verify threshold), so retuning any knob restages.
+    */
+  private def lshAgreePairs(s: SparkSession, d: String): DataFrame =
+    StagedIndex.orStage(s, s"dd_lsh_pairs_v1_$StageFp", d, docsInput(d)) {
+      val sig = signatures(s, d)
+      val sigArr = array((0 until K).map(i => col(s"m$i")): _*)
+      val sa = sig.select(col("doc_id").alias("ida"), sigArr.alias("siga"))
+      val sb = sig.select(col("doc_id").alias("idb"), sigArr.alias("sigb"))
+      candidatePairs(s, d).join(sa, "ida").join(sb, "idb")
+        .withColumn("agree",
+          size(filter(zip_with(col("siga"), col("sigb"),
+            (x, y) => x === y), b => b)).cast(LongType))
+        .select(col("ida"), col("idb"), col("agree"))
+    }
+
+  /** Per-document full-content hash (doc_id, k = md5(text)) — the
+    * exact-dedup tier's key table, staged so cross-snapshot runs
+    * never re-read the text column (the corpus's widest) just to
+    * re-hash unchanged content. O(docs) rows of 32-char digests.
+    */
+  private def contentKeys(s: SparkSession, d: String): DataFrame =
+    StagedIndex.orStage(s, "dd_content_keys_v1", d, docsInput(d)) {
+      Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).alias("k"))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-group on a normalized key (5-token prefix);
     // one row per retained (min-id) document.
@@ -298,23 +338,14 @@ object DedupQueries {
     // signature-agreement fraction estimates Jaccard. This is the
     // shape that scales: band keys shuffle-partition evenly and no
     // full self-join ever happens.
-    "dd_minhash_lsh" -> ((s, d) => {
-      val sig = signatures(s, d)
-      val cand = candidatePairs(s, d)
-      val sa = sig.select(
-        col("doc_id").alias("ida"),
-        array((0 until K).map(i => col(s"m$i")): _*).alias("siga"))
-      val sb = sig.select(
-        col("doc_id").alias("idb"),
-        array((0 until K).map(i => col(s"m$i")): _*).alias("sigb"))
-      cand.join(sa, "ida").join(sb, "idb")
-        .withColumn("agree",
-          size(filter(zip_with(col("siga"), col("sigb"),
-            (x, y) => x === y), b => b)).cast(LongType))
+    "dd_minhash_lsh" -> ((s, d) =>
+      // candidate gen + signature verify live in the staged
+      // lshAgreePairs artifact (shared with dd_dedup_verdict /
+      // dd_cross_dedup / dd_sketch_error); this query is its report
+      lshAgreePairs(s, d)
         .select(col("ida"), col("idb"), col("agree"),
           (col("agree") / lit(K.toLong)).alias("est_jaccard"))
-        .orderBy("ida", "idb")
-    }),
+        .orderBy("ida", "idb")),
 
     // Sketch-calibration histogram: |minhash-estimated − exact|
     // Jaccard error over the LSH candidate pairs, in 5%-wide buckets
@@ -331,7 +362,9 @@ object DedupQueries {
     // candidates that collide in a band WITHOUT sharing a (surviving)
     // shingle take the zero-overlap left-join branch.
     "dd_sketch_error" -> ((s, d) => {
-      val est = queries("dd_minhash_lsh")(s, d)
+      // the staged pair spine directly (dd_minhash_lsh minus its
+      // report-only ORDER BY — no sort feeding an aggregation)
+      val est = lshAgreePairs(s, d)
         .select(col("ida"), col("idb"), col("agree"))
       val sizes = cappedSizes(s, d)
       val common = cappedCommon(s, d)
@@ -529,12 +562,38 @@ object DedupQueries {
     // everything already kept, not against itself). Exact tier:
     // byte-identical content hash. Near tier: LSH band-key join
     // new→old, signature-agreement verify (≥31/32). Verdict per new
-    // doc: 'exact' | 'near' | 'keep'. Scale shape: both tiers are
-    // hash-partitioned equi-joins; the old side never re-shuffles
-    // per snapshot when its band index is staged (it is — the sig
-    // argument reads the staged signature parquet).
-    "dd_cross_dedup" -> ((s, d) =>
-      crossDedup(Tables.documents(s, d), signatures(s, d))),
+    // doc: 'exact' | 'near' | 'keep'. Scale shape: both tiers ride
+    // staged artifacts — the exact tier joins the staged content-key
+    // table (never re-reads text), and the near tier is a FILTER of
+    // the staged verified-pair table (parity-mixed pairs at agree ≥
+    // VerifyAgree), because "new doc collides with an old doc in some
+    // band and verifies" is exactly an lshAgreePairs row with one odd
+    // and one even id. The unstaged equivalent (crossDedup, the
+    // spec-driven core) computes the identical rows from scratch.
+    "dd_cross_dedup" -> ((s, d) => {
+      val keyed = contentKeys(s, d)
+      val exactHits = keyed.filter(col("doc_id") % 2 === 1)
+        .join(keyed.filter(col("doc_id") % 2 === 0)
+          .select(col("k")).distinct(), Seq("k"), "left_semi")
+        .select(col("doc_id")).distinct()
+      val nearHits = lshAgreePairs(s, d)
+        .filter(col("agree") >= VerifyAgree &&
+          (col("ida") + col("idb")) % 2 === 1) // exactly one side odd
+        .select(when(col("ida") % 2 === 1, col("ida"))
+          .otherwise(col("idb")).alias("doc_id"))
+        .distinct()
+      Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") % 2 === 1)
+        .join(exactHits.withColumn("is_exact", lit(true)),
+          Seq("doc_id"), "left")
+        .join(nearHits.withColumn("is_near", lit(true)),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("is_exact"), "exact")
+            .when(col("is_near"), "near")
+            .otherwise("keep").alias("verdict"))
+        .orderBy("doc_id")
+    }),
 
     // The end-to-end dedup operator a training-data pipeline actually
     // runs: LSH candidate generation → signature-agreement VERIFY
@@ -553,18 +612,12 @@ object DedupQueries {
       // one left join of the id universe against the label table
       val labels = StagedIndex.orStage(s,
         s"dd_verdict_labels_v1_$StageFp", d, docsInput(d)) {
-        val sig = signatures(s, d)
-        val sigArr = array((0 until K).map(i => col(s"m$i")): _*)
-        val sa = sig.select(col("doc_id").alias("ida"), sigArr.alias("siga"))
-        val sb = sig.select(col("doc_id").alias("idb"), sigArr.alias("sigb"))
-        val edges = candidatePairs(s, d)
-          .join(sa, "ida").join(sb, "idb")
-          .withColumn("agree",
-            size(filter(zip_with(col("siga"), col("sigb"),
-              (x, y) => x === y), b => b)))
-          .filter(col("agree") >= VerifyAgree)
-          .select(col("ida").alias("src"), col("idb").alias("dst"))
-        connectedComponents(edges)
+        // candidate gen + verify come from the staged lshAgreePairs
+        // spine; only the star contraction is built here
+        connectedComponents(
+          lshAgreePairs(s, d)
+            .filter(col("agree") >= VerifyAgree)
+            .select(col("ida").alias("src"), col("idb").alias("dst")))
       }
       Tables.documents(s, d).select(col("doc_id"))
         .join(labels, col("doc_id") === col("id"), "left")

@@ -89,7 +89,10 @@ object MultimodalQueries {
     */
   private def mediaLabels(s: SparkSession, d: String): DataFrame = {
     val dec = s.conf.get("graft.media.decoder", "stub")
-    StagedIndex.orStage(s, s"mm_dedup_labels_${dec}_v1", d,
+    // knob-in-name: the edge set depends on MmHamThresh, so the
+    // threshold lives in the stage name — retuning it across builds
+    // sharing a stage dir restages instead of reading stale labels
+    StagedIndex.orStage(s, s"mm_dedup_labels_${dec}_h${MmHamThresh}_v1", d,
       Seq(s"$d/documents.parquet")) {
       DedupQueries.connectedComponents(
         phashPairs(s, d)

@@ -101,6 +101,15 @@ object SimilarityQueries {
     embCountMemo.getOrElseUpdate((s, d), Tables.embeddings(s, d).count())
   }
 
+  /** Drop the memoized corpus counts. Called by
+    * [[StagedIndex.refreshTokens]]: after an in-place rewrite of
+    * embeddings.parquet the derived lsh.planes / kmeans.cells (and the
+    * plane/cell-suffixed stage names they feed) must re-derive from
+    * the NEW count — the same staleness class refreshTokens already
+    * clears for the BPE frame memo.
+    */
+  private[queries] def clearEmbCountMemo(): Unit = embCountMemo.clear()
+
   /** Hyperplane-count knob (`graft.lsh.planes`; unset ⇒ derived from
     * the corpus count, see [[derivedPlanes]] — the oracle replays
     * [[NPlanes]], which Verify pins). Raising it leaves every plan

@@ -61,6 +61,10 @@ object StagedIndex {
   def refreshTokens(): Unit = {
     tokenCache.clear()
     TextQueries.clearBpeMemo()
+    // same staleness class for the derived-geometry corpus counts:
+    // lsh.planes / kmeans.cells (and the plane/cell-suffixed stage
+    // names) must re-derive after an in-place embeddings rewrite
+    SimilarityQueries.clearEmbCountMemo()
   }
 
   private def contentToken(s: SparkSession, inputs: Seq[String]): String = {
