@@ -305,8 +305,12 @@ object Bench {
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BUDGET_SEC", "450").toLong
     // Reserve a slice of the budget for the streaming-runtime
     // throughput measurements after the sweeps (envelope + snapshot,
-    // each under the default AND RocksDB state-store providers).
-    val sweepBudget = math.max(60L, budgetSec - 90L)
+    // each under the default AND RocksDB state-store providers). The
+    // streaming block runs under its OWN wall-clock budget (below),
+    // so the reserve is a target, not a hope: a stuck provider skips
+    // remaining passes instead of running out the per-pass caps.
+    val streamReserveSec = 150L
+    val sweepBudget = math.max(60L, budgetSec - streamReserveSec)
     val tStart = System.nanoTime()
     def elapsedSec = (System.nanoTime() - tStart) / 1e9
     val maxSweeps = sys.env.getOrElse("SPARK_GRAFT_SWEEPS", "99").toInt
@@ -363,14 +367,23 @@ object Bench {
     }.getOrElse(-1L)
     // The same envelope measured on the actual streaming runtime
     // (replay source → EnvelopeTransform → noop streaming sink),
-    // under both state-store providers (the envelope is stateless, so
-    // the two must agree — pinned by reporting both), plus the
-    // state-store-BOUND figure: the StreamingSnapshot keyed upsert,
-    // where RocksDB vs default heap is a real cost difference.
-    val streamEps = BenchStreaming.envelopeEventsPerSec(spark)
-    val streamEpsRocks = BenchStreaming.envelopeEventsPerSecRocksDb(spark)
-    val snapEps = BenchStreaming.snapshotEventsPerSecDefault(spark)
-    val snapEpsRocks = BenchStreaming.snapshotEventsPerSecRocksDb(spark)
+    // under both state-store providers. The envelope is stateless, so
+    // the two must agree — ENFORCED by envelopeFigurePair (the lower
+    // side re-measures on >1.5× disagreement; the r8 artifact shipped
+    // a contention-corrupted 82k sample because the invariant was
+    // only reported, not acted on). Plus the state-store-BOUND
+    // figure: the StreamingSnapshot keyed upsert, where RocksDB vs
+    // default heap is a real cost difference. The whole block runs
+    // under a wall-clock budget = what remains of the total (floor
+    // 90 s): passes skip when it exhausts.
+    val streamBudget = new BenchStreaming.WallBudget(
+      math.max(90L, budgetSec - elapsedSec.toLong))
+    val (streamEps, streamEpsRocks) =
+      BenchStreaming.envelopeFigurePair(spark, budget = streamBudget)
+    val snapEps =
+      BenchStreaming.snapshotEventsPerSecDefault(spark, streamBudget)
+    val snapEpsRocks =
+      BenchStreaming.snapshotEventsPerSecRocksDb(spark, streamBudget)
     val stagedJson = stagedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"capped":$cappedFinal,"sweeps":$sweep,"stage_build_sec":$stageBuildSec,"staged":$stagedJson,"envelope_events_per_sec":$eventsPerSec,"streaming_envelope_events_per_sec":$streamEps,"streaming_envelope_events_per_sec_rocksdb":$streamEpsRocks,"streaming_snapshot_events_per_sec":$snapEps,"streaming_snapshot_events_per_sec_rocksdb":$snapEpsRocks,"sf":"$sfDir"}"""
     println(line)

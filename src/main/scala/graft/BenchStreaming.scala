@@ -17,6 +17,22 @@ import graft.sources.ChangeEventReplaySource
   */
 object BenchStreaming {
 
+  /** Wall-clock budget for the post-sweep streaming block: passes
+    * check `exhausted` before starting and shrink their watchdog cap
+    * to what remains, so a slow or stuck state-store provider skips
+    * remaining passes instead of blowing past SPARK_GRAFT_BUDGET_SEC
+    * (the reserve used to assume ~90 s for what is worst-case many
+    * minutes of per-pass caps).
+    */
+  final class WallBudget(totalSec: Long) {
+    private val t0 = System.nanoTime()
+    def remainingSec: Long = totalSec - ((System.nanoTime() - t0) / 1e9).toLong
+    def exhausted: Boolean = remainingSec <= 0
+  }
+
+  /** No-deadline budget for ad-hoc callers. */
+  def unbounded: WallBudget = new WallBudget(Long.MaxValue / 4)
+
   /** Ad-hoc: `runMain graft.BenchStreaming [nEvents]`. */
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local()
@@ -122,11 +138,22 @@ object BenchStreaming {
   def envelopeEventsPerSec(
       spark: SparkSession,
       n: Int = sys.env.getOrElse("SPARK_GRAFT_STREAM_EVENTS", "300000").toInt,
-      capSec: Long = 60L): Long = {
+      capSec: Long = 60L,
+      budget: WallBudget = unbounded): Long = {
     val fixture = s"bench-stream-${System.nanoTime()}"
     val opts = ChangeEventReplaySource.register(fixture, syntheticEvents(n))
-    try (1 to 3).map(_ => onePass(spark, opts, n, capSec)).max
-    finally ChangeEventReplaySource.unregister(fixture)
+    try {
+      var best = -1L
+      var p = 0
+      // pass 0 always runs (every figure needs >= 1 sample); later
+      // passes only with budget left, each capped to what remains
+      while (p < 3 && (p == 0 || !budget.exhausted)) {
+        val cap = math.max(15L, math.min(capSec, budget.remainingSec))
+        best = math.max(best, onePass(spark, opts, n, cap))
+        p += 1
+      }
+      best
+    } finally ChangeEventReplaySource.unregister(fixture)
   }
 
   private val RocksDb =
@@ -161,8 +188,55 @@ object BenchStreaming {
   def envelopeEventsPerSecRocksDb(
       spark: SparkSession,
       n: Int = sys.env.getOrElse("SPARK_GRAFT_STREAM_EVENTS", "300000").toInt,
-      capSec: Long = 60L): Long =
-    withProvider(spark, Some(RocksDb))(envelopeEventsPerSec(spark, n, capSec))
+      capSec: Long = 60L,
+      budget: WallBudget = unbounded): Long =
+    withProvider(spark, Some(RocksDb))(
+      envelopeEventsPerSec(spark, n, capSec, budget))
+
+  /** The two figures must agree within this factor — the envelope
+    * path is stateless, so any larger gap is a measurement artifact
+    * (host contention), never a real provider cost.
+    */
+  private val StatelessAgreeRatio = 1.5
+
+  private def disagree(a: Long, b: Long): Boolean =
+    a > 0 && b > 0 &&
+      math.max(a, b).toDouble / math.min(a, b) > StatelessAgreeRatio
+
+  /** BOTH stateless envelope figures (default store, RocksDB) with
+    * the must-agree invariant ENFORCED, not just reported: the
+    * envelope path instantiates no state store, so the two numbers
+    * measure the same code and must track each other. When they
+    * disagree by more than [[StatelessAgreeRatio]], the LOWER side is
+    * re-measured (another best-of-3) up to 3 times — the r8 artifact
+    * shipped an 82k default-store sample against 195k RocksDB because
+    * the dual-reporting design caught the contention-corrupted sample
+    * but nothing acted on the catch. Returns (default, rocksdb).
+    */
+  def envelopeFigurePair(
+      spark: SparkSession,
+      n: Int = sys.env.getOrElse("SPARK_GRAFT_STREAM_EVENTS", "300000").toInt,
+      capSec: Long = 60L,
+      budget: WallBudget = unbounded): (Long, Long) = {
+    var dflt = envelopeEventsPerSec(spark, n, capSec, budget)
+    var rocks = envelopeEventsPerSecRocksDb(spark, n, capSec, budget)
+    var retries = 0
+    while (retries < 3 && disagree(dflt, rocks) && !budget.exhausted) {
+      System.err.println(s"[bench] stateless envelope figures disagree " +
+        s"($dflt vs $rocks ev/s) — re-measuring the lower side")
+      if (dflt < rocks)
+        dflt = math.max(dflt, envelopeEventsPerSec(spark, n, capSec, budget))
+      else
+        rocks = math.max(rocks,
+          envelopeEventsPerSecRocksDb(spark, n, capSec, budget))
+      retries += 1
+    }
+    if (disagree(dflt, rocks))
+      System.err.println(s"[bench] stateless envelope figures STILL " +
+        s"disagree after $retries re-measures ($dflt vs $rocks ev/s) — " +
+        "sustained contention window; treat the lower figure as corrupted")
+    (dflt, rocks)
+  }
 
   /** Stateful streaming throughput: the StreamingSnapshot upsert
     * (flatMapGroupsWithState, one state row per live key — the
@@ -205,17 +279,25 @@ object BenchStreaming {
       watchdog.setDaemon(true)
       watchdog.start()
       val perBatch = math.max(1, n / batches)
-      val t0 = System.nanoTime()
-      try {
-        var b = 0
-        while (b < batches && !capped) {
-          val data = (0 until perBatch).map { j =>
+      // pre-build every batch OUTSIDE the measured window: per-batch
+      // Seq construction + string formatting for ~15k rows is
+      // driver-side synthetic-data cost, and timing it dilutes the
+      // default-vs-RocksDB state-store comparison this metric exists
+      // to expose
+      val batchData: IndexedSeq[IndexedSeq[Change]] =
+        (0 until batches).map { b =>
+          (0 until perBatch).map { j =>
             val id = b.toLong * perBatch + j
             Change(key = id % nKeys, eventId = id,
               op = if (id % 10 == 9) "d" else "u",
               doc = s"""{"a": $id}""", cents = id)
           }
-          in.addData(data)
+        }
+      val t0 = System.nanoTime()
+      try {
+        var b = 0
+        while (b < batches && !capped) {
+          in.addData(batchData(b))
           q.processAllAvailable()
           b += 1
         }
@@ -237,9 +319,27 @@ object BenchStreaming {
     }
   }
 
-  /** Best-of-3 snapshot throughput per provider. */
-  def snapshotEventsPerSecDefault(spark: SparkSession): Long =
-    (1 to 3).map(_ => snapshotEventsPerSec(spark, None)).max
-  def snapshotEventsPerSecRocksDb(spark: SparkSession): Long =
-    (1 to 3).map(_ => snapshotEventsPerSec(spark, Some(RocksDb))).max
+  /** Best-of-3 snapshot throughput per provider, budget-aware: pass
+    * 0 always runs, later passes only with wall budget left, each
+    * capped to what remains.
+    */
+  private def snapshotBestOf(spark: SparkSession, provider: Option[String],
+      budget: WallBudget): Long = {
+    var best = -1L
+    var p = 0
+    while (p < 3 && (p == 0 || !budget.exhausted)) {
+      val cap = math.max(20L, math.min(90L, budget.remainingSec))
+      best = math.max(best,
+        snapshotEventsPerSec(spark, provider, capSec = cap))
+      p += 1
+    }
+    best
+  }
+
+  def snapshotEventsPerSecDefault(spark: SparkSession,
+      budget: WallBudget = unbounded): Long =
+    snapshotBestOf(spark, None, budget)
+  def snapshotEventsPerSecRocksDb(spark: SparkSession,
+      budget: WallBudget = unbounded): Long =
+    snapshotBestOf(spark, Some(RocksDb), budget)
 }

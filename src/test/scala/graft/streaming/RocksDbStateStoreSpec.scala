@@ -67,6 +67,49 @@ class RocksDbStateStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("event-time near-dup TTL pairs and evicts under RocksDB") {
+    withRocksDb {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      import graft.streaming.StreamingNearDup.{candidatePairsEventTime, TimedDoc}
+      // same sign-controlled shape as StreamingNearDupSpec's
+      // event-time e2e test, but with the TimedBucket state (held
+      // entries + maxTs anchor) living in RocksDB: pairs inside the
+      // TTL must emit, watermark-evicted buckets must stay gone
+      val t0 = 1000000L
+      def t(ms: Long) = new java.sql.Timestamp(t0 + ms)
+      val in = MemoryStream[TimedDoc]
+      val q = candidatePairsEventTime(in.toDS(), minAgree = 16,
+        maxPerBucket = 8, bucketTtlMs = 1000L,
+        watermarkDelay = "0 seconds")
+        .writeStream.format("memory").queryName("rocks_neardup_et")
+        .outputMode("append").start()
+      try {
+        assert(spark.conf.get(ProviderKey) === RocksDb)
+        in.addData(TimedDoc(1L, base, t(0L)))
+        q.processAllAvailable()
+        in.addData(TimedDoc(2L, nearDup, t(500L))) // inside TTL → pair
+        q.processAllAvailable()
+        assert(spark.table("rocks_neardup_et").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+        // advance the watermark far past every bucket's deadline,
+        // let the timeout batch fire, then a fresh near-dup of doc 1
+        // must find its buckets empty (evicted IN RocksDB state)
+        in.addData(TimedDoc(3L, unrelated, t(100000L)))
+        q.processAllAvailable()
+        in.addData(TimedDoc(4L,
+          "mid stream filler text that matches nothing", t(100001L)))
+        q.processAllAvailable()
+        in.addData(TimedDoc(5L, base, t(100002L)))
+        q.processAllAvailable()
+        val pairs = spark.table("rocks_neardup_et").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(pairs === Seq((1L, 2L)),
+          s"evicted RocksDB state must not pair with doc 5, got $pairs")
+      } finally q.stop()
+    }
+  }
+
   test("Misra-Gries bucket summaries accumulate under RocksDB") {
     withRocksDb {
       import spark.implicits._
