@@ -22,12 +22,12 @@ object BenchExpect {
     "cdc_scd2" -> 0.8,
     "cdc_delta_agg" -> 1.0,
     "dd_cluster" -> 0.4, // staged labels (r7)
-    "dd_cross_dedup" -> 1.5,
+    "dd_cross_dedup" -> 0.9, // staged pair spine + content keys (r9)
     "dd_decontaminate" -> 1.5,
-    "dd_dedup_verdict" -> 0.8, // staged verified-component labels (r8)
+    "dd_dedup_verdict" -> 0.5, // labels built from staged pair spine (r9)
     "dd_embed_cosine" -> 0.7,
     "dd_exact" -> 0.5,
-    "dd_minhash_lsh" -> 0.8,
+    "dd_minhash_lsh" -> 0.3, // staged pair spine (r9); was 0.8
     "dd_containment" -> 0.8, // staged capped-common/sizes (r8); was 3.0
     "dd_ngram_jaccard" -> 0.8, // staged capped-common/sizes (r8); was 2.5
     "dd_winnow" -> 1.0,
@@ -171,7 +171,7 @@ object BenchExpect {
     "sim_multiprobe_ann" -> 1.4, // bucket + flip-bucket rerank (r8)
     "sim_pq_code_balance" -> 1.3, // PQ encode + 32-row roll-up (r8)
     "sim_multiprobe_recall" -> 2.0, // 3 component legs + semi-joins (r8)
-    "dd_sketch_error" -> 1.8, // staged capped-common + staged sigs (r8)
+    "dd_sketch_error" -> 1.4, // staged pair spine + capped-common (r9)
     "rel_rank_stats" -> 1.0, // custkey agg + GroupRank derivations
     "pipe_manifest" -> 2.3, // staged components, id joins only (r7)
     "sim_label_purity" -> 0.8, // staged kmeans assignment (r8)

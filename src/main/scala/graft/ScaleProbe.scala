@@ -7,8 +7,10 @@ import org.apache.spark.sql.functions._
 /** Empirical 100×-shape evidence: replicate documents/embeddings
   * ×F with per-replica rehash (each replica's content is distinct, so
   * corpus VOLUME grows without manufacturing cross-replica
-  * duplicates), run the riskiest dedup/ANN queries at each factor,
-  * and report wall time plus max-task skew — converting the "yes at
+  * duplicates) — and the fact tables (lineitem/orders/events) with
+  * per-replica key offsets over a SHARED dim catalog and time span —
+  * run the riskiest dedup/ANN/fact-join queries at each factor, and
+  * report wall time plus max-task skew — converting the "yes at
   * 100 TB" design arguments into measurements, and surfacing any
   * hot-key blow-up before a user does.
   *
@@ -55,11 +57,18 @@ object ScaleProbe {
     }
   }
 
+  /** Key offset separating replicas' id spaces (far above any real
+    * key at probe scale, so replica joins never collide).
+    */
+  private val KeyOff = 1L << 40
+
   private def replicate(s: SparkSession, base: String, dir: String,
       f: Int): Unit = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_READY"))) return
+    // _READY2: v2 adds the fact tables (lineitem/orders/events) and
+    // dim copies for the fact-fact join family; v1 dirs rebuild
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_READY2"))) return
     val docs = s.read.parquet(s"$base/documents.parquet")
     val embs = s.read.parquet(s"$base/embeddings.parquet")
     val dim = 64
@@ -94,7 +103,46 @@ object ScaleProbe {
     (0 until f).map(embRep).reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    fs.create(new org.apache.hadoop.fs.Path(s"$dir/_READY")).close()
+
+    // Fact tables for the fact-fact join family. The replication
+    // preserves each query's claimed scale shape so the probe tests
+    // it honestly:
+    //  - lineitem/orders: replica i offsets the ORDER key only; the
+    //    part/supplier catalog stays shared, so ×F means F× more
+    //    orders over the same catalog (basket pair volume must grow
+    //    linearly via Σk², per-part counts ×F — the claimed bound);
+    //  - events: replica i offsets user/event ids but keeps the
+    //    TIMESTAMPS, so ×F means F× more concurrent users in the
+    //    same wall-clock span (rel_concurrency's per-second sweep
+    //    table must stay O(span), not O(data) — the claimed bound).
+    val li = s.read.parquet(s"$base/lineitem.parquet")
+    val ord = s.read.parquet(s"$base/orders.parquet")
+    val ev = s.read.parquet(s"$base/events.parquet")
+    def liRep(i: Int): DataFrame =
+      if (i == 0) li
+      else li.withColumn("l_orderkey", col("l_orderkey") + lit(i * KeyOff))
+    def ordRep(i: Int): DataFrame =
+      if (i == 0) ord
+      else ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * KeyOff))
+    def evRep(i: Int): DataFrame =
+      if (i == 0) ev
+      else ev
+        .withColumn("event_id", col("event_id") + lit(i * KeyOff))
+        .withColumn("user_id", col("user_id") + lit(i * KeyOff))
+    (0 until f).map(liRep).reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    (0 until f).map(ordRep).reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    (0 until f).map(evRep).reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // dims copy through unreplicated (the shared-catalog side)
+    for (t <- Seq("region", "nation", "customer", "supplier", "part"))
+      s.read.parquet(s"$base/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/_READY2")).close()
   }
 
   def main(args: Array[String]): Unit = {

@@ -582,7 +582,9 @@ object DedupQueries {
         .select(when(col("ida") % 2 === 1, col("ida"))
           .otherwise(col("idb")).alias("doc_id"))
         .distinct()
-      Tables.documents(s, d).select(col("doc_id"))
+      // the id universe comes from the staged key table too (one row
+      // per doc by construction) — no reason to touch the corpus
+      keyed.select(col("doc_id"))
         .filter(col("doc_id") % 2 === 1)
         .join(exactHits.withColumn("is_exact", lit(true)),
           Seq("doc_id"), "left")
