@@ -158,7 +158,7 @@ object BenchExpect {
     "sim_ood_score" -> 0.9, // staged kmeans core + GroupRank (r8)
     "dd_cluster_stats" -> 0.6, // staged labels + tiny roll-ups (r7)
     "tx_novelty" -> 1.6, // O(grams) first-seen agg + join back
-    "rel_basket_affinity" -> 2.5, // orderkey self-join, k^2-bounded
+    "rel_basket_affinity" -> 2.0, // bucketed staged items self-join (r9)
     "sim_centroid_balance" -> 0.6, // staged kmeans core (r8)
     "cdc_gap_detect" -> 1.0, // bucketed scan + rare-bucket expansion
     "rel_cohort_ltv" -> 0.9, // two custkey aggs + tiny roll-up
