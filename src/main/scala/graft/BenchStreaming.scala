@@ -197,9 +197,9 @@ object BenchStreaming {
     * path is stateless, so any larger gap is a measurement artifact
     * (host contention), never a real provider cost.
     */
-  private val StatelessAgreeRatio = 1.5
+  private[graft] val StatelessAgreeRatio = 1.5
 
-  private def disagree(a: Long, b: Long): Boolean =
+  private[graft] def disagree(a: Long, b: Long): Boolean =
     a > 0 && b > 0 &&
       math.max(a, b).toDouble / math.min(a, b) > StatelessAgreeRatio
 

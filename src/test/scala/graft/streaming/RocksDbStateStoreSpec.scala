@@ -110,6 +110,54 @@ class RocksDbStateStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("event-time semantic-dedup TTL pairs and evicts under RocksDB") {
+    withRocksDb {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      import graft.streaming.StreamingSemDedup
+      import graft.streaming.StreamingSemDedup.TimedVec
+      // two disjoint LSH buckets (planes e0, e1): the a-family under
+      // test, w-family fillers that advance the watermark without
+      // refreshing the a-bucket's TTL anchor (the sign-controlled
+      // shape from StreamingSemDedupSpec), state in RocksDB
+      val dim = 8
+      def emb(vals: Double*): Array[Float] = {
+        val a = Array.fill(dim)(0f)
+        vals.zipWithIndex.foreach { case (v, i) => a(i) = v.toFloat }
+        a
+      }
+      val planes = Seq(
+        StreamingSemDedup.quantize(emb(1.0)),
+        StreamingSemDedup.quantize(emb(0.0, 1.0)))
+      val t0 = 1000000L
+      def t(ms: Long) = new java.sql.Timestamp(t0 + ms)
+      val in = MemoryStream[TimedVec]
+      val q = StreamingSemDedup.candidatePairsEventTime(in.toDS(), planes,
+        minCos = 0.9, maxPerBucket = 8, bucketTtlMs = 1000L,
+        watermarkDelay = "0 seconds")
+        .writeStream.format("memory").queryName("rocks_semdedup_et")
+        .outputMode("append").start()
+      try {
+        in.addData(TimedVec(1L, emb(1.0, -1.0), t(0L)))
+        q.processAllAvailable()
+        in.addData(TimedVec(2L, emb(0.9, -0.9, 0.1), t(500L)))
+        q.processAllAvailable()
+        assert(spark.table("rocks_semdedup_et").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+        in.addData(TimedVec(100L, emb(-1.0, 1.0), t(100000L)))
+        q.processAllAvailable()
+        in.addData(TimedVec(101L, emb(-0.9, 0.95), t(100001L)))
+        q.processAllAvailable()
+        in.addData(TimedVec(3L, emb(1.1, -1.1, 0.05), t(100002L)))
+        q.processAllAvailable()
+        val pairs = spark.table("rocks_semdedup_et").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+          s"evicted RocksDB state must not pair with vector 3, got $pairs")
+      } finally q.stop()
+    }
+  }
+
   test("Misra-Gries bucket summaries accumulate under RocksDB") {
     withRocksDb {
       import spark.implicits._
