@@ -84,7 +84,7 @@ object BenchExpect {
     "graph_jaccard" -> 1.0,
     "rel_small_qty" -> 0.7,
     "rel_idle_customers" -> 0.5,
-    "rel_wait_suppliers" -> 2.5,
+    "rel_wait_suppliers" -> 1.0, // bucketed fact cores (r9); was 2.5
     "rel_skyline" -> 0.6,
     "rel_market_share" -> 0.8,
     "tx_length_profile" -> 0.4,

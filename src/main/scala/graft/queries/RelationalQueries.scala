@@ -22,6 +22,30 @@ object RelationalQueries {
   private def cents(c: org.apache.spark.sql.Column) =
     round(c * 100, 0).cast(LongType)
 
+  /** Bucketed fact-core stages — the ingest-layout pattern: each fact
+    * table's hot projection written ONCE clustered ×8 on the order
+    * key, after which every orderkey join over these columns is
+    * exchange-free (the scan itself reports the HashPartitioning the
+    * join wants, and any later groupBy whose keys INCLUDE the order
+    * key inherits it too — HashPartitioning(ok) satisfies clustering
+    * on (ok, x)). v2 widens v1 with the wait-suppliers columns
+    * (l_suppkey/l_shipdate/o_orderdate) so ONE staged copy serves
+    * both consumers; knob-in-name, so v1 dirs are never misread.
+    */
+  private def bktLineitem(s: SparkSession, d: String): DataFrame =
+    StagedIndex.orStageBucketed(s, "rel_bkt_lineitem_v2", d,
+      Seq(s"$d/lineitem.parquet"), "l_orderkey", 8)(
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
+        col("l_shipdate"),
+        cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .alias("rev")))
+
+  private def bktOrders(s: SparkSession, d: String): DataFrame =
+    StagedIndex.orStageBucketed(s, "rel_bkt_orders_v2", d,
+      Seq(s"$d/orders.parquet"), "o_orderkey", 8)(
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_orderdate"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Market-basket affinity (Agrawal & Srikant 1994's support
@@ -722,11 +746,17 @@ object RelationalQueries {
     // supplier-sized, and the name dim broadcasts. All flags/counts
     // integer-exact.
     "rel_wait_suppliers" -> ((s, d) => {
-      val j = Tables.lineitem(s, d)
+      // both sides ride the bucketed fact cores: the lineitem⋈orders
+      // join AND the two orderkey-clustered aggs below run with zero
+      // exchanges until the supplier-level roll-up (the "one reused
+      // orderkey partitioning" claim, now from the scan itself). The
+      // merge hint keeps SMJ at small factors where stats broadcast.
+      val li = bktLineitem(s, d)
         .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-        .join(Tables.orders(s, d).select(col("o_orderkey"),
-          col("o_orderdate")),
-          col("l_orderkey") === col("o_orderkey"))
+      val od = bktOrders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val j = li.hint("merge")
+        .join(od, col("l_orderkey") === col("o_orderkey"))
         .select(col("l_orderkey").alias("ok"), col("l_suppkey"),
           when(col("l_shipdate") >
             col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1L)
@@ -1090,15 +1120,8 @@ object RelationalQueries {
     // orderkey join/agg is exchange-free. The merge hint keeps the
     // plan on SMJ at small factors where stats would broadcast.
     "rel_bucket_join" -> ((s, d) => {
-      val nb = 8
-      val l = StagedIndex.orStageBucketed(s, "rel_bkt_lineitem_v1", d,
-        Seq(s"$d/lineitem.parquet"), "l_orderkey", nb)(
-        Tables.lineitem(s, d).select(col("l_orderkey"),
-          cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .alias("rev")))
-      val o = StagedIndex.orStageBucketed(s, "rel_bkt_orders_v1", d,
-        Seq(s"$d/orders.parquet"), "o_orderkey", nb)(
-        Tables.orders(s, d).select("o_orderkey", "o_orderpriority"))
+      val l = bktLineitem(s, d).select(col("l_orderkey"), col("rev"))
+      val o = bktOrders(s, d).select("o_orderkey", "o_orderpriority")
       l.hint("merge").join(o, l("l_orderkey") === o("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).alias("n"),
