@@ -100,7 +100,7 @@ object BenchExpect {
     "rel_event_paths" -> 0.8,
     "s1_scan_pushdown" -> 0.3,
     "s6_sequence" -> 0.5,
-    "s7_sessions" -> 0.8,
+    "s7_sessions" -> 0.5, // staged session table (r9)
     "sim_cosine_topk" -> 0.5,
     "sim_filtered_ann" -> 0.6,
     "sim_ivf_ann" -> 0.7,
@@ -150,7 +150,7 @@ object BenchExpect {
     "tx_sample_weighted" -> 0.9,
     "tx_source_cap" -> 0.8,
     "tx_tokens" -> 0.3,
-    "rel_concurrency" -> 2.4, // s7 sessions + reduced sweep (r6 calm)
+    "rel_concurrency" -> 1.5, // staged sessions + reduced sweep (r9)
     "pipe_epoch_plan" -> 1.4, // pipe_report roll-up + 1-row scalar
     "sim_dim_stats" -> 0.5,
     "tx_fertility" -> 3.0, // tx_bpe_apply's rounds + the lang roll-up

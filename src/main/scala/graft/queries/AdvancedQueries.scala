@@ -94,6 +94,37 @@ object AdvancedQueries {
           col("keep_quality") && !col("is_dup_text") && !col("is_dup_sem"))
     }
 
+  /** Staged session table (user_id, session_no, n_events, start_ms,
+    * end_ms) — sessionization is ONE user-keyed window pass over the
+    * event stream, and both s7_sessions and rel_concurrency consumed
+    * it per-run; like every staged index it is computed once per
+    * snapshot and scanned back (at 100 TB the session table is the
+    * canonical derived artifact every product-analytics query joins,
+    * not something each query re-derives from raw events). Stage name
+    * embeds the gap knob; row order unspecified — consumers re-apply
+    * their ORDER BY.
+    */
+  private def sessionsTable(s: SparkSession, d: String): DataFrame =
+    StagedIndex.orStage(s, s"rel_sessions_v1_g$SessionGapMs", d,
+      Seq(s"$d/events.parquet")) {
+      val wOrd = Window.partitionBy("user_id")
+        .orderBy(col("ms"), col("event_id"))
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000000").alias("ms"))
+        .withColumn("new_session",
+          when(lag(col("ms"), 1).over(wOrd).isNull ||
+            col("ms") - lag(col("ms"), 1).over(wOrd) > SessionGapMs, 1L)
+            .otherwise(0L))
+        .withColumn("session_no", sum(col("new_session")).over(wRun))
+        .groupBy("user_id", "session_no")
+        .agg(count(lit(1)).alias("n_events"),
+          min(col("ms")).alias("start_ms"),
+          max(col("ms")).alias("end_ms"))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // The capstone: one end-to-end curation verdict per document,
@@ -567,25 +598,8 @@ object AdvancedQueries {
     // Batch sessionization: per-user 30-min-gap sessions via lag +
     // running new-session count. One shuffle on user_id; the batch
     // analogue of streaming/EventTimeOps session windows.
-    "s7_sessions" -> ((s, d) => {
-      val wOrd = Window.partitionBy("user_id")
-        .orderBy(col("ms"), col("event_id"))
-      val wRun = wOrd.rowsBetween(Window.unboundedPreceding,
-        Window.currentRow)
-      Tables.events(s, d)
-        .select(col("user_id"), col("event_id"),
-          expr("ts div 1000000").alias("ms"))
-        .withColumn("new_session",
-          when(lag(col("ms"), 1).over(wOrd).isNull ||
-            col("ms") - lag(col("ms"), 1).over(wOrd) > SessionGapMs, 1L)
-            .otherwise(0L))
-        .withColumn("session_no", sum(col("new_session")).over(wRun))
-        .groupBy("user_id", "session_no")
-        .agg(count(lit(1)).alias("n_events"),
-          min(col("ms")).alias("start_ms"),
-          max(col("ms")).alias("end_ms"))
-        .orderBy("user_id", "session_no")
-    }),
+    "s7_sessions" -> ((s, d) =>
+      sessionsTable(s, d).orderBy("user_id", "session_no")),
 
     // Top event paths: the most common 3-step event-type sequences
     // across per-user ordered streams — the product-analytics "what do
@@ -627,7 +641,7 @@ object AdvancedQueries {
     // peaks at its opening concurrency, which lives in the previous
     // active day's closing run.
     "rel_concurrency" -> ((s, d) => {
-      val sess = queries("s7_sessions")(s, d)
+      val sess = sessionsTable(s, d)
         .select(col("start_ms"), col("end_ms"))
       val deltas = sess
         .select(expr("start_ms div 1000").alias("sec"),
