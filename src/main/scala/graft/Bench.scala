@@ -166,6 +166,8 @@ object BenchExpect {
     "rel_pareto_abc" -> 1.2, // part agg + global GroupRank cumsum
     "sim_margin" -> 1.0, // staged kNN edges + 2-row pivot agg
     "rel_seasonality" -> 0.6, // scan-speed buckets, 168-cell agg
+    "rel_key_skew" -> 0.5, // two map-side aggs over one column (r9)
+    "pipe_integrity" -> 0.6, // id-column counts + anti-joins (r9)
     "mm_hamming_hist" -> 0.5, // staged pair table rollup (r8)
     "sim_nprobe_sweep" -> 2.0, // 3 ivf legs on staged core + truth (r8)
     "sim_multiprobe_ann" -> 1.4, // bucket + flip-bucket rerank (r8)

@@ -267,6 +267,37 @@ object AdvancedQueries {
     // from. Scale shape: one doc_id equi-join of the corpus against
     // the per-doc verdict, one map-side-combined agg to
     // O(langs × sources) rows — nothing corpus-sized moves after it.
+    // Referential-integrity audit of the corpus table pair — the
+    // health gate a pipeline runs after every ingest or rewrite,
+    // BEFORE any derived stage is trusted: row counts, documents
+    // lacking an embedding, orphaned embeddings, duplicate ids in
+    // each table. Scale shape: every check reduces map-side to one
+    // row (counts and anti-join counts over two id columns — column-
+    // pruned scans, never the text/vector payloads); the final
+    // assembly is the 1-row scalar-aggregate crossJoin pattern
+    // (broadcast by construction).
+    "pipe_integrity" -> ((s, d) => {
+      val docIds = Tables.documents(s, d).select(col("doc_id"))
+      val vecIds = Tables.embeddings(s, d).select(col("vec_id"))
+      val nDocs = docIds.agg(count(lit(1)).alias("n_docs"))
+      val nEmbs = vecIds.agg(count(lit(1)).alias("n_embeddings"))
+      val missing = docIds
+        .join(vecIds, col("doc_id") === col("vec_id"), "left_anti")
+        .agg(count(lit(1)).alias("docs_missing_embedding"))
+      val orphans = vecIds
+        .join(docIds, col("vec_id") === col("doc_id"), "left_anti")
+        .agg(count(lit(1)).alias("embeddings_orphaned"))
+      val dupDocs = docIds.groupBy("doc_id")
+        .agg(count(lit(1)).alias("c"))
+        .agg(coalesce(sum(col("c") - 1L), lit(0L)).alias("doc_id_dups"))
+      val dupVecs = vecIds.groupBy("vec_id")
+        .agg(count(lit(1)).alias("c"))
+        .agg(coalesce(sum(col("c") - 1L), lit(0L)).alias("vec_id_dups"))
+      nDocs.crossJoin(broadcast(nEmbs)).crossJoin(broadcast(missing))
+        .crossJoin(broadcast(orphans)).crossJoin(broadcast(dupDocs))
+        .crossJoin(broadcast(dupVecs))
+    }),
+
     "pipe_report" -> ((s, d) => {
       val verdict = curateVerdict(s, d)
       val docs = Tables.documents(s, d)
@@ -783,6 +814,26 @@ object AdvancedQueries {
          |JOIN (${TextQueries.oracles("tx_filter_verdict")}) fv
          |  ON m.media_id = fv.doc_id
          |ORDER BY m.media_id""".stripMargin,
+
+    "pipe_integrity" ->
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings)
+        |    AS n_embeddings,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents d
+        |   WHERE NOT EXISTS (SELECT 1 FROM embeddings e
+        |                     WHERE e.vec_id = d.doc_id))
+        |    AS docs_missing_embedding,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings e
+        |   WHERE NOT EXISTS (SELECT 1 FROM documents d
+        |                     WHERE d.doc_id = e.vec_id))
+        |    AS embeddings_orphaned,
+        |  (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM
+        |     (SELECT count(*) AS c FROM documents GROUP BY doc_id))
+        |    AS doc_id_dups,
+        |  (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM
+        |     (SELECT count(*) AS c FROM embeddings GROUP BY vec_id))
+        |    AS vec_id_dups""".stripMargin,
 
     "pipe_report" -> pipeReportSql,
 

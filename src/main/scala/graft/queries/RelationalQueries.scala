@@ -1119,6 +1119,22 @@ object RelationalQueries {
     // bucketing is paid once per table write and every subsequent
     // orderkey join/agg is exchange-free. The merge hint keeps the
     // plan on SMJ at small factors where stats would broadcast.
+    // Join-key skew audit — the table an operator reads BEFORE
+    // committing a 100-TB shuffle plan: the rows-per-key histogram of
+    // the fact-fact join key. Two map-side-combined aggregations at
+    // scan speed; output bounded by the MAX group size (a per-entity
+    // constant), never by data volume. A long tail here is the signal
+    // to salt the key or lean on AQE's skew-join split; the ScaleProbe
+    // skew column measures the same thing after the fact — this reads
+    // it off the data before the job runs.
+    "rel_key_skew" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).alias("n"))
+        .groupBy(col("n").alias("rows_per_key"))
+        .agg(count(lit(1)).alias("n_keys"))
+        .orderBy("rows_per_key")),
+
     "rel_bucket_join" -> ((s, d) => {
       val l = bktLineitem(s, d).select(col("l_orderkey"), col("rev"))
       val o = bktOrders(s, d).select("o_orderkey", "o_orderpriority")
@@ -1797,6 +1813,12 @@ object RelationalQueries {
         |  UNION ALL
         |  SELECT rf, 'disc_cents' AS measure, disc_cents FROM a)
         |ORDER BY rf, measure""".stripMargin,
+
+    "rel_key_skew" ->
+      """SELECT n AS rows_per_key, CAST(count(*) AS BIGINT) AS n_keys
+        |FROM (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n
+        |      FROM lineitem GROUP BY 1)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "rel_bucket_join" ->
       """SELECT o_orderpriority,

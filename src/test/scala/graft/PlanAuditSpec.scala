@@ -67,6 +67,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "sim_sq8_ann", // Dim-row stats packed to ONE broadcast row
       "rel_top_suppliers", // 1-row max-revenue scalar, equi-joined back
       "rel_small_qty", // the RESULT is a 1-row scalar aggregate
+      "pipe_integrity", // the RESULT is a 1-row audit card: six
+                        // count/anti-join scalars crossed together
       "rel_idle_customers", // 1-row balance-stats scalar, broadcast back
       // suffix-max window over the DATE-cardinality aggregate (tiny
       // by construction); the corpus never reaches the window
@@ -159,6 +161,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "pipe_epoch_plan", // 1-row budget-totals scalar vs the source agg
     "sim_ood_score", // centroid broadcast against every vector
     "dd_cluster_stats", // 1-row total × 1-row paired count cross
+    "pipe_integrity", // six 1-row audit scalars crossed (broadcast)
     "sim_centroid_balance", // 1-row corpus-count scalar vs cell rows
     "rel_basket_affinity", // 1-row order-total scalar vs top-20 pairs
     "cdc_gap_detect", // 1-row bounds scalar vs the bucket skeleton
