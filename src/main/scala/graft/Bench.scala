@@ -380,14 +380,14 @@ object Bench {
     // 90 s): passes skip when it exhausts.
     val streamBudget = new BenchStreaming.WallBudget(
       math.max(90L, budgetSec - elapsedSec.toLong))
-    val (streamEps, streamEpsRocks) =
+    val (streamEps, streamEpsRocks, streamAgreed) =
       BenchStreaming.envelopeFigurePair(spark, budget = streamBudget)
     val snapEps =
       BenchStreaming.snapshotEventsPerSecDefault(spark, streamBudget)
     val snapEpsRocks =
       BenchStreaming.snapshotEventsPerSecRocksDb(spark, streamBudget)
     val stagedJson = stagedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"capped":$cappedFinal,"sweeps":$sweep,"stage_build_sec":$stageBuildSec,"staged":$stagedJson,"envelope_events_per_sec":$eventsPerSec,"streaming_envelope_events_per_sec":$streamEps,"streaming_envelope_events_per_sec_rocksdb":$streamEpsRocks,"streaming_snapshot_events_per_sec":$snapEps,"streaming_snapshot_events_per_sec_rocksdb":$snapEpsRocks,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"capped":$cappedFinal,"sweeps":$sweep,"stage_build_sec":$stageBuildSec,"staged":$stagedJson,"envelope_events_per_sec":$eventsPerSec,"streaming_envelope_events_per_sec":$streamEps,"streaming_envelope_events_per_sec_rocksdb":$streamEpsRocks,"streaming_envelope_agreed":$streamAgreed,"streaming_snapshot_events_per_sec":$snapEps,"streaming_snapshot_events_per_sec_rocksdb":$snapEpsRocks,"sf":"$sfDir"}"""
     println(line)
     // The driver captures stdout with `tail`, which can start
     // mid-artifact and truncate the per-query map. Persist the full

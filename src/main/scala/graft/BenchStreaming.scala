@@ -135,6 +135,27 @@ object BenchStreaming {
     * did between the r4 local runs: 210k vs 122k events/s from
     * identical code).
     */
+  /** Best-of-3 policy shared by every streaming figure: pass 0
+    * always runs (every figure needs >= 1 sample); later passes only
+    * with budget left; each pass's watchdog cap is clamped to
+    * [floorSec, capMax] of the remaining budget. The floor must sit
+    * comfortably ABOVE the metric's nominal runtime — a cap below it
+    * kills passes mid-flight on a healthy system and ships a
+    * truncated sample (the corrupted-figure class this file exists
+    * to prevent).
+    */
+  private def bestOf(budget: WallBudget, floorSec: Long, capMax: Long)(
+      pass: Long => Long): Long = {
+    var best = -1L
+    var p = 0
+    while (p < 3 && (p == 0 || !budget.exhausted)) {
+      val cap = math.max(floorSec, math.min(capMax, budget.remainingSec))
+      best = math.max(best, pass(cap))
+      p += 1
+    }
+    best
+  }
+
   def envelopeEventsPerSec(
       spark: SparkSession,
       n: Int = sys.env.getOrElse("SPARK_GRAFT_STREAM_EVENTS", "300000").toInt,
@@ -142,18 +163,8 @@ object BenchStreaming {
       budget: WallBudget = unbounded): Long = {
     val fixture = s"bench-stream-${System.nanoTime()}"
     val opts = ChangeEventReplaySource.register(fixture, syntheticEvents(n))
-    try {
-      var best = -1L
-      var p = 0
-      // pass 0 always runs (every figure needs >= 1 sample); later
-      // passes only with budget left, each capped to what remains
-      while (p < 3 && (p == 0 || !budget.exhausted)) {
-        val cap = math.max(15L, math.min(capSec, budget.remainingSec))
-        best = math.max(best, onePass(spark, opts, n, cap))
-        p += 1
-      }
-      best
-    } finally ChangeEventReplaySource.unregister(fixture)
+    try bestOf(budget, 15L, capSec)(cap => onePass(spark, opts, n, cap))
+    finally ChangeEventReplaySource.unregister(fixture)
   }
 
   private val RocksDb =
@@ -211,31 +222,43 @@ object BenchStreaming {
     * re-measured (another best-of-3) up to 3 times — the r8 artifact
     * shipped an 82k default-store sample against 195k RocksDB because
     * the dual-reporting design caught the contention-corrupted sample
-    * but nothing acted on the catch. Returns (default, rocksdb).
+    * but nothing acted on the catch. The synthetic fixture is built
+    * and registered ONCE for the whole pair (retries reuse the warm
+    * source row cache instead of paying a cold rebuild under the very
+    * time pressure that triggered the retry). Returns
+    * (default, rocksdb, agreed) — `agreed = false` marks a pair that
+    * STILL disagrees after the retries (sustained contention window;
+    * the lower figure is corrupted), and the caller persists the flag
+    * in the artifact so a reader never mistakes a failed-agreement
+    * pair for a measured one.
     */
   def envelopeFigurePair(
       spark: SparkSession,
       n: Int = sys.env.getOrElse("SPARK_GRAFT_STREAM_EVENTS", "300000").toInt,
       capSec: Long = 60L,
-      budget: WallBudget = unbounded): (Long, Long) = {
-    var dflt = envelopeEventsPerSec(spark, n, capSec, budget)
-    var rocks = envelopeEventsPerSecRocksDb(spark, n, capSec, budget)
-    var retries = 0
-    while (retries < 3 && disagree(dflt, rocks) && !budget.exhausted) {
-      System.err.println(s"[bench] stateless envelope figures disagree " +
-        s"($dflt vs $rocks ev/s) — re-measuring the lower side")
-      if (dflt < rocks)
-        dflt = math.max(dflt, envelopeEventsPerSec(spark, n, capSec, budget))
-      else
-        rocks = math.max(rocks,
-          envelopeEventsPerSecRocksDb(spark, n, capSec, budget))
-      retries += 1
-    }
-    if (disagree(dflt, rocks))
-      System.err.println(s"[bench] stateless envelope figures STILL " +
-        s"disagree after $retries re-measures ($dflt vs $rocks ev/s) — " +
-        "sustained contention window; treat the lower figure as corrupted")
-    (dflt, rocks)
+      budget: WallBudget = unbounded): (Long, Long, Boolean) = {
+    val fixture = s"bench-stream-${System.nanoTime()}"
+    val opts = ChangeEventReplaySource.register(fixture, syntheticEvents(n))
+    try {
+      def dfltRun(): Long =
+        bestOf(budget, 15L, capSec)(cap => onePass(spark, opts, n, cap))
+      def rocksRun(): Long = withProvider(spark, Some(RocksDb))(dfltRun())
+      var dflt = dfltRun()
+      var rocks = rocksRun()
+      var retries = 0
+      while (retries < 3 && disagree(dflt, rocks) && !budget.exhausted) {
+        System.err.println(s"[bench] stateless envelope figures disagree " +
+          s"($dflt vs $rocks ev/s) — re-measuring the lower side")
+        if (dflt < rocks) dflt = math.max(dflt, dfltRun())
+        else rocks = math.max(rocks, rocksRun())
+        retries += 1
+      }
+      if (disagree(dflt, rocks))
+        System.err.println(s"[bench] stateless envelope figures STILL " +
+          s"disagree after $retries re-measures ($dflt vs $rocks ev/s) — " +
+          "sustained contention window; treat the lower figure as corrupted")
+      (dflt, rocks, !disagree(dflt, rocks))
+    } finally ChangeEventReplaySource.unregister(fixture)
   }
 
   /** Stateful streaming throughput: the StreamingSnapshot upsert
@@ -268,16 +291,6 @@ object BenchStreaming {
         .outputMode("update")
         .trigger(Trigger.ProcessingTime(0L))
         .start()
-      @volatile var capped = false
-      val watchdog = new Thread(() => {
-        try {
-          Thread.sleep(capSec * 1000L)
-          capped = true
-          q.stop()
-        } catch { case _: InterruptedException => () }
-      })
-      watchdog.setDaemon(true)
-      watchdog.start()
       val perBatch = math.max(1, n / batches)
       // pre-build every batch OUTSIDE the measured window: per-batch
       // Seq construction + string formatting for ~15k rows is
@@ -293,18 +306,39 @@ object BenchStreaming {
               doc = s"""{"a": $id}""", cents = id)
           }
         }
+      // the watchdog guards the STREAMING QUERY, so it arms after the
+      // un-timed data pre-build — otherwise driver-side construction
+      // eats into the cap and a healthy pass can be killed at b=0
+      @volatile var capped = false
+      val watchdog = new Thread(() => {
+        try {
+          Thread.sleep(capSec * 1000L)
+          capped = true
+          q.stop()
+        } catch { case _: InterruptedException => () }
+      })
+      watchdog.setDaemon(true)
+      watchdog.start()
       val t0 = System.nanoTime()
       try {
         var b = 0
+        var lastDone = t0
         while (b < batches && !capped) {
           in.addData(batchData(b))
           q.processAllAvailable()
+          // wall is measured to the last COMPLETED batch: a watchdog
+          // kill mid-batch must not leave the partial batch's time in
+          // the denominator while its events are missing from the
+          // numerator (an understated rate — the truncated-sample
+          // class the envelope pair logic guards against)
+          lastDone = System.nanoTime()
           b += 1
         }
-        val wallSec = (System.nanoTime() - t0) / 1e9
+        val wallSec = (lastDone - t0) / 1e9
         q.stop()
         val processed = b.toLong * perBatch
-        if (processed > 0) (processed / wallSec).round else -1L
+        if (processed > 0 && wallSec > 0) (processed / wallSec).round
+        else -1L
       } finally watchdog.interrupt()
     } catch {
       case e: Throwable =>
@@ -319,22 +353,15 @@ object BenchStreaming {
     }
   }
 
-  /** Best-of-3 snapshot throughput per provider, budget-aware: pass
-    * 0 always runs, later passes only with wall budget left, each
-    * capped to what remains.
+  /** Best-of-3 snapshot throughput per provider, budget-aware. The
+    * 45 s floor sits well above the metric's ~13 s nominal runtime:
+    * a floor below it would let a budget-exhausted pass 0 kill a
+    * healthy run mid-batch and ship a truncated figure.
     */
   private def snapshotBestOf(spark: SparkSession, provider: Option[String],
-      budget: WallBudget): Long = {
-    var best = -1L
-    var p = 0
-    while (p < 3 && (p == 0 || !budget.exhausted)) {
-      val cap = math.max(20L, math.min(90L, budget.remainingSec))
-      best = math.max(best,
-        snapshotEventsPerSec(spark, provider, capSec = cap))
-      p += 1
-    }
-    best
-  }
+      budget: WallBudget): Long =
+    bestOf(budget, 45L, 90L)(cap =>
+      snapshotEventsPerSec(spark, provider, capSec = cap))
 
   def snapshotEventsPerSecDefault(spark: SparkSession,
       budget: WallBudget = unbounded): Long =

@@ -153,7 +153,9 @@ object ScaleProbe {
     val names =
       if (args.length > 2) args(2).split(",").toSeq
       else Seq("dd_minhash_lsh", "dd_cluster", "dd_ngram_jaccard",
-        "sim_knn_graph")
+        "sim_knn_graph",
+        // the fact-join family the fact-table replication exists for
+        "rel_basket_affinity", "rel_wait_suppliers", "rel_concurrency")
     val spark = GraftSession.local()
     GraftSession.applyEnvConf(spark)
     val skew = new SkewListener

@@ -32,9 +32,13 @@ object StateProbe {
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
   private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
 
-  /** One probe cell. Returns (seedSec, measuredEventsPerSec). */
+  /** One probe cell. Returns (seedSec, measuredEventsPerSec); a cell
+    * whose streaming work exceeds `capSec` is killed by the watchdog
+    * and reports rate -1 (a stuck provider must not hang the rest of
+    * the matrix — already-printed cells are the probe's output).
+    */
   def cell(spark: SparkSession, nKeys: Long,
-      provider: Option[String]): (Double, Long) = {
+      provider: Option[String], capSec: Long = 900L): (Double, Long) = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val prior = spark.conf.getOption(ProviderKey)
@@ -52,6 +56,16 @@ object StateProbe {
         .outputMode("update")
         .trigger(Trigger.ProcessingTime(0L))
         .start()
+      @volatile var capped = false
+      val watchdog = new Thread(() => {
+        try {
+          Thread.sleep(capSec * 1000L)
+          capped = true
+          q.stop()
+        } catch { case _: InterruptedException => () }
+      })
+      watchdog.setDaemon(true)
+      watchdog.start()
       try {
         // ---- seed: one create per key, 500k-row batches, un-timed
         // (reported separately — it's the state-BUILD rate, a different
@@ -83,10 +97,22 @@ object StateProbe {
           }
         }
         val t0 = System.nanoTime()
-        batchData.foreach { d => in.addData(d); q.processAllAvailable() }
+        var done = 0
+        batchData.foreach { d =>
+          if (!capped) { in.addData(d); q.processAllAvailable(); done += 1 }
+        }
         val wallSec = (System.nanoTime() - t0) / 1e9
-        (seedSec, (n / wallSec).round)
-      } finally q.stop()
+        if (capped || done < batches) (seedSec, -1L)
+        else (seedSec, (n / wallSec).round)
+      } catch {
+        case e: Throwable if capped =>
+          System.err.println(s"[state] cell keys=$nKeys capped " +
+            s"at ${capSec}s: ${e.getMessage}")
+          (-1.0, -1L)
+      } finally {
+        watchdog.interrupt()
+        q.stop()
+      }
     } finally {
       prior match {
         case Some(v) => spark.conf.set(ProviderKey, v)
