@@ -160,10 +160,12 @@ object DedupQueries {
   private def docsInput(d: String) = Seq(s"$d/documents.parquet")
 
   private def shingled(s: SparkSession, d: String): DataFrame =
-    StagedIndex.orStage(s, "dd_shingled_v1_sh3", d, docsInput(d)) {
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          graft.functions.WordShingles(col("text"), 3).alias("sh"))
+    // per-row (one output row per document) — appendable: a growing
+    // snapshot re-tokenizes only its new part files
+    StagedIndex.orStageAppendable(s, "dd_shingled_v1_sh3", d,
+      s"$d/documents.parquet") { docs =>
+      docs.select(col("doc_id"),
+        graft.functions.WordShingles(col("text"), 3).alias("sh"))
     }
 
   /** Per-doc MinHash signature via the MinHashSigAgg typed aggregate:
@@ -266,9 +268,12 @@ object DedupQueries {
     * re-hash unchanged content. O(docs) rows of 32-char digests.
     */
   private def contentKeys(s: SparkSession, d: String): DataFrame =
-    StagedIndex.orStage(s, "dd_content_keys_v1", d, docsInput(d)) {
-      Tables.documents(s, d)
-        .select(col("doc_id"), md5(col("text")).alias("k"))
+    // per-row artifact on the APPENDABLE path: when a new crawl lands
+    // as new part files, only those files are hashed — the existing
+    // corpus's keys chain in from the prior stage (O(delta) ingest)
+    StagedIndex.orStageAppendable(s, "dd_content_keys_v1", d,
+      s"$d/documents.parquet") { docs =>
+      docs.select(col("doc_id"), md5(col("text")).alias("k"))
     }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

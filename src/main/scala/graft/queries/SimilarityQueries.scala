@@ -162,9 +162,11 @@ object SimilarityQueries {
     * columnar scan of (vec_id, q, n2).
     */
   private def quantized(s: SparkSession, dir: String): DataFrame =
-    StagedIndex.orStage(s, "sim_quantized_v1", dir,
-      Seq(s"$dir/embeddings.parquet")) {
-      Tables.embeddings(s, dir)
+    // per-row artifact — appendable: new embedding part files
+    // quantize as a delta, the rest chains in from the prior stage
+    StagedIndex.orStageAppendable(s, "sim_quantized_v1", dir,
+      s"$dir/embeddings.parquet") { embs =>
+      embs
         .select(col("vec_id"), quant(col("embedding")).alias("q"))
         .withColumn("n2", dot(col("q"), col("q")))
     }

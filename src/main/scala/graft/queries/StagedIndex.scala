@@ -125,6 +125,131 @@ object StagedIndex {
     }
   }
 
+  /** Incremental variant of [[orStage]] for PER-ROW artifacts (each
+    * output row derives from exactly one input row — content hashes,
+    * shingle sets, signatures, quantized vectors): when the input
+    * path GROWS append-only (every previously-listed file unchanged,
+    * new files added — the object-store ingest pattern: a new crawl
+    * lands as new part files), only the NEW files are passed to
+    * `build`, and the delta chains onto the existing stage via a
+    * `_BASE` pointer; the reader unions the chain. At 100 TB this is
+    * the difference between re-deriving the whole corpus index per
+    * snapshot and paying O(delta) per ingest. A rewritten or shrunk
+    * input falls back to a full rebuild (a fresh chain root).
+    *
+    * REQUIREMENT on `build`: it must be row-wise in the input (build
+    * over a file subset ∪ build over the rest == build over all) —
+    * aggregations across input rows that span files would be wrong
+    * here; those stay on [[orStage]].
+    *
+    * Layout per content token: `<dir>/_MANIFEST` (the file listing
+    * this stage covers), optional `<dir>/_BASE` (absolute path of the
+    * previous chain link), parquet part files (the delta), and
+    * `<dir>/_COMPLETE` written LAST (readers require it — parquet's
+    * own _SUCCESS only marks the delta write, not the metadata).
+    */
+  def orStageAppendable(s: SparkSession, name: String, sfDir: String,
+      input: String)(build: DataFrame => DataFrame): DataFrame = {
+    val root = s.conf.get("graft.stage.dir",
+      sys.props("java.io.tmpdir") + "/graft-stage")
+    if (root == "off")
+      QueryMemo.cached(s, name, sfDir)(build(s.read.parquet(input)))
+    else {
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+      def p(str: String) = new org.apache.hadoop.fs.Path(str)
+      // per-file listing of the input as `len:mtime:path` (the path
+      // goes LAST because URIs contain ':' — `split(":", 3)(2)`
+      // recovers it unambiguously); the unit of append detection.
+      // Marker/hidden files (_SUCCESS, .crc) are EXCLUDED: they carry
+      // no rows, must never reach the delta read, and an ingest that
+      // rewrites a marker must not defeat subset detection.
+      def listing(): Seq[String] = {
+        val in = p(input)
+        if (!fs.exists(in)) Seq.empty
+        else {
+          val it = fs.listFiles(in, true)
+          val b = Seq.newBuilder[String]
+          while (it.hasNext) {
+            val f = it.next()
+            val nm = f.getPath.getName
+            if (!nm.startsWith("_") && !nm.startsWith("."))
+              b += s"${f.getLen}:${f.getModificationTime}:${f.getPath}"
+          }
+          b.result().sorted
+        }
+      }
+      val token = contentToken(s, Seq(input))
+      val base = s"$root/${md5hex(sfDir).take(12)}"
+      val dir = s"$base/$token/$name"
+      val lock = locks.computeIfAbsent(dir, _ => new Object)
+      lock.synchronized {
+        if (!fs.exists(p(s"$dir/_COMPLETE"))) {
+          val cur = listing()
+          val curSet = cur.toSet
+          // find a completed sibling (same name, other token) whose
+          // manifest is a strict subset of the current listing —
+          // i.e. the input grew append-only since that stage
+          val sibling: Option[(String, Set[String])] =
+            if (!fs.exists(p(base))) None
+            else fs.listStatus(p(base)).filter(_.isDirectory).toSeq
+              .map(t => s"${t.getPath.toString}/$name")
+              .filter(d => d != dir && fs.exists(p(s"$d/_COMPLETE")))
+              .flatMap { d =>
+                val m = readLines(fs, s"$d/_MANIFEST").toSet
+                if (m.nonEmpty && m.subsetOf(curSet) && m != curSet)
+                  Some((d, m))
+                else None
+              }
+              // prefer the longest manifest = smallest delta
+              .sortBy(-_._2.size).headOption
+          val delta = sibling match {
+            case Some((_, covered)) =>
+              val newFiles = cur.filterNot(covered)
+                .map(_.split(":", 3)(2)) // len:mtime:path — path last
+              build(s.read.parquet(newFiles: _*))
+            case None => build(s.read.parquet(input))
+          }
+          delta.write.mode("overwrite").parquet(dir)
+          sibling.foreach { case (d, _) => writeText(fs, s"$dir/_BASE", d) }
+          writeText(fs, s"$dir/_MANIFEST", cur.mkString("\n"))
+          writeText(fs, s"$dir/_COMPLETE", "")
+        }
+      }
+      // read the whole chain (delta dirs back to the full-build root)
+      val chain = Seq.newBuilder[String]
+      var at = dir
+      var hops = 0
+      while (at != null && hops < 10000) {
+        chain += at
+        at = if (fs.exists(p(s"$at/_BASE"))) readLines(fs, s"$at/_BASE")
+          .headOption.orNull
+        else null
+        hops += 1
+      }
+      s.read.parquet(chain.result(): _*)
+    }
+  }
+
+  private def readLines(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Seq[String] = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(hp)) Seq.empty
+    else {
+      val in = fs.open(hp)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList.filter(_.nonEmpty)
+      finally in.close()
+    }
+  }
+
+  private def writeText(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, text: String): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(path), true)
+    try out.write(text.getBytes("UTF-8"))
+    finally out.close()
+  }
+
   def orStage(s: SparkSession, name: String, sfDir: String,
       inputs: Seq[String])(build: => DataFrame): DataFrame = {
     val root = s.conf.get("graft.stage.dir",

@@ -101,6 +101,69 @@ class StagedIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("appendable stage: append-only growth builds ONLY the delta") {
+    withStageDir {
+      import org.apache.spark.sql.functions.col
+      val in = Files.createTempDirectory("sis_app_in").toString
+      val input = s"$in/t.parquet"
+      // initial snapshot: ids 0-9 (one part file set)
+      spark.range(10).toDF("x")
+        .coalesce(1).write.parquet(input)
+      val seen = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+      def call(): Set[Long] =
+        StagedIndex.orStageAppendable(spark, "spec_app_v1", in, input) {
+          df =>
+            seen += df.select(col("x")).collect().map(_.getLong(0)).toSeq
+            df.select(col("x"), (col("x") * 2).alias("y"))
+        }.select(col("y")).collect().map(_.getLong(0)).toSet
+      assert(call() === (0L until 10L).map(_ * 2).toSet)
+      assert(seen.size === 1 && seen.head.toSet === (0L until 10L).toSet)
+      // served from the stage — builder not invoked again
+      assert(call() === (0L until 10L).map(_ * 2).toSet)
+      assert(seen.size === 1)
+      // APPEND ids 10-14 as a new part file set (existing files
+      // untouched — the object-store ingest pattern), then refresh
+      // the in-session token memo (the documented in-place contract)
+      spark.range(10, 15).toDF("x")
+        .coalesce(1).write.mode("append").parquet(input)
+      StagedIndex.refreshTokens()
+      assert(call() === (0L until 15L).map(_ * 2).toSet,
+        "chain read must union the delta with the base stage")
+      assert(seen.size === 2, "append must trigger exactly one delta build")
+      assert(seen(1).toSet === (10L until 15L).toSet,
+        s"builder must see ONLY the appended rows, got ${seen(1)}")
+      // steady state again
+      assert(call() === (0L until 15L).map(_ * 2).toSet)
+      assert(seen.size === 2)
+    }
+  }
+
+  test("appendable stage: a rewritten input falls back to a full rebuild") {
+    withStageDir {
+      import org.apache.spark.sql.functions.col
+      val in = Files.createTempDirectory("sis_rw_in").toString
+      val input = s"$in/t.parquet"
+      spark.range(10).toDF("x").coalesce(1).write.parquet(input)
+      val builds = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def call(): Long =
+        StagedIndex.orStageAppendable(spark, "spec_rw_v1", in, input) {
+          df =>
+            builds += df.count()
+            df.select(col("x"))
+        }.count()
+      assert(call() === 10L)
+      assert(builds.toSeq === Seq(10L))
+      // full overwrite with DIFFERENT rows: no manifest is a subset,
+      // so the chain roots fresh — no stale rows can leak in
+      spark.range(100, 107).toDF("x")
+        .coalesce(1).write.mode("overwrite").parquet(input)
+      StagedIndex.refreshTokens()
+      assert(call() === 7L)
+      assert(builds.toSeq === Seq(10L, 7L),
+        "rewrite must trigger a FULL rebuild over the new input")
+    }
+  }
+
   test("graft.stage.dir=off falls back to the in-session memo") {
     spark.conf.set("graft.stage.dir", "off")
     try {
