@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.StagedIndex
+
+/** Measures the appendable-stage contract end-to-end at real size:
+  * copy a documents snapshot to a scratch dir, stage its shingle
+  * index (FULL build), append ~10% more documents as new part files
+  * (existing files untouched — the object-store ingest pattern), and
+  * re-stage (DELTA build). The printed ratio is the O(delta) claim,
+  * measured: the delta pass should cost ~a tenth of the full pass,
+  * not another full derivation.
+  *
+  * `runMain graft.AppendProbe [baseDir]` prints:
+  * `[append] full=<sec> rows=<n> / delta=<sec> rows=<n>`.
+  */
+object AppendProbe {
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.local()
+    GraftSession.applyEnvConf(spark)
+    val work = java.nio.file.Files.createTempDirectory("graft_append")
+      .toString
+    val input = s"$work/documents.parquet"
+    spark.read.parquet(s"$base/documents.parquet")
+      .write.parquet(input)
+    spark.conf.set("graft.stage.dir", s"$work/stage")
+
+    def build(df: DataFrame): DataFrame =
+      df.select(col("doc_id"),
+        graft.functions.WordShingles(col("text"), 3).alias("sh"))
+    def pass(): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = StagedIndex
+        .orStageAppendable(spark, "append_probe_sh3", work, input)(build)
+        .count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    val (fullSec, n0) = pass()
+    // append ~10%: every 10th doc re-id'd above the existing range,
+    // written as NEW part files
+    spark.read.parquet(input)
+      .filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+      .write.mode("append").parquet(input)
+    StagedIndex.refreshTokens()
+    val (deltaSec, n1) = pass()
+    println(f"[append] full=$fullSec%.2f s rows=$n0 / " +
+      f"delta=$deltaSec%.2f s rows=$n1")
+    spark.stop()
+  }
+}
