@@ -177,8 +177,15 @@ object DedupQueries {
     * longs, tiny next to the corpus).
     */
   private def signatures(s: SparkSession, d: String): DataFrame =
-    StagedIndex.orStage(s, s"dd_signatures_v1_$StageFp", d, docsInput(d)) {
-      sigFromShingles(shingled(s, d))
+    // per-doc artifact — appendable: a new crawl's signatures derive
+    // from its new part files only (the delta re-shingles just those
+    // docs rather than riding the shingled stage, keeping the chain
+    // single-input; cold builds pay the fast WordShingles pass twice
+    // per snapshot, ingest pays O(delta) forever after)
+    StagedIndex.orStageAppendable(s, s"dd_signatures_v1_$StageFp", d,
+      s"$d/documents.parquet") { docs =>
+      sigFromShingles(docs.select(col("doc_id"),
+        graft.functions.WordShingles(col("text"), 3).alias("sh")))
     }
 
   /** (doc_id, sh) shingle rows → m0..m{K-1} signature columns; the one
@@ -654,9 +661,10 @@ object DedupQueries {
       // exprs); like the shingle/signature/trigram indexes, the
       // (doc_id, h) fingerprint table is staged once per snapshot so
       // every consumer scans the columnar result
-      val fps = StagedIndex.orStage(s, "dd_winnow_fp_v2", d,
-        docsInput(d)) {
-        winnowFingerprintsOf(Tables.documents(s, d))
+      // per-doc distinct fingerprints — appendable (O(delta) ingest)
+      val fps = StagedIndex.orStageAppendable(s, "dd_winnow_fp_v2", d,
+        s"$d/documents.parquet") { docs =>
+        winnowFingerprintsOf(docs)
       }
       fps.select(col("doc_id").alias("ida"), col("h"))
         .join(fps.select(col("doc_id").alias("idb"), col("h")), Seq("h"))

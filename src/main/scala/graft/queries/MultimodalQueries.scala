@@ -40,10 +40,13 @@ object MultimodalQueries {
     */
   private def phashed(s: SparkSession, d: String): DataFrame = {
     val dec = s.conf.get("graft.media.decoder", "stub")
-    StagedIndex.orStage(s, s"mm_phash_${dec}_v1", d,
-      Seq(s"$d/documents.parquet")) {
+    // per-media-row decode + hash — appendable: new media part files
+    // hash as a delta (the chain pattern matters most HERE, where the
+    // per-row work is a real codec at production scale)
+    StagedIndex.orStageAppendable(s, s"mm_phash_${dec}_v1", d,
+      s"$d/documents.parquet") { docs =>
       Multimodal.perceptualHash(
-        Multimodal.asMedia(s, Tables.documents(s, d)), decoder(s)).toDF()
+        Multimodal.asMedia(s, docs), decoder(s)).toDF()
     }
   }
 

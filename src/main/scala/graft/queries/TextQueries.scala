@@ -530,9 +530,11 @@ object TextQueries {
     * ≥1 bigram: (doc_id, n_bigrams, score_micro), unordered.
     */
   private def lmScoreOf(s: SparkSession, d: String): DataFrame = {
-    val occ = StagedIndex.orStage(s, "tx_bigram_tf_v1", d,
-      Seq(s"$d/documents.parquet")) {
-      Tables.documents(s, d)
+    // per-doc term frequencies — appendable (the groupBy keys include
+    // doc_id, so a file-subset build is exact)
+    val occ = StagedIndex.orStageAppendable(s, "tx_bigram_tf_v1", d,
+      s"$d/documents.parquet") { docs =>
+      docs
         .select(col("doc_id"),
           explode(expr("filter(transform(sequence(1, length(text)), " +
             "i -> substring(text, i, 2)), x -> length(x) = 2)")).alias("g"))
@@ -625,13 +627,14 @@ object TextQueries {
     * shingle/signature indexes.
     */
   private[queries] def posGrams(s: SparkSession, d: String): DataFrame =
-    StagedIndex.orStage(s, "tx_pos_grams_v1_g16", d,
-      Seq(s"$d/documents.parquet")) {
+    // per-doc positional grams — appendable (O(delta) ingest)
+    StagedIndex.orStageAppendable(s, "tx_pos_grams_v1_g16", d,
+      s"$d/documents.parquet") { docs =>
       // single-pass fused expression (graft.functions.PosGramHashes)
       // — hash-identical to the transform/slice/array_join/md5 HOF
       // chain it replaced (PosGramHashesSpec pins the equivalence),
       // at md5 speed instead of interpreter speed
-      Tables.documents(s, d)
+      docs
         .select(col("doc_id"),
           explode(graft.functions.PosGramHashes(col("text"), 16))
             .alias("sg"))
@@ -886,9 +889,10 @@ object TextQueries {
       // filter(transform(...)) chain is interpreted (outside codegen)
       // and BOTH passes (profile training, doc scoring) consume it —
       // same re-evaluation multiplier measured for the shingle index
-      val tri3 = StagedIndex.orStage(s, "tx_trigrams_v1", d,
-        Seq(s"$d/documents.parquet")) {
-        docs.select(col("doc_id"), col("lang"),
+      val tri3 = StagedIndex.orStageAppendable(s, "tx_trigrams_v1", d,
+        s"$d/documents.parquet") { dsub =>
+        // pure per-row map — appendable (O(delta) ingest)
+        dsub.select(col("doc_id"), col("lang"),
           expr("filter(transform(sequence(1, length(text)), " +
             "i -> substring(text, i, 3)), x -> length(x) = 3)").alias("gs"))
       }
