@@ -147,7 +147,18 @@ object StagedIndex {
     * previous chain link), parquet part files (the delta), and
     * `<dir>/_COMPLETE` written LAST (readers require it — parquet's
     * own _SUCCESS only marks the delta write, not the metadata).
+    *
+    * Chain length is BOUNDED by `graft.stage.maxChain` (default
+    * [[DefaultMaxChain]]): an append that would make the chain deeper
+    * than the bound roots a fresh full build instead — amortized
+    * compaction, the LSM discipline. Unbounded, a corpus ingesting
+    * daily deltas for a year would leave every reader unioning 365
+    * small stage dirs (the object-store small-file problem); bounded,
+    * every K-th ingest pays one full re-derivation and reader fan-in
+    * stays ≤ K dirs.
     */
+  final val DefaultMaxChain = 8
+
   def orStageAppendable(s: SparkSession, name: String, sfDir: String,
       input: String)(build: DataFrame => DataFrame): DataFrame = {
     val root = s.conf.get("graft.stage.dir",
@@ -201,8 +212,16 @@ object StagedIndex {
                   Some((d, m))
                 else None
               }
-              // prefer the longest manifest = smallest delta
+              // prefer the longest manifest = smallest delta; if THAT
+              // sibling's chain already hit the bound, root a fresh
+              // full build (compaction) rather than falling back to a
+              // shallower ancestor — chaining onto an old root keeps
+              // depth bounded but re-derives everything since it on
+              // EVERY later ingest (a linearly growing delta), while
+              // the full rebuild resets the chain and the next K
+              // ingests are O(delta) again
               .sortBy(-_._2.size).headOption
+              .filter { case (d, _) => chainDepth(fs, d) < maxChain(s) }
           val delta = sibling match {
             case Some((_, covered)) =>
               val newFiles = cur.filterNot(covered)
@@ -229,6 +248,26 @@ object StagedIndex {
       }
       s.read.parquet(chain.result(): _*)
     }
+  }
+
+  private def maxChain(s: SparkSession): Int =
+    s.conf.get("graft.stage.maxChain", DefaultMaxChain.toString).toInt
+
+  /** Number of stage dirs a reader of `dir` unions (the dir itself
+    * plus its `_BASE` ancestry). Driver-side `_BASE` reads only —
+    * O(depth) tiny-file reads, bounded by [[maxChain]] in practice.
+    */
+  private def chainDepth(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Int = {
+    var at = dir
+    var depth = 0
+    while (at != null && depth < 10000) {
+      depth += 1
+      val b = new org.apache.hadoop.fs.Path(s"$at/_BASE")
+      at = if (fs.exists(b)) readLines(fs, s"$at/_BASE").headOption.orNull
+      else null
+    }
+    depth
   }
 
   private def readLines(fs: org.apache.hadoop.fs.FileSystem,

@@ -164,6 +164,42 @@ class StagedIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("appendable stage: the chain compacts at graft.stage.maxChain") {
+    withStageDir {
+      import org.apache.spark.sql.functions.col
+      spark.conf.set("graft.stage.maxChain", "3")
+      try {
+        val in = Files.createTempDirectory("sis_cc_in").toString
+        val input = s"$in/t.parquet"
+        spark.range(4).toDF("x").coalesce(1).write.parquet(input)
+        val builds = scala.collection.mutable.ArrayBuffer.empty[Long]
+        def call(): Long =
+          StagedIndex.orStageAppendable(spark, "spec_cc_v1", in, input) {
+            df =>
+              builds += df.count()
+              df.select(col("x"))
+          }.count()
+        assert(call() === 4L)
+        // five appends of 2 rows each; with maxChain=3 the chain may
+        // never exceed 3 links, so append #3 (depth would hit 4)
+        // roots a fresh FULL build — visible as a full-input-sized
+        // builder invocation in the middle of the delta sequence
+        (0 until 5).foreach { i =>
+          spark.range(100L * (i + 1), 100L * (i + 1) + 2).toDF("x")
+            .coalesce(1).write.mode("append").parquet(input)
+          StagedIndex.refreshTokens()
+          assert(call() === 4L + 2L * (i + 1))
+        }
+        // appends 1-2 chain deltas (depth 2, 3); append 3 would hit
+        // depth 4, so it compacts: a FULL rebuild over the grown
+        // input (4+3·2=10 rows) roots a fresh chain, and appends 4-5
+        // are O(delta) again off the new root
+        assert(builds.toSeq === Seq(4L, 2L, 2L, 10L, 2L, 2L),
+          s"expected delta/compact/delta amortization, got $builds")
+      } finally spark.conf.unset("graft.stage.maxChain")
+    }
+  }
+
   test("graft.stage.dir=off falls back to the in-session memo") {
     spark.conf.set("graft.stage.dir", "off")
     try {
