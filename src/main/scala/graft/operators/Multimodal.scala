@@ -223,6 +223,28 @@ object Multimodal {
     }
   }
 
+  case class FrameLuma(media_id: Long, frame_no: Long, luma: Long)
+
+  /** Per-frame mean byte value — the luminance-proxy signal cheap
+    * shot-boundary detection thresholds on (a real codec would emit a
+    * per-frame luma histogram through the same seam; the stub's mean
+    * raw byte is the deterministic stand-in). Same chunk/stride
+    * plumbing as [[sampleFrames]]: bounded per-row explode, exact
+    * integer division.
+    */
+  def frameLuma(media: Dataset[MediaRow], chunkBytes: Int, stride: Int)
+      : Dataset[FrameLuma] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      m.content.grouped(chunkBytes).zipWithIndex
+        .filter { case (_, i) => i % stride == 0 }
+        .map { case (chunk, i) =>
+          val sum = chunk.foldLeft(0L)((a, b) => a + (b & 0xff))
+          FrameLuma(m.media_id, i.toLong, sum / chunk.length)
+        }
+    }
+  }
+
   case class ResizedMedia(
       media_id: Long,
       orig_bytes: Long,

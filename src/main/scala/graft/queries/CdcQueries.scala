@@ -332,6 +332,40 @@ object CdcQueries {
         .orderBy("status")
     }),
 
+    // Out-of-order-arrival profile — the measurement a streaming
+    // deployment reads BEFORE choosing its watermark delay
+    // (`withWatermark`'s argument is exactly "the max lateness we
+    // tolerate"; too small drops real events, too large holds state).
+    // Arrival order is event_id (the change stream's resume-token
+    // order), event time is ts; an event is LATE when some
+    // earlier-arriving event of the SAME key carries a later event
+    // time. Per-key, not global: cross-key skew is normal in a
+    // sharded source (each shard is ordered, the merge is not), and
+    // the per-key inversion depth is what keyed state actually
+    // buffers. Scale shape: ONE window partitioned on the documentKey
+    // (fact-side cardinality, the scale-safe shape) feeding a
+    // map-side-combinable aggregation per op type; lateness stays in
+    // integer milliseconds end to end.
+    "cdc_ooo_profile" -> ((s, d) => {
+      val prev = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      events(s, d)
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("event_type"), lit("")).alias("op_type"),
+          col("ts"))
+        .withColumn("prev_max", max(col("ts")).over(prev))
+        .select(col("op_type"), col("user_id"),
+          when(col("prev_max") > col("ts"),
+            expr("(prev_max - ts) div 1000000")).alias("late_ms"))
+        .groupBy("op_type")
+        .agg(count(lit(1)).alias("n"),
+          count(col("late_ms")).alias("n_late"),
+          coalesce(max(col("late_ms")), lit(0L)).alias("max_late_ms"),
+          countDistinct(when(col("late_ms").isNotNull, col("user_id")))
+            .alias("n_late_users"))
+        .orderBy("op_type")
+    }),
+
     // Point-in-time-correct state lookup — the feature-store as-of
     // join over the materialized change history: every purchase event
     // is annotated with the user's LAST state change strictly before
@@ -531,6 +565,26 @@ object CdcQueries {
         |FROM events
         |WHERE event_type IN ('click','purchase','signup','view')
         |GROUP BY 1, 2 ORDER BY topic, op""".stripMargin,
+
+    "cdc_ooo_profile" ->
+      """WITH lat AS (
+        |  SELECT coalesce(event_type, '') AS op_type, user_id,
+        |    CASE WHEN max(epoch_ns(ts)) OVER (
+        |           PARTITION BY user_id ORDER BY event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |         > epoch_ns(ts)
+        |      THEN (max(epoch_ns(ts)) OVER (
+        |           PARTITION BY user_id ORDER BY event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |         - epoch_ns(ts)) // 1000000
+        |    END AS late_ms
+        |  FROM events)
+        |SELECT op_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(late_ms) AS BIGINT) AS n_late,
+        |  CAST(coalesce(max(late_ms), 0) AS BIGINT) AS max_late_ms,
+        |  CAST(count(DISTINCT CASE WHEN late_ms IS NOT NULL
+        |    THEN user_id END) AS BIGINT) AS n_late_users
+        |FROM lat GROUP BY op_type ORDER BY op_type""".stripMargin,
 
     "cdc_reconcile" ->
       """WITH ev AS (

@@ -25,6 +25,13 @@ object MultimodalQueries {
     */
   final val MmHamThresh = 8
 
+  /** Scene-cut bar: a luma jump above this between consecutive
+    * sampled frames is a shot boundary (mm_scene_cut). At 8, ~2.5%
+    * of sf0.01 frame transitions cut — sparse, as shot boundaries
+    * should be.
+    */
+  final val SceneCutThresh = 8L
+
   /** Banded-LSH pHash candidate pairs with exact Hamming rerank —
     * the shared core of mm_phash (reports the pairs) and mm_dedup
     * (clusters them). Scale shape: one decoder pass per payload, the
@@ -171,6 +178,36 @@ object MultimodalQueries {
           (coalesce(col("keeper"), col("media_id")) < col("media_id"))
             .alias("is_dup"))
         .orderBy("media_id")
+    }),
+
+    // Shot-boundary (scene-cut) detection — the video-pipeline step
+    // between frame sampling and frame dedup/captioning: sample
+    // frames, compute a per-frame luminance proxy through the decoder
+    // seam (stub: mean raw byte; a real codec emits the same shape
+    // from decoded pixels), and call a cut wherever consecutive
+    // frames' luma jumps past SceneCutThresh — the classic
+    // luminance-delta detector. Per media: frame count, cut count,
+    // max jump, first cut frame (the keyframe a sampler would emit).
+    // Scale shape: bounded per-row explode, ONE window partitioned on
+    // media_id (fact-side key), map-side-combinable final agg — no
+    // global ordering anywhere; integers end to end.
+    "mm_scene_cut" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("media_id").orderBy("frame_no")
+      Multimodal.frameLuma(
+        Multimodal.asMedia(s, Tables.documents(s, d)),
+        chunkBytes = 32, stride = 2)
+        .toDF()
+        .withColumn("delta", abs(col("luma") - lag(col("luma"), 1).over(w)))
+        .groupBy("media_id")
+        .agg(
+          count(lit(1)).alias("n_frames"),
+          sum(when(col("delta") > SceneCutThresh, 1L).otherwise(0L))
+            .alias("n_cuts"),
+          coalesce(max(col("delta")), lit(0L)).alias("max_delta"),
+          min(when(col("delta") > SceneCutThresh, col("frame_no")))
+            .alias("first_cut"))
+        .orderBy("media_id")
     }))
 
   private val fpSql = (e: String) =>
@@ -289,5 +326,35 @@ object MultimodalQueries {
          |  coalesce(l.keeper, d.doc_id) AS keeper,
          |  coalesce(l.keeper, d.doc_id) < d.doc_id AS is_dup
          |FROM documents d LEFT JOIN lab l ON d.doc_id = l.media_id
-         |ORDER BY media_id""".stripMargin)
+         |ORDER BY media_id""".stripMargin,
+
+    // mm_frames' chunking with a mean-byte luma instead of the fp,
+    // then the lag-delta detector
+    "mm_scene_cut" ->
+      s"""WITH chunks AS (
+         |  SELECT doc_id AS media_id,
+         |    CAST(i - 1 AS BIGINT) AS frame_no,
+         |    substr(text, (i - 1) * 32 + 1, 32) AS chunk
+         |  FROM documents,
+         |    UNNEST(range(1, CAST(ceil(length(text) / 32.0) AS BIGINT) + 1))
+         |      t(i)),
+         |luma AS (
+         |  SELECT media_id, frame_no,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(string_split(chunk, ''),
+         |          x -> CAST(ascii(x) AS BIGINT))),
+         |      (a, b) -> a + b) // length(chunk) AS luma
+         |  FROM chunks WHERE frame_no % 2 = 0),
+         |d AS (
+         |  SELECT media_id, frame_no,
+         |    abs(luma - lag(luma) OVER (
+         |      PARTITION BY media_id ORDER BY frame_no)) AS delta
+         |  FROM luma)
+         |SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames,
+         |  CAST(sum(CASE WHEN delta > $SceneCutThresh THEN 1
+         |    ELSE 0 END) AS BIGINT) AS n_cuts,
+         |  CAST(coalesce(max(delta), 0) AS BIGINT) AS max_delta,
+         |  CAST(min(CASE WHEN delta > $SceneCutThresh THEN frame_no
+         |    END) AS BIGINT) AS first_cut
+         |FROM d GROUP BY media_id ORDER BY media_id""".stripMargin)
 }

@@ -1543,6 +1543,39 @@ object TextQueries {
         .withColumn("div_ppm",
           expr("1000000 - (1000000 * sumsq) div (n_words * n_words)"))
         .orderBy("doc_id")
+    }),
+
+    // Heaps'-law vocabulary-growth curve — the corpus statistic that
+    // answers "is more data still adding new vocabulary?" (dataset
+    // scaling reports plot exactly this before paying for the next
+    // crawl). The corpus is cut into 10 equal doc-id deciles; each
+    // decile reports its token mass and the number of terms whose
+    // FIRST occurrence falls in it, plus running totals. Scale shape:
+    // terms reduce through a keyed min-bucket aggregation (map-side
+    // combinable, O(vocab) output), token mass through a 10-group
+    // agg; the only window runs over the 10-row decile table (tiny by
+    // construction — the rel_cum_distinct discipline). The 1-row
+    // max-id scalar broadcasts.
+    "tx_vocab_growth" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val mx = docs.agg(max(col("doc_id")).alias("mx"))
+      val toks = docs.crossJoin(broadcast(mx))
+        .select(least(lit(9L), expr("doc_id * 10 div (mx + 1)"))
+          .alias("bucket"), explode(w).alias("term"))
+      val tokCounts = toks.groupBy("bucket")
+        .agg(count(lit(1)).alias("n_tokens"))
+      val firstSeen = toks.groupBy("term")
+        .agg(min(col("bucket")).alias("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).alias("n_new_terms"))
+      val wc = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tokCounts.join(firstSeen, Seq("bucket"), "left")
+        .select(col("bucket"), col("n_tokens"),
+          coalesce(col("n_new_terms"), lit(0L)).alias("n_new_terms"))
+        .withColumn("tokens_cum", sum(col("n_tokens")).over(wc))
+        .withColumn("vocab_cum", sum(col("n_new_terms")).over(wc))
+        .orderBy("bucket")
     }))
 
   lazy val oracles: Map[String, String] = Map(
@@ -2279,5 +2312,30 @@ object TextQueries {
         |SELECT doc_id, n_words, n_distinct, sumsq,
         |  CAST(1000000 - (1000000 * sumsq) // (n_words * n_words)
         |    AS BIGINT) AS div_ppm
-        |FROM per ORDER BY doc_id""".stripMargin)
+        |FROM per ORDER BY doc_id""".stripMargin,
+
+    "tx_vocab_growth" ->
+      """WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+        |toks AS (
+        |  SELECT least(9, doc_id * 10 // (mx + 1)) AS bucket,
+        |    t.term AS term
+        |  FROM documents, mx, UNNEST(string_split(text, ' ')) t(term)),
+        |tc AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens
+        |  FROM toks GROUP BY bucket),
+        |fb AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_new_terms
+        |  FROM (SELECT term, min(bucket) AS bucket FROM toks
+        |        GROUP BY term) f
+        |  GROUP BY bucket)
+        |SELECT CAST(tc.bucket AS BIGINT) AS bucket, tc.n_tokens,
+        |  CAST(coalesce(fb.n_new_terms, 0) AS BIGINT) AS n_new_terms,
+        |  CAST(sum(tc.n_tokens) OVER (ORDER BY tc.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS tokens_cum,
+        |  CAST(sum(coalesce(fb.n_new_terms, 0)) OVER (ORDER BY tc.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS vocab_cum
+        |FROM tc LEFT JOIN fb USING (bucket)
+        |ORDER BY bucket""".stripMargin)
 }

@@ -76,6 +76,10 @@ class PlanAuditSpec extends AnyFunSuite {
       // prefix-sum window over the day-cardinality new-user agg;
       // the corpus itself reduces through two keyed aggs first
       "rel_cum_distinct",
+      // 1-row max-id scalar broadcast + prefix-sum window over the
+      // 10-row decile aggregate (tiny by construction); terms reduce
+      // through a keyed min-bucket agg before anything global
+      "tx_vocab_growth",
       // 1-row min/max bounds scalar, exploded into the day skeleton
       "rel_resample",
       // 1-row token-totals scalar (R, T), broadcast onto the B-row
@@ -179,7 +183,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // (probes × flips+1), both id-bounded by construction
     "sim_multiprobe_ann",
     // inherits all three component pipelines' plane/probe broadcasts
-    "sim_multiprobe_recall")
+    "sim_multiprobe_recall",
+    // crossJoin(broadcast(mx)): 1-row max-doc-id scalar broadcast onto
+    // the corpus scan for decile assignment
+    "tx_vocab_growth")
 
   test("no query plan contains a CartesianProduct") {
     plans.foreach { case (sf, n, p) =>
