@@ -1551,21 +1551,27 @@ object TextQueries {
     // crawl). The corpus is cut into 10 equal doc-id deciles; each
     // decile reports its token mass and the number of terms whose
     // FIRST occurrence falls in it, plus running totals. Scale shape:
-    // terms reduce through a keyed min-bucket aggregation (map-side
-    // combinable, O(vocab) output), token mass through a 10-group
-    // agg; the only window runs over the 10-row decile table (tiny by
-    // construction — the rel_cum_distinct discipline). The 1-row
-    // max-id scalar broadcasts.
+    // the token stream is exploded ONCE into a (bucket, term) tf core
+    // (map-side combined, O(vocab × 10) output — NOT the token
+    // stream); both the token-mass and first-occurrence aggregations
+    // read that core, so the corpus pays a single pass. The only
+    // window runs over the 10-row decile table (tiny by construction
+    // — the rel_cum_distinct discipline). The 1-row max-id scalar
+    // broadcasts.
     "tx_vocab_growth" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
       val mx = docs.agg(max(col("doc_id")).alias("mx"))
-      val toks = docs.crossJoin(broadcast(mx))
+      val tf = docs.crossJoin(broadcast(mx))
         .select(least(lit(9L), expr("doc_id * 10 div (mx + 1)"))
           .alias("bucket"), explode(w).alias("term"))
-      val tokCounts = toks.groupBy("bucket")
-        .agg(count(lit(1)).alias("n_tokens"))
-      val firstSeen = toks.groupBy("term")
+        .groupBy("bucket", "term").agg(count(lit(1)).alias("tf"))
+      // both branches below consume the IDENTICAL (bucket, term)
+      // exchange, which ReuseExchange dedupes — one explode pass
+      // (pinned by the ReusedExchange assertion in PlanAuditSpec)
+      val tokCounts = tf.groupBy("bucket")
+        .agg(sum(col("tf")).alias("n_tokens"))
+      val firstSeen = tf.groupBy("term")
         .agg(min(col("bucket")).alias("bucket"))
         .groupBy("bucket").agg(count(lit(1)).alias("n_new_terms"))
       val wc = Window.orderBy("bucket")

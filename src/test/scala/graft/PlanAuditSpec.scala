@@ -372,6 +372,29 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  // tx_vocab_growth's two downstream aggregations (token mass per
+  // decile, first-occurrence per term) both consume the SAME
+  // (bucket, term) tf exchange; exchange reuse must dedupe it so the
+  // corpus-sized explode runs once. Under AQE the reuse is a RUNTIME
+  // decision (the pre-execution plan prints both branches), so the
+  // pin executes the query and asserts on the final adaptive plan. A
+  // regression (e.g. a branch picking up a non-identical projection)
+  // silently doubles the token-stream pass — invisible at sf0.1, a
+  // full extra corpus scan at 100 TB.
+  test("tx_vocab_growth reuses the (bucket, term) tf exchange") {
+    for (sf <- sfs) {
+      val df = SparkEntry.queries("tx_vocab_growth")(spark, sf)
+      df.collect() // 10-row result; runs AQE to the final plan
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(p.contains("isFinalPlan=true"),
+        s"tx_vocab_growth at $sf: expected an executed adaptive plan")
+      assert(p.contains("ReusedExchange"),
+        s"tx_vocab_growth at $sf: the shared tf exchange is not reused " +
+          "— the token explode now runs twice")
+    }
+  }
+
   test("parquet scans prune columns (no full-width reads)") {
     // No query legitimately needs every column of a wide table: a scan
     // whose ReadSchema carries ALL of a table's columns means pruning
