@@ -34,6 +34,32 @@ object CdcQueries {
     */
   final val GapBucket = 1024L
 
+  /** The cdc_ooo_profile core over any (event_id, user_id, op_type,
+    * ts-nanos) frame — factored out so StreamingLatenessSpec can pin
+    * the streaming monitor against THIS implementation on perturbed
+    * data (the driver testdata is perfectly key-ordered, so the raw
+    * corpus exercises the zero-late path only). Scale shape: ONE
+    * window partitioned on the document key (fact-side cardinality)
+    * feeding a map-side-combinable aggregation per op type; lateness
+    * stays in integer milliseconds end to end.
+    */
+  def oooProfileOf(evs: DataFrame): DataFrame = {
+    val prev = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    evs
+      .withColumn("prev_max", max(col("ts")).over(prev))
+      .select(col("op_type"), col("user_id"),
+        when(col("prev_max") > col("ts"),
+          expr("(prev_max - ts) div 1000000")).alias("late_ms"))
+      .groupBy("op_type")
+      .agg(count(lit(1)).alias("n"),
+        count(col("late_ms")).alias("n_late"),
+        coalesce(max(col("late_ms")), lit(0L)).alias("max_late_ms"),
+        countDistinct(when(col("late_ms").isNotNull, col("user_id")))
+          .alias("n_late_users"))
+      .orderBy("op_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1/S4: source scan with predicate + projection pushdown — the
     // batch analog of the connector's server-side pipeline. .explain
@@ -346,25 +372,11 @@ object CdcQueries {
     // (fact-side cardinality, the scale-safe shape) feeding a
     // map-side-combinable aggregation per op type; lateness stays in
     // integer milliseconds end to end.
-    "cdc_ooo_profile" -> ((s, d) => {
-      val prev = Window.partitionBy("user_id").orderBy("event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      events(s, d)
+    "cdc_ooo_profile" -> ((s, d) =>
+      oooProfileOf(events(s, d)
         .select(col("event_id"), col("user_id"),
           coalesce(col("event_type"), lit("")).alias("op_type"),
-          col("ts"))
-        .withColumn("prev_max", max(col("ts")).over(prev))
-        .select(col("op_type"), col("user_id"),
-          when(col("prev_max") > col("ts"),
-            expr("(prev_max - ts) div 1000000")).alias("late_ms"))
-        .groupBy("op_type")
-        .agg(count(lit(1)).alias("n"),
-          count(col("late_ms")).alias("n_late"),
-          coalesce(max(col("late_ms")), lit(0L)).alias("max_late_ms"),
-          countDistinct(when(col("late_ms").isNotNull, col("user_id")))
-            .alias("n_late_users"))
-        .orderBy("op_type")
-    }),
+          col("ts")))),
 
     // Point-in-time-correct state lookup — the feature-store as-of
     // join over the materialized change history: every purchase event

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{coalesce, col, lit}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Tables
+import graft.streaming.StreamingLateness._
+
+/** Pins the at-ingest lateness monitor: the aggregated late-arrival
+  * feed equals the batch cdc_ooo_profile's late columns on the real
+  * corpus, redelivery emits nothing, and per-key max-event-time state
+  * carries across micro-batches under RocksDB.
+  */
+class StreamingLatenessSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.GraftSession.builder("4").getOrCreate()
+  private val sf = "/root/testdata/sf0.001"
+
+  test("aggregated late feed equals the batch profile on perturbed corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // The driver testdata is perfectly key-ordered (zero inversions),
+    // so perturb it deterministically: every third event's time slips
+    // back by (event_id mod 20 + 1) hours — the corpus's intra-key
+    // event spacing is hours (median ~7.7 h), so the slips produce a
+    // mix of real inversions and still-on-time arrivals with varied
+    // depths. Both sides see the SAME perturbed rows.
+    val evs = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id").alias("key"),
+        coalesce(col("event_type"), lit("")).alias("op_type"), col("ts"))
+      .as[Ev].collect().sortBy(_.event_id)
+      .map(e =>
+        if (e.event_id % 3 == 0)
+          e.copy(ts = e.ts - (e.event_id % 20 + 1) * 3600L * 1000000000L)
+        else e)
+
+    val batch = graft.queries.CdcQueries.oooProfileOf(
+      evs.toSeq.toDF().withColumnRenamed("key", "user_id"))
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .filter(_._2._1 > 0L) // ops with no late events emit no feed rows
+      .toMap
+
+    val in = MemoryStream[Ev]
+    val q = observe(in.toDS())
+      .writeStream.format("memory").queryName("late_parity")
+      .outputMode("append").start()
+    try {
+      evs.grouped(evs.length / 4 + 1).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("late_parity").as[Late].collect()
+      val byOp = streamed.groupBy(_.op_type).map { case (op, ls) =>
+        (op, (ls.length.toLong, ls.map(_.late_ms).max,
+          ls.map(_.key).distinct.length.toLong))
+      }
+      assert(byOp === batch,
+        "per-op (n_late, max_late_ms, n_late_users) must match the batch profile")
+      assert(streamed.nonEmpty,
+        "the perturbation must produce late arrivals")
+    } finally q.stop()
+  }
+
+  test("redelivery below the high-water emits nothing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = observe(in.toDS())
+      .writeStream.format("memory").queryName("late_replay")
+      .outputMode("append").start()
+    try {
+      // id 2 arrives with an EARLIER event time than id 1 → late 1 ms
+      in.addData(Ev(1L, 7L, "u", 5000000L), Ev(2L, 7L, "u", 4000000L))
+      q.processAllAvailable()
+      assert(spark.table("late_replay").as[Late].collect().toSet ===
+        Set(Late(7L, "u", 2L, 1L)))
+      // resume-token replay of the same ids: no duplicate observation
+      in.addData(Ev(2L, 7L, "u", 4000000L)); q.processAllAvailable()
+      assert(spark.table("late_replay").count() === 1)
+      // a fresh on-time arrival still emits nothing
+      in.addData(Ev(3L, 7L, "u", 6000000L)); q.processAllAvailable()
+      assert(spark.table("late_replay").count() === 1)
+    } finally q.stop()
+  }
+
+  test("per-key max event time carries across micro-batches under RocksDB") {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val rocksDb = "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, rocksDb)
+    try {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[Ev]
+      val q = observe(in.toDS())
+        .writeStream.format("memory").queryName("late_rocks")
+        .outputMode("append").start()
+      try {
+        in.addData(Ev(1L, 1L, "u", 9000000L)); q.processAllAvailable()
+        // next batch: event time behind the FIRST batch's max → the
+        // inversion is only visible if state crossed the batch boundary
+        in.addData(Ev(2L, 1L, "u", 3000000L)); q.processAllAvailable()
+        // an independent key sees no inversion from key 1's state
+        in.addData(Ev(3L, 2L, "d", 1000000L)); q.processAllAvailable()
+        assert(spark.table("late_rocks").as[Late].collect().toSet ===
+          Set(Late(1L, "u", 2L, 6L)))
+      } finally q.stop()
+    } finally prior match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+}
