@@ -207,6 +207,21 @@ object Multimodal {
     }
   }
 
+  /** The chunk/stride sampling contract shared by [[sampleFrames]] and
+    * [[frameLuma]] — ONE copy, because the SQL oracle twins (mm_frames,
+    * mm_scene_cut) mirror exactly this chunking byte-for-byte and a
+    * divergence between two inlined copies would silently break one
+    * query's parity. A null payload (a NULL-text document surviving
+    * asMedia) yields no frames, matching the SQL side where substr/
+    * range over NULL produce no chunk rows.
+    */
+  private def sampledChunks(content: Array[Byte], chunkBytes: Int,
+      stride: Int): Iterator[(Array[Byte], Long)] =
+    if (content == null) Iterator.empty
+    else content.grouped(chunkBytes).zipWithIndex
+      .filter { case (_, i) => i % stride == 0 }
+      .map { case (chunk, i) => (chunk, i.toLong) }
+
   /** Frame sampling: split the payload into fixed-size chunks and keep
     * every `stride`-th one — the plumbing shape of video frame
     * extraction (explode with bounded per-row output).
@@ -215,11 +230,9 @@ object Multimodal {
       : Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.flatMap { m =>
-      m.content.grouped(chunkBytes).zipWithIndex
-        .filter { case (_, i) => i % stride == 0 }
-        .map { case (chunk, i) =>
-          Frame(m.media_id, i.toLong, chunk.length.toLong, rollingHash(chunk))
-        }
+      sampledChunks(m.content, chunkBytes, stride).map { case (chunk, i) =>
+        Frame(m.media_id, i, chunk.length.toLong, rollingHash(chunk))
+      }
     }
   }
 
@@ -229,19 +242,17 @@ object Multimodal {
     * shot-boundary detection thresholds on (a real codec would emit a
     * per-frame luma histogram through the same seam; the stub's mean
     * raw byte is the deterministic stand-in). Same chunk/stride
-    * plumbing as [[sampleFrames]]: bounded per-row explode, exact
-    * integer division.
+    * plumbing as [[sampleFrames]] via [[sampledChunks]]: bounded
+    * per-row explode, exact integer division.
     */
   def frameLuma(media: Dataset[MediaRow], chunkBytes: Int, stride: Int)
       : Dataset[FrameLuma] = {
     import media.sparkSession.implicits._
     media.flatMap { m =>
-      m.content.grouped(chunkBytes).zipWithIndex
-        .filter { case (_, i) => i % stride == 0 }
-        .map { case (chunk, i) =>
-          val sum = chunk.foldLeft(0L)((a, b) => a + (b & 0xff))
-          FrameLuma(m.media_id, i.toLong, sum / chunk.length)
-        }
+      sampledChunks(m.content, chunkBytes, stride).map { case (chunk, i) =>
+        val sum = chunk.foldLeft(0L)((a, b) => a + (b & 0xff))
+        FrameLuma(m.media_id, i, sum / chunk.length)
+      }
     }
   }
 

@@ -1562,6 +1562,9 @@ object TextQueries {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
       val mx = docs.agg(max(col("doc_id")).alias("mx"))
+      // the least(9, ...) cap is deliberately defensive (doc_id <= mx
+      // makes it unreachable today) and MIRRORED in the DuckDB oracle
+      // — simplify both sides together or neither
       val tf = docs.crossJoin(broadcast(mx))
         .select(least(lit(9L), expr("doc_id * 10 div (mx + 1)"))
           .alias("bucket"), explode(w).alias("term"))
