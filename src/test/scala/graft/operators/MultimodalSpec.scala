@@ -146,4 +146,44 @@ class MultimodalSpec extends AnyFunSuite {
     // ...an inverted gradient moves most of it
     assert(hamming(hashes(1L), hashes(3L)) > 15)
   }
+
+  // --- the shared chunk/stride sampling core (sampleFrames/frameLuma) ---
+  // The SQL oracle twins (mm_frames, mm_scene_cut) mirror this
+  // chunking byte-for-byte; these pin its laws through both consumers.
+
+  test("stride-1 frames reconstruct the payload exactly") {
+    import spark.implicits._
+    val payload = Array.tabulate(100)(i => (i * 7 + 3).toByte)
+    val frames = sampleFrames(
+      Seq(MediaRow(1L, "img/x", payload)).toDS(), chunkBytes = 32, stride = 1)
+      .collect().sortBy(_.frame_no)
+    assert(frames.map(_.frame_no).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(frames.map(_.n_bytes).sum === 100L) // 32+32+32+4: nothing dropped
+    assert(frames.last.n_bytes === 4L) // the short tail chunk survives
+  }
+
+  test("frameLuma matches the plain-Scala mean and keeps stride numbering") {
+    import spark.implicits._
+    val payload = Array.tabulate(100)(i => (i * 31 + 128).toByte)
+    val got = frameLuma(
+      Seq(MediaRow(1L, "v/x", payload)).toDS(), chunkBytes = 16, stride = 3)
+      .collect().map(f => f.frame_no -> f.luma).toMap
+    val want = payload.grouped(16).zipWithIndex
+      .filter(_._2 % 3 == 0)
+      .map { case (c, i) =>
+        i.toLong -> c.map(b => (b & 0xff).toLong).sum / c.length
+      }.toMap
+    assert(got === want)
+    assert(got.keySet === Set(0L, 3L, 6L)) // chunk numbers, not kept-rank
+    assert(got.values.forall(l => l >= 0L && l <= 255L))
+  }
+
+  test("a null payload yields no frames from either consumer") {
+    import spark.implicits._
+    val media = Seq(MediaRow(1L, "img/x", null),
+      MediaRow(2L, "img/x", Array[Byte](1, 2, 3))).toDS()
+    assert(sampleFrames(media, 2, 1).collect().forall(_.media_id == 2L))
+    assert(frameLuma(media, 2, 1).collect().forall(_.media_id == 2L))
+    assert(sampleFrames(media, 2, 1).count() === 2L)
+  }
 }
