@@ -802,6 +802,42 @@ object SimilarityQueries {
         .orderBy("dim")
     }),
 
+    // Per-source embedding drift — the distribution-shift monitor a
+    // production pipeline reads per ingest batch: for every (source,
+    // dimension), how far that source's mean coordinate sits from the
+    // corpus mean, in exact micro-units. A drifting source (encoder
+    // version skew, a broken preprocessing branch, adversarial
+    // content) shows up here dimensions-first, long before recall
+    // drops — the group-wise companion of sim_dim_stats. Integer-
+    // exact: means are floored micro-units; the floor uses the
+    // pmod trick ((x - pmod(x, n)) div n) because Spark's `div`
+    // truncates toward zero while the oracle's `//` floors, and
+    // drift is SIGNED (|1e6·dim_sum| overflows past ~7e10 rows per
+    // source — far beyond any per-source corpus; documented bound).
+    // Scale shape: posexplode multiplies rows by Dim but the
+    // (source, dim) aggregate combines map-side down to
+    // sources × Dim rows; the corpus-mean roll-up derives from THAT
+    // aggregate (never rescans), joined back on the Dim-row key.
+    "sim_source_drift" -> ((s, d) => {
+      val src = Tables.documents(s, d)
+        .select(col("doc_id").alias("vec_id"), col("source"))
+      val per = quantized(s, d).join(src, "vec_id")
+        .select(col("source"), posexplode(col("q")))
+        .withColumnRenamed("pos", "dim")
+        .groupBy("source", "dim")
+        .agg(count(lit(1)).alias("n"), sum(col("col")).alias("dim_sum"))
+      val glob = per.groupBy("dim")
+        .agg(sum(col("n")).alias("n_all"),
+          sum(col("dim_sum")).alias("sum_all"))
+      per.join(glob, "dim")
+        .select(col("source"), col("dim").cast(LongType).alias("dim"),
+          col("n"), col("dim_sum"),
+          expr("(1000000 * dim_sum - pmod(1000000 * dim_sum, n)) div n" +
+            " - (1000000 * sum_all - pmod(1000000 * sum_all, n_all))" +
+            " div n_all").alias("drift_micro"))
+        .orderBy("source", "dim")
+    }),
+
     // Nearest-neighbor margin per vector — cos(top1) − cos(top2) over
     // the staged kNN graph, in floored micro-units. The ANN-tuning
     // profile: a corpus whose margins concentrate near zero has
@@ -2518,6 +2554,26 @@ object SimilarityQueries {
          |  CAST(max(v.qv[u.i]) AS BIGINT) AS q_max
          |FROM qn v, UNNEST(range(1, $Dim + 1)) u(i)
          |GROUP BY 1 ORDER BY dim""".stripMargin,
+
+    // group-wise dim stats joined to their own roll-up; DuckDB's //
+    // floors, matching the Spark side's pmod floor
+    "sim_source_drift" ->
+      s"""WITH $sqlQuant,
+         |per AS (
+         |  SELECT d.source AS source, CAST(u.i - 1 AS BIGINT) AS dim,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(v.qv[u.i]) AS BIGINT) AS dim_sum
+         |  FROM qn v JOIN documents d ON v.vec_id = d.doc_id,
+         |       UNNEST(range(1, $Dim + 1)) u(i)
+         |  GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT dim, sum(n) AS n_all, sum(dim_sum) AS sum_all
+         |  FROM per GROUP BY 1)
+         |SELECT p.source, p.dim, p.n, p.dim_sum,
+         |  CAST((1000000 * p.dim_sum) // p.n
+         |    - (1000000 * g.sum_all) // g.n_all AS BIGINT) AS drift_micro
+         |FROM per p JOIN tot g USING (dim)
+         |ORDER BY source, dim""".stripMargin,
 
     // the shared bucketed-scoring CTEs, re-ranked to the top 2, then
     // the micro-floored margin
