@@ -105,14 +105,25 @@ object StateProbe {
         if (capped || done < batches) (seedSec, -1L)
         else (seedSec, (n / wallSec).round)
       } catch {
-        case e: Throwable if capped =>
-          System.err.println(s"[state] cell keys=$nKeys capped " +
-            s"at ${capSec}s: ${e.getMessage}")
+        // unconditional: a provider that fails to LOAD (not just one
+        // that hangs) must yield a -1 cell, not abort the remaining
+        // (keys, provider) matrix — the snapshotEventsPerSec contract
+        case e: Throwable =>
+          val why = if (capped) s"capped at ${capSec}s" else "failed"
+          System.err.println(
+            s"[state] cell keys=$nKeys $why: ${e.getMessage}")
           (-1.0, -1L)
       } finally {
         watchdog.interrupt()
         q.stop()
       }
+    } catch {
+      // q.start() itself can throw (e.g. the provider class fails to
+      // resolve before any batch runs) — same -1-cell contract
+      case e: Throwable =>
+        System.err.println(
+          s"[state] cell keys=$nKeys failed to start: ${e.getMessage}")
+        (-1.0, -1L)
     } finally {
       prior match {
         case Some(v) => spark.conf.set(ProviderKey, v)

@@ -1109,16 +1109,6 @@ object RelationalQueries {
         .orderBy("rf", "measure")
     }),
 
-    // Shuffle-free fact-to-fact join via bucketed staging: lineitem
-    // and orders are staged CLUSTERED BY orderkey INTO the same
-    // bucket count, so the sort-merge join consumes both scans'
-    // bucket partitioning directly — the ONLY exchange in the plan is
-    // the final 5-row priority aggregate (PlanAudit pins exactly
-    // that). This is the ingest-time answer to the one join shape
-    // broadcasting can't fix (both sides fact-scale): at 100 TB the
-    // bucketing is paid once per table write and every subsequent
-    // orderkey join/agg is exchange-free. The merge hint keeps the
-    // plan on SMJ at small factors where stats would broadcast.
     // Join-key skew audit — the table an operator reads BEFORE
     // committing a 100-TB shuffle plan: the rows-per-key histogram of
     // the fact-fact join key. Two map-side-combined aggregations at
@@ -1135,6 +1125,16 @@ object RelationalQueries {
         .agg(count(lit(1)).alias("n_keys"))
         .orderBy("rows_per_key")),
 
+    // Shuffle-free fact-to-fact join via bucketed staging: lineitem
+    // and orders are staged CLUSTERED BY orderkey INTO the same
+    // bucket count, so the sort-merge join consumes both scans'
+    // bucket partitioning directly — the ONLY exchange in the plan is
+    // the final 5-row priority aggregate (PlanAudit pins exactly
+    // that). This is the ingest-time answer to the one join shape
+    // broadcasting can't fix (both sides fact-scale): at 100 TB the
+    // bucketing is paid once per table write and every subsequent
+    // orderkey join/agg is exchange-free. The merge hint keeps the
+    // plan on SMJ at small factors where stats would broadcast.
     "rel_bucket_join" -> ((s, d) => {
       val l = bktLineitem(s, d).select(col("l_orderkey"), col("rev"))
       val o = bktOrders(s, d).select("o_orderkey", "o_orderpriority")

@@ -90,17 +90,35 @@ object StagedIndex {
       val p = new org.apache.hadoop.fs.Path(in)
       val fs = p.getFileSystem(conf)
       if (!fs.exists(p)) Seq(s"$in:absent")
-      else {
-        val it = fs.listFiles(p, true)
-        val b = Seq.newBuilder[String]
-        while (it.hasNext) {
-          val f = it.next()
-          b += s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"
-        }
-        b.result().sorted
-      }
+      else visibleFiles(fs, p)
+        .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+        .sorted
     }
     md5hex(parts.mkString("|")).take(12)
+  }
+
+  /** Recursive file listing restricted to what Spark's own reader
+    * sees: every path segment below `root` must be non-hidden (no
+    * leading `_` or `.`). One shared traversal for the content token
+    * AND the append manifest — if they disagreed, a marker rewrite or
+    * a crashed write's `_temporary/.../part-*.parquet` (visible LEAF
+    * name, hidden parent) would either force a pointless full restage
+    * or, worse, be staged as a ghost delta the raw input never
+    * returns.
+    */
+  private def visibleFiles(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path)
+      : Seq[org.apache.hadoop.fs.LocatedFileStatus] = {
+    val prefix = fs.makeQualified(root).toString
+    val it = fs.listFiles(root, true)
+    val b = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
+    while (it.hasNext) {
+      val f = it.next()
+      val rel = f.getPath.toString.stripPrefix(prefix).stripPrefix("/")
+      if (rel.split("/").forall(g => !g.startsWith("_") && !g.startsWith(".")))
+        b += f
+    }
+    b.result()
   }
 
   /** Names of the completed (_SUCCESS-marked) staged indexes for this
@@ -172,23 +190,15 @@ object StagedIndex {
       // per-file listing of the input as `len:mtime:path` (the path
       // goes LAST because URIs contain ':' — `split(":", 3)(2)`
       // recovers it unambiguously); the unit of append detection.
-      // Marker/hidden files (_SUCCESS, .crc) are EXCLUDED: they carry
-      // no rows, must never reach the delta read, and an ingest that
-      // rewrites a marker must not defeat subset detection.
+      // Restricted to [[visibleFiles]] (what Spark's reader sees) so
+      // markers and hidden-dir temp files can neither defeat subset
+      // detection nor be staged as a ghost delta.
       def listing(): Seq[String] = {
         val in = p(input)
         if (!fs.exists(in)) Seq.empty
-        else {
-          val it = fs.listFiles(in, true)
-          val b = Seq.newBuilder[String]
-          while (it.hasNext) {
-            val f = it.next()
-            val nm = f.getPath.getName
-            if (!nm.startsWith("_") && !nm.startsWith("."))
-              b += s"${f.getLen}:${f.getModificationTime}:${f.getPath}"
-          }
-          b.result().sorted
-        }
+        else visibleFiles(fs, in)
+          .map(f => s"${f.getLen}:${f.getModificationTime}:${f.getPath}")
+          .sorted
       }
       val token = contentToken(s, Seq(input))
       val base = s"$root/${md5hex(sfDir).take(12)}"
@@ -236,39 +246,37 @@ object StagedIndex {
         }
       }
       // read the whole chain (delta dirs back to the full-build root)
-      val chain = Seq.newBuilder[String]
-      var at = dir
-      var hops = 0
-      while (at != null && hops < 10000) {
-        chain += at
-        at = if (fs.exists(p(s"$at/_BASE"))) readLines(fs, s"$at/_BASE")
-          .headOption.orNull
-        else null
-        hops += 1
-      }
-      s.read.parquet(chain.result(): _*)
+      s.read.parquet(chainDirs(fs, dir): _*)
     }
   }
 
   private def maxChain(s: SparkSession): Int =
     s.conf.get("graft.stage.maxChain", DefaultMaxChain.toString).toInt
 
-  /** Number of stage dirs a reader of `dir` unions (the dir itself
-    * plus its `_BASE` ancestry). Driver-side `_BASE` reads only —
-    * O(depth) tiny-file reads, bounded by [[maxChain]] in practice.
+  /** The stage dir plus its `_BASE` ancestry, delta-first — the ONE
+    * chain walk (the reader unions it; [[chainDepth]] measures it).
+    * Driver-side `_BASE` reads only — O(depth) tiny-file reads,
+    * bounded by [[maxChain]] in practice (the 10000 cap is a
+    * corrupted-pointer backstop, not a design bound).
     */
-  private def chainDepth(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String): Int = {
+  private def chainDirs(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Seq[String] = {
+    val b = Seq.newBuilder[String]
     var at = dir
-    var depth = 0
-    while (at != null && depth < 10000) {
-      depth += 1
-      val b = new org.apache.hadoop.fs.Path(s"$at/_BASE")
-      at = if (fs.exists(b)) readLines(fs, s"$at/_BASE").headOption.orNull
+    var hops = 0
+    while (at != null && hops < 10000) {
+      b += at
+      val base = new org.apache.hadoop.fs.Path(s"$at/_BASE")
+      at = if (fs.exists(base)) readLines(fs, s"$at/_BASE").headOption.orNull
       else null
+      hops += 1
     }
-    depth
+    b.result()
   }
+
+  /** Number of stage dirs a reader of `dir` unions. */
+  private def chainDepth(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Int = chainDirs(fs, dir).length
 
   private def readLines(fs: org.apache.hadoop.fs.FileSystem,
       path: String): Seq[String] = {

@@ -42,27 +42,82 @@ object StreamingLateness {
   /** maxTs/highWater use Long.MinValue as the "unseen" sentinel. */
   case class KeyState(maxTs: Long, highWater: Long)
 
+  /** Apply one group-batch to the key's state, arrival-ordered.
+    * Within a micro-batch the group iterator is unordered; event_id
+    * IS the arrival (resume-token) order, so restore it. Nanos →
+    * whole ms, matching the batch profile's integer div.
+    */
+  private def fold[E](key: Long, it: Iterator[E], st0: KeyState)(
+      idOf: E => Long, tsOf: E => Long, opOf: E => String)
+      : (KeyState, Vector[Late]) = {
+    val sorted = it.toSeq.sortBy(idOf)
+    var st = st0
+    val out = Vector.newBuilder[Late]
+    for (e <- sorted if idOf(e) > st.highWater) {
+      if (st.maxTs != Long.MinValue && st.maxTs > tsOf(e)) {
+        out += Late(key, opOf(e), idOf(e), (st.maxTs - tsOf(e)) / 1000000L)
+      }
+      st = KeyState(math.max(st.maxTs, tsOf(e)), idOf(e))
+    }
+    (st, out.result())
+  }
+
   def observe(evs: Dataset[Ev]): Dataset[Late] = {
     import evs.sparkSession.implicits._
     evs.groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: Long, it: Iterator[Ev], state: GroupState[KeyState]) =>
-          // within a micro-batch the group iterator is unordered;
-          // event_id IS the arrival (resume-token) order, so restore it
-          val sorted = it.toArray.sortBy(_.event_id)
-          var st = state.getOption
+          val st0 = state.getOption
             .getOrElse(KeyState(Long.MinValue, Long.MinValue))
-          val out = Vector.newBuilder[Late]
-          for (e <- sorted if e.event_id > st.highWater) {
-            if (st.maxTs != Long.MinValue && st.maxTs > e.ts) {
-              // nanos → whole ms, matching the batch profile's integer div
-              out += Late(key, e.op_type, e.event_id,
-                (st.maxTs - e.ts) / 1000000L)
-            }
-            st = KeyState(math.max(st.maxTs, e.ts), e.event_id)
-          }
+          val (st, out) = fold(key, it, st0)(_.event_id, _.ts, _.op_type)
           state.update(st)
-          out.result().iterator
+          out.iterator
+      }
+  }
+
+  /** [[Ev]] plus the event time as a Timestamp column for the
+    * watermark ([[Ev.ts]] stays Long nanos — the lateness arithmetic
+    * and batch parity are unchanged; `etime` only drives eviction).
+    */
+  case class TimedEv(event_id: Long, key: Long, op_type: String,
+      ts: Long, etime: java.sql.Timestamp)
+
+  /** [[observe]] with watermark-driven state eviction — the
+    * production form: per-key state would otherwise grow with the
+    * key space forever (the sibling StreamingNearDup/StreamingSemDedup
+    * TTL discipline). A key idle past (its max event time + keyTtlMs)
+    * by the watermark is evicted; a later arrival re-anchors, so an
+    * inversion against the EVICTED max is no longer observable —
+    * exactly the lateness bound the watermark already enforces on any
+    * downstream event-time consumer, which is why the TTL should sit
+    * at or above the delay this monitor is sizing.
+    */
+  def observeEventTime(
+      evs: Dataset[TimedEv],
+      keyTtlMs: Long = 3600L * 1000,
+      watermarkDelay: String = "10 minutes"): Dataset[Late] = {
+    import evs.sparkSession.implicits._
+    evs.withWatermark("etime", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, it: Iterator[TimedEv], state: GroupState[KeyState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val st0 = state.getOption
+              .getOrElse(KeyState(Long.MinValue, Long.MinValue))
+            val (st, out) = fold(key, it, st0)(_.event_id, _.ts, _.op_type)
+            state.update(st)
+            // deadline in MS (state clock) from the nanos max; never
+            // at/below the current watermark (Spark rejects it)
+            val floor = state.getCurrentWatermarkMs() + 1
+            if (st.maxTs != Long.MinValue)
+              state.setTimeoutTimestamp(
+                math.max(st.maxTs / 1000000L + keyTtlMs, floor))
+            out.iterator
+          }
       }
   }
 }

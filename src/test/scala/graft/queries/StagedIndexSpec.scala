@@ -138,6 +138,35 @@ class StagedIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("appendable stage: files under hidden dirs never become a delta") {
+    withStageDir {
+      import org.apache.spark.sql.functions.col
+      val in = Files.createTempDirectory("sis_hid_in").toString
+      val input = s"$in/t.parquet"
+      spark.range(10).toDF("x").coalesce(1).write.parquet(input)
+      val builds = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def call(): Long =
+        StagedIndex.orStageAppendable(spark, "spec_hid_v1", in, input) {
+          df =>
+            builds += df.count()
+            df.select(col("x"))
+        }.count()
+      assert(call() === 10L)
+      // a crashed write leaves a VISIBLE-named part file under a
+      // hidden _temporary dir — Spark's reader skips it, so the
+      // manifest must too: staging it as an append delta would chain
+      // ghost rows the raw input never returns
+      val tmp = new java.io.File(s"$input/_temporary/0")
+      tmp.mkdirs()
+      spark.range(100, 105).toDF("x")
+        .coalesce(1).write.parquet(s"$input/_temporary/0/part-ghost.parquet")
+      StagedIndex.refreshTokens()
+      assert(call() === 10L, "ghost rows must not enter the chain")
+      assert(builds.toSeq === Seq(10L),
+        "an uncommitted temp file must not trigger a delta build")
+    }
+  }
+
   test("appendable stage: a rewritten input falls back to a full rebuild") {
     withStageDir {
       import org.apache.spark.sql.functions.col

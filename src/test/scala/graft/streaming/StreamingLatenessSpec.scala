@@ -87,6 +87,60 @@ class StreamingLatenessSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("event-time TTL evicts idle keys; re-anchored keys observe again") {
+    // under RocksDB: the production (spillable-state) pin for the
+    // event-time path, the sibling StreamingSemDedup discipline
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val rocksDb = "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, rocksDb)
+    try {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      def ev(id: Long, key: Long, ms: Long) =
+        TimedEv(id, key, "u", ms * 1000000L, new java.sql.Timestamp(ms))
+      val base = 3600L * 1000
+      val in = MemoryStream[TimedEv]
+      // 20 s delay: the watermark lags the max etime by 20 s, so an
+      // event up to 20 s behind still reaches the operator (delay 0
+      // would drop every cross-batch inversion before it ever got
+      // here — the monitor would only see same-batch reorders); TTL
+      // 10 s on top of each key's own max event time
+      val q = observeEventTime(in.toDS(), keyTtlMs = 10000L,
+        watermarkDelay = "20 seconds")
+        .writeStream.format("memory").queryName("late_ttl")
+        .outputMode("append").start()
+      try {
+        def stateRows: Long =
+          q.lastProgress.stateOperators.apply(0).numRowsTotal
+        // key 1 anchors at base, then inverts by 9s → late 9000 ms
+        in.addData(ev(1L, 1L, base), ev(2L, 1L, base - 9000L))
+        q.processAllAvailable()
+        // key 2 advances the watermark past key 1's max + TTL...
+        in.addData(ev(3L, 2L, base + 60000L)); q.processAllAvailable()
+        // ...and key 1 (timed out, no data) is REMOVED in this batch —
+        // pinned directly on the state-operator row count, because an
+        // emission-based probe can't see it: any event the watermark
+        // still admits is newer than the evicted anchor by construction
+        in.addData(ev(4L, 2L, base + 61000L)); q.processAllAvailable()
+        assert(stateRows === 1L, "idle key 1 must be evicted; key 2 lives")
+        // key 1 returns above the watermark: re-anchors as a fresh key...
+        in.addData(ev(5L, 1L, base + 70000L)); q.processAllAvailable()
+        assert(stateRows === 2L, "the returned key re-anchors")
+        // ...and a fresh inversion against the NEW anchor still emits
+        in.addData(ev(6L, 1L, base + 65000L)); q.processAllAvailable()
+        val got = spark.table("late_ttl").as[Late].collect().toSet
+        assert(got === Set(Late(1L, "u", 2L, 9000L),
+          Late(1L, "u", 6L, 5000L)),
+          "one pre-eviction inversion, one post-re-anchor inversion")
+      } finally q.stop()
+    } finally prior match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("per-key max event time carries across micro-batches under RocksDB") {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val rocksDb = "org.apache.spark.sql.execution.streaming.state." +
