@@ -231,7 +231,11 @@ object StagedIndex {
               // the full rebuild resets the chain and the next K
               // ingests are O(delta) again
               .sortBy(-_._2.size).headOption
-              .filter { case (d, _) => chainDepth(fs, d) < maxChain(s) }
+              // the chain must be INTACT end to end: chaining onto a
+              // sibling whose own ancestry was scratch-cleaned would
+              // inherit the break
+              .filter { case (d, _) =>
+                chainDepth(fs, d) < maxChain(s) && chainIntact(fs, d) }
           val delta = sibling match {
             case Some((_, covered)) =>
               val newFiles = cur.filterNot(covered)
@@ -242,6 +246,15 @@ object StagedIndex {
           delta.write.mode("overwrite").parquet(dir)
           sibling.foreach { case (d, _) => writeText(fs, s"$dir/_BASE", d) }
           writeText(fs, s"$dir/_MANIFEST", cur.mkString("\n"))
+          writeText(fs, s"$dir/_COMPLETE", "")
+        } else if (!chainIntact(fs, dir)) {
+          // a completed head whose ANCESTRY was deleted (partial
+          // scratch cleanup removed a base dir it points at): without
+          // this, every read fails until the input itself changes —
+          // the token only tracks the INPUT. Root a fresh full build.
+          fs.delete(p(dir), true)
+          build(s.read.parquet(input)).write.mode("overwrite").parquet(dir)
+          writeText(fs, s"$dir/_MANIFEST", listing().mkString("\n"))
           writeText(fs, s"$dir/_COMPLETE", "")
         }
       }
@@ -277,6 +290,14 @@ object StagedIndex {
   /** Number of stage dirs a reader of `dir` unions. */
   private def chainDepth(fs: org.apache.hadoop.fs.FileSystem,
       dir: String): Int = chainDirs(fs, dir).length
+
+  /** Every dir in the chain still exists and is `_COMPLETE` — false
+    * after a partial scratch cleanup deleted an ancestor.
+    */
+  private def chainIntact(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Boolean =
+    chainDirs(fs, dir).forall(d =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$d/_COMPLETE")))
 
   private def readLines(fs: org.apache.hadoop.fs.FileSystem,
       path: String): Seq[String] = {

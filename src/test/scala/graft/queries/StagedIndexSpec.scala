@@ -167,6 +167,49 @@ class StagedIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("appendable stage: a scratch-cleaned ancestor roots a fresh build") {
+    withStageDir {
+      import org.apache.spark.sql.functions.col
+      val in = Files.createTempDirectory("sis_gc_in").toString
+      val input = s"$in/t.parquet"
+      spark.range(10).toDF("x").coalesce(1).write.parquet(input)
+      val seen = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def call(): Long =
+        StagedIndex.orStageAppendable(spark, "spec_gc_v1", in, input) { df =>
+          seen += df.count().toInt
+          df.select(col("x"))
+        }.count()
+      assert(call() === 10L)
+      // grow the chain: base + one delta
+      spark.range(10, 15).toDF("x")
+        .coalesce(1).write.mode("append").parquet(input)
+      StagedIndex.refreshTokens()
+      assert(call() === 15L && seen.toSeq === Seq(10, 5))
+      // partial scratch cleanup deletes the BASE the delta points at;
+      // without the intact check every later read fails until the
+      // INPUT changes (the token never sees stage-dir state)
+      val stageRoot = spark.conf.get("graft.stage.dir")
+      val head = java.nio.file.Paths.get(stageRoot).toFile.listFiles()
+        .flatMap(_.listFiles()).flatMap(_.listFiles())
+        .filter(_.getName == "spec_gc_v1")
+        .find(d => new java.io.File(d, "_BASE").exists())
+        .get
+      val base = java.nio.file.Files.readString(
+        new java.io.File(head, "_BASE").toPath).trim
+        .stripPrefix("file:") // _BASE holds the hadoop-qualified URI
+      assert(new java.io.File(base).exists())
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
+      }
+      rmTree(new java.io.File(base))
+      assert(call() === 15L, "a broken chain must self-heal, not fail")
+      assert(seen.toSeq === Seq(10, 5, 15),
+        "the heal is a fresh FULL build over the whole input")
+      // and the healed stage serves without rebuilding again
+      assert(call() === 15L && seen.size === 3)
+    }
+  }
+
   test("appendable stage: a rewritten input falls back to a full rebuild") {
     withStageDir {
       import org.apache.spark.sql.functions.col

@@ -87,6 +87,45 @@ class StreamingLatenessSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("within the TTL, the event-time variant equals observe()") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // same perturbed corpus as the batch-parity test; the watermark
+    // delay exceeds the max slip (20 h) and the TTL exceeds the
+    // stream's span, so nothing is dropped or evicted — the two
+    // operators must emit identical feeds
+    val evs = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id").alias("key"),
+        coalesce(col("event_type"), lit("")).alias("op_type"), col("ts"))
+      .as[Ev].collect().sortBy(_.event_id)
+      .map(e =>
+        if (e.event_id % 3 == 0)
+          e.copy(ts = e.ts - (e.event_id % 20 + 1) * 3600L * 1000000000L)
+        else e)
+    val timed = evs.map(e => TimedEv(e.event_id, e.key, e.op_type, e.ts,
+      new java.sql.Timestamp(e.ts / 1000000L)))
+
+    val in1 = MemoryStream[Ev]
+    val q1 = observe(in1.toDS())
+      .writeStream.format("memory").queryName("late_plain")
+      .outputMode("append").start()
+    val in2 = MemoryStream[TimedEv]
+    val q2 = observeEventTime(in2.toDS(),
+      keyTtlMs = 365L * 24 * 3600 * 1000, watermarkDelay = "720 hours")
+      .writeStream.format("memory").queryName("late_timed")
+      .outputMode("append").start()
+    try {
+      evs.grouped(evs.length / 4 + 1).zip(timed.grouped(timed.length / 4 + 1))
+        .foreach { case (c1, c2) =>
+          in1.addData(c1.toIndexedSeq: _*); q1.processAllAvailable()
+          in2.addData(c2.toIndexedSeq: _*); q2.processAllAvailable()
+        }
+      val plain = spark.table("late_plain").as[Late].collect().toSet
+      val withTtl = spark.table("late_timed").as[Late].collect().toSet
+      assert(plain.nonEmpty && withTtl === plain)
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("event-time TTL evicts idle keys; re-anchored keys observe again") {
     // under RocksDB: the production (spillable-state) pin for the
     // event-time path, the sibling StreamingSemDedup discipline
