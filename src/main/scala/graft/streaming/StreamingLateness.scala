@@ -47,7 +47,7 @@ object StreamingLateness {
     * IS the arrival (resume-token) order, so restore it. Nanos →
     * whole ms, matching the batch profile's integer div.
     */
-  private def fold[E](key: Long, it: Iterator[E], st0: KeyState)(
+  private[graft] def fold[E](key: Long, it: Iterator[E], st0: KeyState)(
       idOf: E => Long, tsOf: E => Long, opOf: E => String)
       : (KeyState, Vector[Late]) = {
     val sorted = it.toSeq.sortBy(idOf)

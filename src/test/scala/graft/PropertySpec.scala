@@ -227,6 +227,54 @@ class PropertySpec extends AnyFunSuite {
     }, minTests = 5)
   }
 
+  // ---------------------------------------------------------------
+  // StreamingLateness.fold: batch-boundary invariance
+  // ---------------------------------------------------------------
+
+  /** Law: a key's arrival-ordered stream folded through ANY chunking
+    * (each chunk id-sorted internally, as the operator does per
+    * micro-batch) emits exactly the single-pass feed and lands in the
+    * same state — micro-batch boundaries are invisible, including
+    * duplicate redelivery of a suffix (at-least-once replay).
+    */
+  test("lateness fold is invariant under batch boundaries and redelivery") {
+    import graft.streaming.StreamingLateness
+    import graft.streaming.StreamingLateness.{Ev, KeyState}
+    val empty = KeyState(Long.MinValue, Long.MinValue)
+    val gen = for {
+      n <- Gen.choose(1, 120)
+      ts <- Gen.listOfN(n, Gen.choose(0L, 200L))
+      cuts <- Gen.listOfN(4, Gen.choose(0, n))
+      replayFrom <- Gen.choose(0, n)
+    } yield {
+      val evs = ts.zipWithIndex.map { case (t, i) =>
+        Ev(i.toLong, 1L, "u", t * 1000000L)
+      }
+      (evs, cuts.sorted, replayFrom)
+    }
+    check(Prop.forAll(gen) { case (evs, cuts, replayFrom) =>
+      def run(batches: Seq[Seq[Ev]]) =
+        batches.foldLeft((empty, Vector.empty[StreamingLateness.Late])) {
+          case ((st, acc), b) =>
+            // shuffle within the batch: the operator re-sorts by id
+            val (st2, out) = StreamingLateness.fold(
+              1L, scala.util.Random.shuffle(b).iterator, st)(
+              _.event_id, _.ts, _.op_type)
+            (st2, acc ++ out)
+        }
+      val oneShot = run(Seq(evs))
+      val bounds = (0 +: cuts :+ evs.length).distinct.sorted
+      val chunks = bounds.sliding(2).map {
+        case Seq(a, b) => evs.slice(a, b)
+      }.toSeq
+      val chunked = run(chunks)
+      // at-least-once: replay a suffix of already-applied events
+      val replayed = run(chunks :+ evs.drop(replayFrom))
+      (Prop(chunked == oneShot) :| "chunking changed the feed") &&
+        (Prop(replayed == chunked) :| "redelivery re-emitted")
+    }, minTests = 60)
+  }
+
   test("ntileFromRank equals the SQL ntile window for random (n, k)") {
     import spark.implicits._
     val gen = Gen.zip(Gen.choose(1, 200), Gen.oneOf(2, 3, 4, 7, 10, 16))
