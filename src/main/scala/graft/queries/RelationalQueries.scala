@@ -397,19 +397,28 @@ object RelationalQueries {
     // pass virtually certain while still catching a broken one.
     // DuckDB emits the exact counts and literal TRUEs; the row
     // hash-matches iff the engine's sketches are in tolerance.
-    "rel_approx_distinct" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .agg(
-          countDistinct(col("l_partkey")).alias("parts"),
-          countDistinct(col("l_orderkey")).alias("ords"),
-          approx_count_distinct(col("l_partkey")).alias("ap"),
-          approx_count_distinct(col("l_orderkey")).alias("ao"))
+    // The exact and sketch halves aggregate SEPARATELY: mixing
+    // countDistinct (expand + codegen hash agg) with
+    // approx_count_distinct (TypedImperative HLL++) in one Aggregate
+    // forces the whole thing onto the non-codegen fallback — measured
+    // 1.8 s vs 0.9+0.3 s split at sf0.1. Two 1-row results cross via
+    // broadcast; each scan reads the same two pruned columns.
+    "rel_approx_distinct" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val exact = li.agg(
+        countDistinct(col("l_partkey")).alias("parts"),
+        countDistinct(col("l_orderkey")).alias("ords"))
+      val sketch = li.agg(
+        approx_count_distinct(col("l_partkey")).alias("ap"),
+        approx_count_distinct(col("l_orderkey")).alias("ao"))
+      exact.crossJoin(broadcast(sketch))
         .select(
           col("parts"), col("ords"),
           (abs(col("ap") - col("parts")).cast("double") / col("parts")
             <= 0.15).alias("parts_within_tol"),
           (abs(col("ao") - col("ords")).cast("double") / col("ords")
-            <= 0.15).alias("ords_within_tol"))),
+            <= 0.15).alias("ords_within_tol"))
+    }),
 
     // TPC-H Q14-shaped promo share: lineitem ⋈ broadcast part, monthly
     // revenue split by a dimension predicate. The share is the one

@@ -186,7 +186,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_multiprobe_recall",
     // crossJoin(broadcast(mx)): 1-row max-doc-id scalar broadcast onto
     // the corpus scan for decile assignment
-    "tx_vocab_growth")
+    "tx_vocab_growth",
+    // 1-row exact-counts row × 1-row sketch row (split so the HLL
+    // imperative agg can't drag the countDistinct off codegen)
+    "rel_approx_distinct")
 
   test("no query plan contains a CartesianProduct") {
     plans.foreach { case (sf, n, p) =>
