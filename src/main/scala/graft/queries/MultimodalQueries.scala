@@ -208,6 +208,35 @@ object MultimodalQueries {
           min(when(col("delta") > SceneCutThresh, col("frame_no")))
             .alias("first_cut"))
         .orderBy("media_id")
+    }),
+
+    // Keyframe extraction — the sampler output a captioning or
+    // frame-dedup stage actually consumes: mm_scene_cut's boundaries
+    // turned into one row per SHOT (shot id = running count of cuts,
+    // so each shot starts at frame 0 or a cut frame), reporting the
+    // shot's first frame (the keyframe), its frame count, and its
+    // mean luma in integer micro-units. Scale shape: the same bounded
+    // per-row explode and ONE media-keyed window as mm_scene_cut (the
+    // running cut count rides the lag window's partitioning — no
+    // second exchange), then a map-side-combinable (media, shot) agg.
+    "mm_keyframes" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("media_id").orderBy("frame_no")
+      Multimodal.frameLuma(
+        Multimodal.asMedia(s, Tables.documents(s, d)),
+        chunkBytes = 32, stride = 2)
+        .toDF()
+        .withColumn("delta", abs(col("luma") - lag(col("luma"), 1).over(w)))
+        .withColumn("shot_no",
+          sum(when(col("delta") > SceneCutThresh, 1L).otherwise(0L))
+            .over(w.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+        .groupBy("media_id", "shot_no")
+        .agg(
+          min(col("frame_no")).alias("keyframe"),
+          count(lit(1)).alias("n_frames"),
+          expr("sum(luma) * 1000000 div count(1)").alias("mean_luma_micro"))
+        .orderBy("media_id", "shot_no")
     }))
 
   private val fpSql = (e: String) =>
@@ -331,30 +360,55 @@ object MultimodalQueries {
     // mm_frames' chunking with a mean-byte luma instead of the fp,
     // then the lag-delta detector
     "mm_scene_cut" ->
-      s"""WITH chunks AS (
-         |  SELECT doc_id AS media_id,
-         |    CAST(i - 1 AS BIGINT) AS frame_no,
-         |    substr(text, (i - 1) * 32 + 1, 32) AS chunk
-         |  FROM documents,
-         |    UNNEST(range(1, CAST(ceil(length(text) / 32.0) AS BIGINT) + 1))
-         |      t(i)),
-         |luma AS (
-         |  SELECT media_id, frame_no,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |        list_transform(string_split(chunk, ''),
-         |          x -> CAST(ascii(x) AS BIGINT))),
-         |      (a, b) -> a + b) // length(chunk) AS luma
-         |  FROM chunks WHERE frame_no % 2 = 0),
-         |d AS (
-         |  SELECT media_id, frame_no,
-         |    abs(luma - lag(luma) OVER (
-         |      PARTITION BY media_id ORDER BY frame_no)) AS delta
-         |  FROM luma)
+      s"""WITH $sqlLumaCtes
          |SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames,
          |  CAST(sum(CASE WHEN delta > $SceneCutThresh THEN 1
          |    ELSE 0 END) AS BIGINT) AS n_cuts,
          |  CAST(coalesce(max(delta), 0) AS BIGINT) AS max_delta,
          |  CAST(min(CASE WHEN delta > $SceneCutThresh THEN frame_no
          |    END) AS BIGINT) AS first_cut
-         |FROM d GROUP BY media_id ORDER BY media_id""".stripMargin)
+         |FROM d GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    // shot id = running cut count over the same shared luma CTEs
+    "mm_keyframes" ->
+      s"""WITH $sqlLumaCtes,
+         |sh AS (
+         |  SELECT media_id, frame_no, luma,
+         |    sum(CASE WHEN delta > $SceneCutThresh THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY media_id ORDER BY frame_no
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS shot_no
+         |  FROM d)
+         |SELECT media_id, CAST(shot_no AS BIGINT) AS shot_no,
+         |  CAST(min(frame_no) AS BIGINT) AS keyframe,
+         |  CAST(count(*) AS BIGINT) AS n_frames,
+         |  CAST(sum(luma) * 1000000 // count(*) AS BIGINT)
+         |    AS mean_luma_micro
+         |FROM sh GROUP BY 1, 2 ORDER BY media_id, shot_no""".stripMargin)
+
+  /** The mm_frames chunking with the mean-byte luma and the lag-delta
+    * — ONE copy shared by the mm_scene_cut / mm_keyframes oracles so
+    * the two replays cannot drift apart (the sqlPhashPairCtes
+    * discipline). Ends at `d(media_id, frame_no, luma, delta)`.
+    */
+  private lazy val sqlLumaCtes: String =
+    """chunks AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(i - 1 AS BIGINT) AS frame_no,
+      |    substr(text, (i - 1) * 32 + 1, 32) AS chunk
+      |  FROM documents,
+      |    UNNEST(range(1, CAST(ceil(length(text) / 32.0) AS BIGINT) + 1))
+      |      t(i)),
+      |luma AS (
+      |  SELECT media_id, frame_no,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(string_split(chunk, ''),
+      |          x -> CAST(ascii(x) AS BIGINT))),
+      |      (a, b) -> a + b) // length(chunk) AS luma
+      |  FROM chunks WHERE frame_no % 2 = 0),
+      |d AS (
+      |  SELECT media_id, frame_no, luma,
+      |    abs(luma - lag(luma) OVER (
+      |      PARTITION BY media_id ORDER BY frame_no)) AS delta
+      |  FROM luma)""".stripMargin
 }
