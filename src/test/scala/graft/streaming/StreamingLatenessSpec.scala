@@ -180,6 +180,35 @@ class StreamingLatenessSpec extends AnyFunSuite {
     }
   }
 
+  test("high-water and max event time survive a checkpoint restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("late_restart_ckpt").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Late]()
+    val in = MemoryStream[Ev]
+    def start() = observe(in.toDS())
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Late], _: Long) =>
+        b.collect().foreach(got.add)
+      }
+      .start()
+    val q1 = start()
+    try {
+      in.addData(Ev(1L, 7L, "u", 9000000L)); q1.processAllAvailable()
+    } finally q1.stop() // the kill
+    assert(got.isEmpty)
+    // restart from the checkpoint: the inversion below is only
+    // visible if key 7's max event time crossed the restart
+    val q2 = start()
+    try {
+      in.addData(Ev(2L, 7L, "u", 3000000L)); q2.processAllAvailable()
+      assert(got.toArray.toSet === Set(Late(7L, "u", 2L, 6L)),
+        "recovered state must observe the post-restart inversion")
+    } finally q2.stop()
+  }
+
   test("per-key max event time carries across micro-batches under RocksDB") {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val rocksDb = "org.apache.spark.sql.execution.streaming.state." +
