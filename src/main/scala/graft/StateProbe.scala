@@ -115,7 +115,9 @@ object StateProbe {
           (-1.0, -1L)
       } finally {
         watchdog.interrupt()
-        q.stop()
+        // best-effort: a stop() throw after a completed measurement
+        // must not replace the valid (seedSec, rate) with a -1 cell
+        try q.stop() catch { case _: Throwable => () }
       }
     } catch {
       // q.start() itself can throw (e.g. the provider class fails to

@@ -60,12 +60,24 @@ object StagedIndex {
     */
   def refreshTokens(): Unit = {
     tokenCache.clear()
+    intactCache.clear()
     TextQueries.clearBpeMemo()
     // same staleness class for the derived-geometry corpus counts:
     // lsh.planes / kmeans.cells (and the plane/cell-suffixed stage
     // names) must re-derive after an in-place embeddings rewrite
     SimilarityQueries.clearEmbCountMemo()
   }
+
+  /** Chain-integrity verdicts memoized per stage dir (the tokenCache
+    * discipline: within a session, stage dirs are immutable; a
+    * mid-session scratch cleanup is the refreshTokens case). The
+    * un-memoized check re-walks the `_BASE` ancestry and re-lists
+    * every chain dir on EVERY access of an already-complete stage —
+    * the per-access-listing cost class the token cache exists to
+    * avoid.
+    */
+  private val intactCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   private def contentToken(s: SparkSession, inputs: Seq[String]): String = {
     // evict tokens of stopped sessions first (mirrors bpeMemo): a
@@ -205,6 +217,18 @@ object StagedIndex {
       val dir = s"$base/$token/$name"
       val lock = locks.computeIfAbsent(dir, _ => new Object)
       lock.synchronized {
+        // a completed head whose chain was damaged (partial scratch
+        // cleanup deleted an ancestor dir, a `_BASE` pointer, or data
+        // files inside a chain dir): without the check, reads either
+        // fail or — worse — silently serve a subset of rows until the
+        // INPUT itself changes (the token only tracks the input).
+        // Deleting the head falls through to the standard build below,
+        // whose sibling filter also refuses broken chains — ONE copy
+        // of the build/manifest protocol.
+        if (fs.exists(p(s"$dir/_COMPLETE")) && !chainIntact(fs, dir)) {
+          fs.delete(p(dir), true)
+          intactCache.remove(dir)
+        }
         if (!fs.exists(p(s"$dir/_COMPLETE"))) {
           val cur = listing()
           val curSet = cur.toSet
@@ -245,17 +269,13 @@ object StagedIndex {
           }
           delta.write.mode("overwrite").parquet(dir)
           sibling.foreach { case (d, _) => writeText(fs, s"$dir/_BASE", d) }
+          if (sibling.isEmpty) writeText(fs, s"$dir/_FULL", "")
+          // the stage dir's OWN file inventory, for integrity checks
+          // (detects a cleaner deleting part files but not the dir)
+          writeText(fs, s"$dir/_FILES", ownFiles(fs, dir).mkString("\n"))
           writeText(fs, s"$dir/_MANIFEST", cur.mkString("\n"))
           writeText(fs, s"$dir/_COMPLETE", "")
-        } else if (!chainIntact(fs, dir)) {
-          // a completed head whose ANCESTRY was deleted (partial
-          // scratch cleanup removed a base dir it points at): without
-          // this, every read fails until the input itself changes —
-          // the token only tracks the INPUT. Root a fresh full build.
-          fs.delete(p(dir), true)
-          build(s.read.parquet(input)).write.mode("overwrite").parquet(dir)
-          writeText(fs, s"$dir/_MANIFEST", listing().mkString("\n"))
-          writeText(fs, s"$dir/_COMPLETE", "")
+          intactCache.remove(dir)
         }
       }
       // read the whole chain (delta dirs back to the full-build root)
@@ -291,13 +311,35 @@ object StagedIndex {
   private def chainDepth(fs: org.apache.hadoop.fs.FileSystem,
       dir: String): Int = chainDirs(fs, dir).length
 
-  /** Every dir in the chain still exists and is `_COMPLETE` — false
-    * after a partial scratch cleanup deleted an ancestor.
+  /** A stage dir's own visible data-file inventory as `name:len`
+    * lines — recorded at build time (`_FILES`) and re-checked by
+    * [[chainIntact]], so a cleaner that deletes SOME part files
+    * (leaving the dir and `_COMPLETE`) is detected instead of the
+    * stage silently serving a subset of rows.
+    */
+  private def ownFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Seq[String] =
+    visibleFiles(fs, new org.apache.hadoop.fs.Path(dir))
+      .map(f => s"${f.getPath.getName}:${f.getLen}").sorted
+
+  /** The chain is verifiably whole: every dir `_COMPLETE`, every
+    * dir's data files matching its recorded `_FILES` inventory, and
+    * the root (the dir with no `_BASE`) marked `_FULL` — a deleted
+    * `_BASE` pointer otherwise silently truncates the walk and a
+    * delta dir impersonates a root. Memoized per dir (see
+    * [[intactCache]]); cleared by [[refreshTokens]] and on rebuild.
     */
   private def chainIntact(fs: org.apache.hadoop.fs.FileSystem,
       dir: String): Boolean =
-    chainDirs(fs, dir).forall(d =>
-      fs.exists(new org.apache.hadoop.fs.Path(s"$d/_COMPLETE")))
+    intactCache.computeIfAbsent(dir, _ => {
+      val chain = chainDirs(fs, dir)
+      val whole = chain.forall { d =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"$d/_COMPLETE")) &&
+          readLines(fs, s"$d/_FILES") == ownFiles(fs, d)
+      }
+      whole && fs.exists(
+        new org.apache.hadoop.fs.Path(s"${chain.last}/_FULL"))
+    }).booleanValue()
 
   private def readLines(fs: org.apache.hadoop.fs.FileSystem,
       path: String): Seq[String] = {

@@ -87,15 +87,23 @@ object StreamingLateness {
     * key space forever (the sibling StreamingNearDup/StreamingSemDedup
     * TTL discipline). A key idle past (its max event time + keyTtlMs)
     * by the watermark is evicted; a later arrival re-anchors, so an
-    * inversion against the EVICTED max is no longer observable —
-    * exactly the lateness bound the watermark already enforces on any
-    * downstream event-time consumer, which is why the TTL should sit
-    * at or above the delay this monitor is sizing.
+    * inversion against the EVICTED max is no longer observable.
+    *
+    * `watermarkDelay` is the BINDING observability bound, tighter
+    * than the TTL: Spark drops input rows older than the watermark
+    * before they reach the operator, so an inversion deeper than
+    * roughly the delay is never seen — the monitor reports
+    * `late_ms ≲ delay`, not the true tail beyond it. Size the delay
+    * ABOVE the lateness range being measured (it is this monitor's
+    * measurement window, not the downstream pipeline's delay); the
+    * default matches the TTL so neither bound silently undercuts the
+    * other. For an unbounded view, [[observe]] has no watermark and
+    * drops nothing — at the cost of unbounded keyed state.
     */
   def observeEventTime(
       evs: Dataset[TimedEv],
       keyTtlMs: Long = 3600L * 1000,
-      watermarkDelay: String = "10 minutes"): Dataset[Late] = {
+      watermarkDelay: String = "1 hour"): Dataset[Late] = {
     import evs.sparkSession.implicits._
     evs.withWatermark("etime", watermarkDelay)
       .groupByKey(_.key)

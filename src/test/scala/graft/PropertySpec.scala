@@ -246,19 +246,23 @@ class PropertySpec extends AnyFunSuite {
       ts <- Gen.listOfN(n, Gen.choose(0L, 200L))
       cuts <- Gen.listOfN(4, Gen.choose(0, n))
       replayFrom <- Gen.choose(0, n)
+      shuffleSeed <- Gen.choose(Long.MinValue, Long.MaxValue)
     } yield {
       val evs = ts.zipWithIndex.map { case (t, i) =>
         Ev(i.toLong, 1L, "u", t * 1000000L)
       }
-      (evs, cuts.sorted, replayFrom)
+      (evs, cuts.sorted, replayFrom, shuffleSeed)
     }
-    check(Prop.forAll(gen) { case (evs, cuts, replayFrom) =>
+    check(Prop.forAll(gen) { case (evs, cuts, replayFrom, shuffleSeed) =>
+      // the permutation comes from a GENERATED seed, so a failing
+      // case replays exactly from scalacheck's report
+      val rnd = new scala.util.Random(shuffleSeed)
       def run(batches: Seq[Seq[Ev]]) =
         batches.foldLeft((empty, Vector.empty[StreamingLateness.Late])) {
           case ((st, acc), b) =>
             // shuffle within the batch: the operator re-sorts by id
             val (st2, out) = StreamingLateness.fold(
-              1L, scala.util.Random.shuffle(b).iterator, st)(
+              1L, rnd.shuffle(b).iterator, st)(
               _.event_id, _.ts, _.op_type)
             (st2, acc ++ out)
         }
