@@ -138,6 +138,30 @@ class StagedIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("appendable stage: a single-FILE input path stages and appends") {
+    // the visible-segment filter's edge: when the input path IS a
+    // file, its relative path below the root is empty — it must count
+    // as visible (nothing hidden between root and leaf), not vanish
+    // from the manifest
+    withStageDir {
+      import org.apache.spark.sql.functions.col
+      val in = Files.createTempDirectory("sis_one_in").toString
+      val dirWrite = Files.createTempDirectory("sis_one_tmp").toString
+      spark.range(7).toDF("x").coalesce(1)
+        .write.mode("overwrite").parquet(dirWrite)
+      val single = new java.io.File(dirWrite).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val input = s"$in/solo.parquet"
+      java.nio.file.Files.copy(single.toPath,
+        java.nio.file.Paths.get(input))
+      val n = StagedIndex
+        .orStageAppendable(spark, "spec_one_v1", in, input) { df =>
+          df.select(col("x"))
+        }.count()
+      assert(n === 7L)
+    }
+  }
+
   test("appendable stage: files under hidden dirs never become a delta") {
     withStageDir {
       import org.apache.spark.sql.functions.col
