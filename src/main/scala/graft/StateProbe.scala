@@ -116,8 +116,13 @@ object StateProbe {
       } finally {
         watchdog.interrupt()
         // best-effort: a stop() throw after a completed measurement
-        // must not replace the valid (seedSec, rate) with a -1 cell
-        try q.stop() catch { case _: Throwable => () }
+        // must not replace the valid (seedSec, rate) with a -1 cell;
+        // an interrupt still restores the flag so the caller's loop
+        // can abort instead of grinding through the remaining cells
+        try q.stop() catch {
+          case _: InterruptedException => Thread.currentThread().interrupt()
+          case _: Throwable => ()
+        }
       }
     } catch {
       // q.start() itself can throw (e.g. the provider class fails to

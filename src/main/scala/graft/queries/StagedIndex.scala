@@ -68,16 +68,20 @@ object StagedIndex {
     SimilarityQueries.clearEmbCountMemo()
   }
 
-  /** Chain-integrity verdicts memoized per stage dir (the tokenCache
-    * discipline: within a session, stage dirs are immutable; a
-    * mid-session scratch cleanup is the refreshTokens case). The
-    * un-memoized check re-walks the `_BASE` ancestry and re-lists
-    * every chain dir on EVERY access of an already-complete stage —
-    * the per-access-listing cost class the token cache exists to
-    * avoid.
+  /** Per-CHAIN-MEMBER integrity verdicts memoized per (session, dir)
+    * — the exact tokenCache discipline: within a session, stage dirs
+    * are immutable (a mid-session scratch cleanup is the
+    * refreshTokens case), and a NEW session always re-checks, so the
+    * cross-session staleness guarantee holds for integrity verdicts
+    * too. Un-memoized, the check re-walks the `_BASE` ancestry and
+    * re-lists every chain dir on EVERY access of an already-complete
+    * stage — the per-access-listing cost class the token cache exists
+    * to avoid; per-MEMBER keying also lets the K heads built over a
+    * session share their common ancestors' verdicts instead of
+    * re-listing them per head.
     */
-  private val intactCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private val intactCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), java.lang.Boolean]()
 
   private def contentToken(s: SparkSession, inputs: Seq[String]): String = {
     // evict tokens of stopped sessions first (mirrors bpeMemo): a
@@ -225,11 +229,13 @@ object StagedIndex {
         // Deleting the head falls through to the standard build below,
         // whose sibling filter also refuses broken chains — ONE copy
         // of the build/manifest protocol.
-        if (fs.exists(p(s"$dir/_COMPLETE")) && !chainIntact(fs, dir)) {
+        var complete = fs.exists(p(s"$dir/_COMPLETE"))
+        if (complete && !chainIntact(s, fs, dir)) {
           fs.delete(p(dir), true)
-          intactCache.remove(dir)
+          intactCache.remove((s, dir))
+          complete = false
         }
-        if (!fs.exists(p(s"$dir/_COMPLETE"))) {
+        if (!complete) {
           val cur = listing()
           val curSet = cur.toSet
           // find a completed sibling (same name, other token) whose
@@ -259,7 +265,7 @@ object StagedIndex {
               // sibling whose own ancestry was scratch-cleaned would
               // inherit the break
               .filter { case (d, _) =>
-                chainDepth(fs, d) < maxChain(s) && chainIntact(fs, d) }
+                chainDepth(fs, d) < maxChain(s) && chainIntact(s, fs, d) }
           val delta = sibling match {
             case Some((_, covered)) =>
               val newFiles = cur.filterNot(covered)
@@ -275,7 +281,7 @@ object StagedIndex {
           writeText(fs, s"$dir/_FILES", ownFiles(fs, dir).mkString("\n"))
           writeText(fs, s"$dir/_MANIFEST", cur.mkString("\n"))
           writeText(fs, s"$dir/_COMPLETE", "")
-          intactCache.remove(dir)
+          intactCache.remove((s, dir))
         }
       }
       // read the whole chain (delta dirs back to the full-build root)
@@ -326,20 +332,33 @@ object StagedIndex {
     * dir's data files matching its recorded `_FILES` inventory, and
     * the root (the dir with no `_BASE`) marked `_FULL` — a deleted
     * `_BASE` pointer otherwise silently truncates the walk and a
-    * delta dir impersonates a root. Memoized per dir (see
-    * [[intactCache]]); cleared by [[refreshTokens]] and on rebuild.
+    * delta dir impersonates a root. Dirs written before the
+    * inventory format (no `_FILES`) are grandfathered past the file
+    * and root checks rather than mass-invalidated — the format was
+    * introduced without a stage-name version bump, and the verdict
+    * is still fail-safe (a heal only ever rebuilds, never serves
+    * wrong rows). Member verdicts memoize per (session, dir) in
+    * [[intactCache]]; cleared by [[refreshTokens]] and on rebuild.
     */
-  private def chainIntact(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String): Boolean =
-    intactCache.computeIfAbsent(dir, _ => {
-      val chain = chainDirs(fs, dir)
-      val whole = chain.forall { d =>
+  private def chainIntact(s: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dir: String): Boolean = {
+    // evict stopped sessions' verdicts (the tokenCache discipline)
+    val it = intactCache.keySet.iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+    def hasFiles(d: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$d/_FILES"))
+    def memberIntact(d: String): Boolean =
+      intactCache.computeIfAbsent((s, d), _ =>
         fs.exists(new org.apache.hadoop.fs.Path(s"$d/_COMPLETE")) &&
-          readLines(fs, s"$d/_FILES") == ownFiles(fs, d)
-      }
-      whole && fs.exists(
-        new org.apache.hadoop.fs.Path(s"${chain.last}/_FULL"))
-    }).booleanValue()
+          (!hasFiles(d) || readLines(fs, s"$d/_FILES") == ownFiles(fs, d))
+      ).booleanValue()
+    val chain = chainDirs(fs, dir)
+    chain.forall(memberIntact) && {
+      val root = chain.last
+      !hasFiles(root) ||
+        fs.exists(new org.apache.hadoop.fs.Path(s"$root/_FULL"))
+    }
+  }
 
   private def readLines(fs: org.apache.hadoop.fs.FileSystem,
       path: String): Seq[String] = {

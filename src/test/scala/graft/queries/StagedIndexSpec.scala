@@ -138,7 +138,7 @@ class StagedIndexSpec extends AnyFunSuite {
     }
   }
 
-  test("appendable stage: a single-FILE input path stages and appends") {
+  test("appendable stage: a single-FILE input stays visible (empty rel path)") {
     // the visible-segment filter's edge: when the input path IS a
     // file, its relative path below the root is empty — it must count
     // as visible (nothing hidden between root and leaf), not vanish
@@ -226,6 +226,10 @@ class StagedIndexSpec extends AnyFunSuite {
         Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
       }
       rmTree(new java.io.File(base))
+      // integrity verdicts memoize per session (stage dirs are
+      // session-immutable by contract) — a mid-session cleanup is
+      // the documented refreshTokens case, same as an input rewrite
+      StagedIndex.refreshTokens()
       assert(call() === 15L, "a broken chain must self-heal, not fail")
       assert(seen.toSeq === Seq(10, 5, 15),
         "the heal is a fresh FULL build over the whole input")
