@@ -27,7 +27,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object StagedIndex {
 
   /** Per-path construction locks (bench and verify are sequential;
-    * this guards ad-hoc concurrent sessions in one JVM).
+    * this guards ad-hoc concurrent sessions in one JVM). SCOPE: one
+    * JVM only — two independent DRIVERS sharing a stage root are not
+    * arbitrated here. That is safe-by-layout, not by locking: writes
+    * go through parquet overwrite + marker files, `_COMPLETE` is
+    * written last, and a loser's half-written dir is simply rebuilt
+    * (never read — readers require `_COMPLETE` + the `_FILES`
+    * inventory). Multi-driver deployments that want build-once
+    * semantics should front the stage root with their own
+    * coordination (the usual object-store job-commit pattern);
+    * correctness does not depend on it.
     */
   private val locks =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
