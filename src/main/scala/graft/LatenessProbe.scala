@@ -39,10 +39,10 @@ object LatenessProbe {
       val in =
         org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Ev]
       val late = new java.util.concurrent.atomic.AtomicLong
+      val ckpt = java.nio.file.Files.createTempDirectory("lateness_probe")
       val q = StreamingLateness.observe(in.toDS()).writeStream
         .outputMode("append")
-        .option("checkpointLocation", java.nio.file.Files
-          .createTempDirectory("lateness_probe").toString)
+        .option("checkpointLocation", ckpt.toString)
         .trigger(Trigger.ProcessingTime(0L))
         .foreachBatch { (b: org.apache.spark.sql.Dataset[Late], _: Long) =>
           late.addAndGet(b.count()); ()
@@ -59,7 +59,15 @@ object LatenessProbe {
           f"(wall $wall%.2f s, late=${late.get})")
         best = math.max(best, evps)
         lateTotal = late.get
-      } finally q.stop()
+      } finally {
+        q.stop()
+        // best-effort checkpoint cleanup (the StateProbe discipline)
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Throwable => () }
+      }
     }
     require(lateTotal > 0, "workload produced no late rows — bogus run")
     println(s"""{"lateness_events_per_sec":$best,"late_rows":$lateTotal}""")

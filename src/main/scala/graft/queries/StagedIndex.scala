@@ -77,17 +77,16 @@ object StagedIndex {
     SimilarityQueries.clearEmbCountMemo()
   }
 
-  /** Per-CHAIN-MEMBER integrity verdicts memoized per (session, dir)
-    * — the exact tokenCache discipline: within a session, stage dirs
-    * are immutable (a mid-session scratch cleanup is the
+  /** Integrity verdicts memoized per session — whole-chain verdicts
+    * under `c:{head}` keys, per-member verdicts under `m:{dir}` keys
+    * (distinct key spaces: a head's own member verdict is not its
+    * chain verdict). The tokenCache discipline: within a session,
+    * stage dirs are immutable (a mid-session scratch cleanup is the
     * refreshTokens case), and a NEW session always re-checks, so the
     * cross-session staleness guarantee holds for integrity verdicts
-    * too. Un-memoized, the check re-walks the `_BASE` ancestry and
-    * re-lists every chain dir on EVERY access of an already-complete
-    * stage — the per-access-listing cost class the token cache exists
-    * to avoid; per-MEMBER keying also lets the K heads built over a
-    * session share their common ancestors' verdicts instead of
-    * re-listing them per head.
+    * too. A verified head costs one map lookup and zero FS calls on
+    * later accesses; member keying lets the K heads built over a
+    * session share their common ancestors' verdicts.
     */
   private val intactCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), java.lang.Boolean]()
@@ -241,7 +240,7 @@ object StagedIndex {
         var complete = fs.exists(p(s"$dir/_COMPLETE"))
         if (complete && !chainIntact(s, fs, dir)) {
           fs.delete(p(dir), true)
-          intactCache.remove((s, dir))
+          evictVerdicts(dir)
           complete = false
         }
         if (!complete) {
@@ -290,7 +289,7 @@ object StagedIndex {
           writeText(fs, s"$dir/_FILES", ownFiles(fs, dir).mkString("\n"))
           writeText(fs, s"$dir/_MANIFEST", cur.mkString("\n"))
           writeText(fs, s"$dir/_COMPLETE", "")
-          intactCache.remove((s, dir))
+          evictVerdicts(dir)
         }
       }
       // read the whole chain (delta dirs back to the full-build root)
@@ -341,31 +340,54 @@ object StagedIndex {
     * dir's data files matching its recorded `_FILES` inventory, and
     * the root (the dir with no `_BASE`) marked `_FULL` — a deleted
     * `_BASE` pointer otherwise silently truncates the walk and a
-    * delta dir impersonates a root. Dirs written before the
-    * inventory format (no `_FILES`) are grandfathered past the file
-    * and root checks rather than mass-invalidated — the format was
-    * introduced without a stage-name version bump, and the verdict
-    * is still fail-safe (a heal only ever rebuilds, never serves
-    * wrong rows). Member verdicts memoize per (session, dir) in
-    * [[intactCache]]; cleared by [[refreshTokens]] and on rebuild.
+    * delta dir impersonates a root. A MISSING `_FILES` is broken, not
+    * grandfathered: a cleaner that deleted the inventory is
+    * indistinguishable from a pre-inventory dir, and the fail-safe
+    * direction is a rebuild (dirs written before the inventory format
+    * pay one rebuild; a persistent deployment migrating formats
+    * should bump the stage-name version instead). The WHOLE-chain
+    * verdict memoizes per (session, head) and member verdicts per
+    * (session, member) in [[intactCache]] — a verified head is one
+    * map lookup, zero FS calls — cleared by [[refreshTokens]] and,
+    * for every session, by [[evictVerdicts]] on rebuild.
     */
   private def chainIntact(s: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, dir: String): Boolean = {
     // evict stopped sessions' verdicts (the tokenCache discipline)
     val it = intactCache.keySet.iterator()
     while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
-    def hasFiles(d: String) =
-      fs.exists(new org.apache.hadoop.fs.Path(s"$d/_FILES"))
     def memberIntact(d: String): Boolean =
-      intactCache.computeIfAbsent((s, d), _ =>
+      intactCache.computeIfAbsent((s, s"m:$d"), _ =>
         fs.exists(new org.apache.hadoop.fs.Path(s"$d/_COMPLETE")) &&
-          (!hasFiles(d) || readLines(fs, s"$d/_FILES") == ownFiles(fs, d))
+          readLines(fs, s"$d/_FILES") == ownFiles(fs, d)
       ).booleanValue()
-    val chain = chainDirs(fs, dir)
-    chain.forall(memberIntact) && {
-      val root = chain.last
-      !hasFiles(root) ||
-        fs.exists(new org.apache.hadoop.fs.Path(s"$root/_FULL"))
+    // get/put, NOT a computeIfAbsent wrapping memberIntact's: nested
+    // computeIfAbsent on one ConcurrentHashMap throws "Recursive
+    // update". The get/put race is benign — verdicts are idempotent.
+    val key = (s, s"c:$dir")
+    val cached = intactCache.get(key)
+    if (cached != null) cached.booleanValue()
+    else {
+      val chain = chainDirs(fs, dir)
+      val v = chain.forall(memberIntact) && fs.exists(
+        new org.apache.hadoop.fs.Path(s"${chain.last}/_FULL"))
+      intactCache.put(key, java.lang.Boolean.valueOf(v))
+      v
+    }
+  }
+
+  /** Drop EVERY session's cached verdicts for `dir` — a heal/rebuild
+    * must be visible to concurrent sessions in the same JVM, or a
+    * sibling session's stale FALSE would delete the freshly rebuilt
+    * stage right back.
+    */
+  private def evictVerdicts(dir: String): Unit = {
+    val member = s"m:$dir"
+    val chain = s"c:$dir"
+    val it = intactCache.keySet.iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      if (k._2 == member || k._2 == chain) it.remove()
     }
   }
 
