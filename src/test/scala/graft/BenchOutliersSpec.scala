@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench artifact's contention self-description (r9 verdict #1):
+  * the committed-baseline reader, the per-query outlier rule, and the
+  * batch↔streaming envelope agreement band. Pure decision logic — no
+  * Spark needed.
+  */
+class BenchOutliersSpec extends AnyFunSuite {
+
+  test("committedQueryTimes parses the committed artifact shape") {
+    val tmp = java.nio.file.Files.createTempFile("bench_prev", ".json")
+    java.nio.file.Files.write(tmp,
+      ("""{"metric":"total","value":114.0,"unit":"sec",""" +
+        """"queries":{"q_a":0.5,"q_b":1.25,"q_int":2},""" +
+        """"capped":[],"sf":"/x"}""").getBytes("UTF-8"))
+    val m = Bench.committedQueryTimes(tmp.toString)
+    assert(m == Map("q_a" -> 0.5, "q_b" -> 1.25, "q_int" -> 2.0))
+    java.nio.file.Files.deleteIfExists(tmp)
+  }
+
+  test("committedQueryTimes is empty on absent or malformed files") {
+    assert(Bench.committedQueryTimes("/nonexistent/bench_out.json").isEmpty)
+    val tmp = java.nio.file.Files.createTempFile("bench_bad", ".json")
+    java.nio.file.Files.write(tmp, "not json at all".getBytes("UTF-8"))
+    assert(Bench.committedQueryTimes(tmp.toString).isEmpty)
+    java.nio.file.Files.deleteIfExists(tmp)
+  }
+
+  test("outlier rule: >2x committed plus the 0.3s noise floor") {
+    // the r9 driver-run suspects would all have been flagged
+    assert(Bench.isOutlier(3.44, 0.60)) // tx_repetition
+    assert(Bench.isOutlier(3.18, 0.96)) // pipe_pack
+    assert(Bench.isOutlier(3.31, 1.39)) // rel_wait_suppliers
+    // ordinary jitter is not
+    assert(!Bench.isOutlier(1.2, 0.9))
+    assert(!Bench.isOutlier(0.4, 0.1)) // sub-second noise under the floor
+    assert(!Bench.isOutlier(2.0, 1.0)) // exactly 2x + floor not exceeded
+    // no committed value -> never an outlier
+    assert(!Bench.isOutlier(10.0, 0.0))
+    assert(!Bench.isOutlier(10.0, -1.0))
+  }
+
+  test("batch/stream agreement band catches the r9 artifact") {
+    // committed r9 calm pair: batch 334,989 vs stream 245,700 — agrees
+    assert(Bench.batchStreamAgree(334989L, 245700L))
+    // the r9 driver artifact: batch 184,752 vs stream 246,900 — the
+    // batch side is below stream/1.25, the corrupted-batch signature
+    assert(!Bench.batchStreamAgree(184752L, 246900L))
+    // batch far above stream: the streaming side is the suspect
+    assert(!Bench.batchStreamAgree(400000L, 245700L))
+    // failed measurements never agree (caller keeps its retry budget)
+    assert(!Bench.batchStreamAgree(-1L, 245700L))
+    assert(!Bench.batchStreamAgree(334989L, -1L))
+  }
+}
