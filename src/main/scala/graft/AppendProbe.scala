@@ -39,7 +39,20 @@ object AppendProbe {
       ((System.nanoTime() - t0) / 1e9, n)
     }
 
+    // the DERIVED-JOIN artifact (r10): the LSH pair spine via
+    // dd_minhash_lsh, whose lshAgreePairs stage is appendable-delta —
+    // a full pass derives shingles + signatures + band self-join for
+    // the whole corpus; the delta pass should band only the appended
+    // docs against the corpus (plus the signature chain's own delta)
+    def pairPass(): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = graft.queries.DedupQueries.queries("dd_minhash_lsh")(
+        spark, work).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
     val (fullSec, n0) = pass()
+    val (pairFullSec, p0) = pairPass()
     // append ~10%: every 10th doc re-id'd above the existing range,
     // written as NEW part files
     spark.read.parquet(input)
@@ -48,8 +61,11 @@ object AppendProbe {
       .write.mode("append").parquet(input)
     StagedIndex.refreshTokens()
     val (deltaSec, n1) = pass()
+    val (pairDeltaSec, p1) = pairPass()
     println(f"[append] full=$fullSec%.2f s rows=$n0 / " +
       f"delta=$deltaSec%.2f s rows=$n1")
+    println(f"[append] pairs full=$pairFullSec%.2f s rows=$p0 / " +
+      f"delta=$pairDeltaSec%.2f s rows=$p1")
     spark.stop()
   }
 }

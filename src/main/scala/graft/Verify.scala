@@ -26,6 +26,8 @@ object Verify {
       "graft.bpe.merges" -> graft.queries.TextQueries.BpeMerges.toString,
       "graft.dedup.maxShingleDf" ->
         graft.queries.DedupQueries.DefaultMaxShingleDf.toString,
+      "graft.text.boilerplateDf" ->
+        graft.queries.TextQueries.BoilerplateDf.toString,
       "graft.pq.shortlist" -> "50",
       "graft.sq8.shortlist" ->
         graft.queries.SimilarityQueries.Sq8Shortlist.toString,

@@ -256,17 +256,55 @@ object DedupQueries {
     * rows. The stage name carries [[StageFp]] (constants, band
     * geometry, verify threshold), so retuning any knob restages.
     */
+  /** agree column over a canonical (ida < idb) pair frame, from the
+    * full signature table — the one definition the full and delta
+    * pair builds share.
+    */
+  private def agreeOf(pairs: DataFrame, sig: DataFrame): DataFrame = {
+    val sigArr = array((0 until K).map(i => col(s"m$i")): _*)
+    val sa = sig.select(col("doc_id").alias("ida"), sigArr.alias("siga"))
+    val sb = sig.select(col("doc_id").alias("idb"), sigArr.alias("sigb"))
+    pairs.join(sa, "ida").join(sb, "idb")
+      .withColumn("agree",
+        size(filter(zip_with(col("siga"), col("sigb"),
+          (x, y) => x === y), b => b)).cast(LongType))
+      .select(col("ida"), col("idb"), col("agree"))
+  }
+
   private def lshAgreePairs(s: SparkSession, d: String): DataFrame =
-    StagedIndex.orStage(s, s"dd_lsh_pairs_v1_$StageFp", d, docsInput(d)) {
-      val sig = signatures(s, d)
-      val sigArr = array((0 until K).map(i => col(s"m$i")): _*)
-      val sa = sig.select(col("doc_id").alias("ida"), sigArr.alias("siga"))
-      val sb = sig.select(col("doc_id").alias("idb"), sigArr.alias("sigb"))
-      candidatePairs(s, d).join(sa, "ida").join(sb, "idb")
-        .withColumn("agree",
-          size(filter(zip_with(col("siga"), col("sigb"),
-            (x, y) => x === y), b => b)).cast(LongType))
-        .select(col("ida"), col("idb"), col("agree"))
+    // APPENDABLE-DELTA (r10): pair artifacts are not row-wise, so
+    // plain appendable staging can't cover them — but on append-only
+    // growth the new pair rows are exactly the ≥-one-new-side band
+    // collisions, which is the dd_cross_dedup computation (new crawl
+    // vs existing corpus): band the NEW docs' fresh signatures
+    // against the WHOLE corpus's staged signature chain, verify
+    // agreement from the full chain, and union onto the prior spine.
+    // Old×old pairs live in the chain's earlier links and are never
+    // re-derived — O(delta·bucket) pair maintenance per ingest
+    // instead of the full band self-join (AppendProbe measures it).
+    // A rewritten/shrunk input falls back to the full build below.
+    StagedIndex.orStageAppendableDelta(s, s"dd_lsh_pairs_v2_$StageFp", d,
+      s"$d/documents.parquet") { _ =>
+      // full build ignores its arg: it rides the staged signature
+      // chain, which tracks the same input (and is itself O(delta))
+      agreeOf(candidatePairs(s, d), signatures(s, d))
+    } { (newDocs, _) =>
+      val sigNew = sigFromShingles(newDocs.select(col("doc_id"),
+        graft.functions.WordShingles(col("text"), 3).alias("sh")))
+      val sigAll = signatures(s, d)
+      // new-side band rows against the whole corpus's band rows:
+      // every pair with ≥ 1 new doc, found from its new side; a
+      // new×new pair is seen from both sides and distinct-ed under
+      // the canonical (min, max) orientation — old×old pairs are
+      // unreachable by construction
+      val pairs = bandedOf(sigNew).alias("a")
+        .join(bandedOf(sigAll).alias("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .select(least(col("a.doc_id"), col("b.doc_id")).alias("ida"),
+          greatest(col("a.doc_id"), col("b.doc_id")).alias("idb"))
+        .distinct()
+      agreeOf(pairs, sigAll)
     }
 
   /** Per-document full-content hash (doc_id, k = md5(text)) — the

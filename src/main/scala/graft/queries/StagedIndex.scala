@@ -202,7 +202,36 @@ object StagedIndex {
   final val DefaultMaxChain = 8
 
   def orStageAppendable(s: SparkSession, name: String, sfDir: String,
-      input: String)(build: DataFrame => DataFrame): DataFrame = {
+      input: String)(build: DataFrame => DataFrame): DataFrame =
+    // the per-row case IS the delta case: output rows for the new
+    // input rows are computed from the new rows alone
+    appendableCore(s, name, sfDir, input)(build)((newRows, _) => build(newRows))
+
+  /** [[orStageAppendable]] for DERIVED-JOIN artifacts — outputs whose
+    * rows are functions of row PAIRS (candidate pairs, posting
+    * self-joins), which the row-wise contract can't cover: on
+    * append-only growth the delta is every output row involving at
+    * least one NEW input row, and the prior chain already holds all
+    * rows among the old input. `full(allRows)` builds from scratch;
+    * `delta(newRows, allRows)` must produce exactly the
+    * ≥-one-new-side rows (new×old ∪ new×new for a pair artifact).
+    * The chain/manifest/compaction/rewrite-falls-back-to-full
+    * protocol is [[orStageAppendable]]'s verbatim — ONE core.
+    *
+    * REQUIREMENT on `delta`: rows_full(old ∪ new) ==
+    * rows_full(old) ⊎ rows_delta(new, old ∪ new), disjointly — a
+    * pair artifact satisfies it exactly when pairs are emitted once
+    * under a canonical orientation (ida < idb) and old×old pairs
+    * never appear in the delta.
+    */
+  def orStageAppendableDelta(s: SparkSession, name: String, sfDir: String,
+      input: String)(full: DataFrame => DataFrame)(
+      delta: (DataFrame, DataFrame) => DataFrame): DataFrame =
+    appendableCore(s, name, sfDir, input)(full)(delta)
+
+  private def appendableCore(s: SparkSession, name: String, sfDir: String,
+      input: String)(build: DataFrame => DataFrame)(
+      deltaBuild: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val root = s.conf.get("graft.stage.dir",
       sys.props("java.io.tmpdir") + "/graft-stage")
     if (root == "off")
@@ -278,7 +307,7 @@ object StagedIndex {
             case Some((_, covered)) =>
               val newFiles = cur.filterNot(covered)
                 .map(_.split(":", 3)(2)) // len:mtime:path — path last
-              build(s.read.parquet(newFiles: _*))
+              deltaBuild(s.read.parquet(newFiles: _*), s.read.parquet(input))
             case None => build(s.read.parquet(input))
           }
           delta.write.mode("overwrite").parquet(dir)

@@ -245,6 +245,33 @@ object TextQueries {
   final val CmsDepth = 4
   final val CmsWidth = 1024
 
+  /** Per-domain boilerplate stripping geometry (tx_boilerplate): a
+    * "line" is a fixed [[BoilerplateLineWords]]-word segment of the
+    * document (this corpus carries no newlines, so the segmentation
+    * is the deterministic, engine-replayable stand-in for the line/
+    * paragraph split a real crawl gets for free), and a line is
+    * boilerplate within its domain when at least [[BoilerplateDf]]
+    * distinct documents of that domain contain it — the CCNet
+    * paragraph-dedup rule (Wenzek et al. 2019, arXiv:1911.00359;
+    * C4's repeated-line rule in Raffel et al. 2020 is the corpus-
+    * global variant).
+    */
+  final val BoilerplateLineWords = 5
+  final val BoilerplateDf = 2L
+
+  /** Within-domain document-frequency threshold knob
+    * (`graft.text.boilerplateDf`, default [[BoilerplateDf]] — what
+    * the oracle replays). A threshold of 1 would strip every line of
+    * every document; fail loudly instead.
+    */
+  private def boilerplateDf(s: SparkSession): Long = {
+    val n = s.conf.get("graft.text.boilerplateDf",
+      BoilerplateDf.toString).toLong
+    require(n >= 2,
+      s"graft.text.boilerplateDf must be >= 2, got $n")
+    n
+  }
+
   /** Default BPE merge depth — what the oracle CTEs replay. */
   final val BpeMerges = 6
 
@@ -1087,6 +1114,62 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Per-domain boilerplate stripping — the CCNet/C4 curation pass
+    // production crawls run that the span family doesn't cover:
+    // dd_span_dedup finds corpus-WIDE repeated substrings and
+    // tx_span_cut rewrites them, but nav bars / footers / cookie
+    // banners are DOMAIN-scoped repeated lines, stripped by
+    // within-domain line document frequency (see BoilerplateDf). A
+    // line here is a fixed 5-word segment (BoilerplateLineWords —
+    // the deterministic stand-in for the newline split this corpus
+    // lacks). Emits per doc the line count, how many lines were
+    // stripped, and the rewritten text. Scale shape: the df table is
+    // O(domains × distinct lines) rows of (source, 8-byte line hash)
+    // — only hashes cross the df shuffle, map-side combined after
+    // the per-doc distinct; the strip is one (source, lh) left-anti
+    // equi-join; the reassembly is tx_span_cut's doc-keyed ordered
+    // collect, bounded by document length. No corpus-wide state: a
+    // new domain only ever meets its own lines.
+    "tx_boilerplate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val W = BoilerplateLineWords
+      val nLines = ceil(size(w) / lit(W.toDouble)).cast(LongType)
+      val segs = transform(
+        sequence(lit(0L), nLines - 1),
+        i => struct(i.alias("line_no"),
+          array_join(slice(w, (i * W + 1).cast("int"), lit(W)), " ")
+            .alias("line")))
+      val lines = docs
+        .select(col("doc_id"), col("source"), explode(segs).alias("ln"))
+        .select(col("doc_id"), col("source"),
+          col("ln.line_no").alias("line_no"),
+          col("ln.line").alias("line"))
+        .withColumn("lh", DedupQueries.h60(col("line")))
+      // within-domain df over DISTINCT documents (a line repeated
+      // inside one doc is repetition, not boilerplate — tx_repetition
+      // owns that signal)
+      val boiler = lines.select(col("source"), col("lh"), col("doc_id"))
+        .distinct()
+        .groupBy("source", "lh")
+        .agg(count(lit(1)).alias("df"))
+        .filter(col("df") >= boilerplateDf(s))
+        .select(col("source"), col("lh"))
+      val kept = lines.join(boiler, Seq("source", "lh"), "left_anti")
+      val rebuilt = kept.groupBy("doc_id")
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("line_no"), col("line")))),
+            x => x.getField("line")), " ").alias("kept_text"),
+          count(lit(1)).alias("n_kept"))
+      docs.select(col("doc_id"), nLines.alias("n_lines"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_lines"),
+          (col("n_lines") - coalesce(col("n_kept"), lit(0L)))
+            .alias("n_stripped_lines"),
+          coalesce(col("kept_text"), lit("")).alias("kept_text"))
+        .orderBy("doc_id")
+    }),
+
     "tx_normalize" -> ((s, d) => {
       val norm = trim(regexp_replace(
         regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
@@ -1846,6 +1929,46 @@ object TextQueries {
          |  coalesce(r.n_kept_words, 0) AS n_kept_words
          |FROM documents d LEFT JOIN reb r USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // lines are 1-based array slices [(i*5+1):(i*5+5)] for i in
+    // 0..ceil(len/5)-1 — the same fixed segmentation the Spark side
+    // builds with slice(); the strip joins on the shared h60 hash
+    "tx_boilerplate" ->
+      s"""WITH docs AS (SELECT doc_id, source,
+         |               string_split(text, ' ') AS ws FROM documents),
+         |lines AS (
+         |  SELECT doc_id, source, CAST(i AS BIGINT) AS line_no,
+         |    array_to_string(
+         |      ws[(i*$BoilerplateLineWords+1):
+         |         (i*$BoilerplateLineWords+$BoilerplateLineWords)],
+         |      ' ') AS line
+         |  FROM docs, UNNEST(range(0,
+         |    CAST(ceil(len(ws) / $BoilerplateLineWords.0) AS BIGINT)))
+         |    t(i)),
+         |lh AS (SELECT doc_id, source, line_no, line,
+         |         ${DedupQueries.SqlH60("line")} AS lhash FROM lines),
+         |boiler AS (
+         |  SELECT source, lhash FROM (
+         |    SELECT source, lhash, count(DISTINCT doc_id) AS df
+         |    FROM lh GROUP BY 1, 2) q
+         |  WHERE df >= $BoilerplateDf),
+         |kept AS (SELECT l.doc_id, l.line_no, l.line
+         |         FROM lh l LEFT JOIN boiler b
+         |           ON l.source = b.source AND l.lhash = b.lhash
+         |         WHERE b.lhash IS NULL),
+         |reb AS (SELECT doc_id,
+         |          string_agg(line, ' ' ORDER BY line_no) AS kept_text,
+         |          CAST(count(*) AS BIGINT) AS n_kept
+         |        FROM kept GROUP BY doc_id),
+         |tot AS (SELECT doc_id,
+         |          CAST(ceil(len(ws) / $BoilerplateLineWords.0) AS BIGINT)
+         |            AS n_lines
+         |        FROM docs)
+         |SELECT t.doc_id, t.n_lines,
+         |  t.n_lines - coalesce(r.n_kept, 0) AS n_stripped_lines,
+         |  coalesce(r.kept_text, '') AS kept_text
+         |FROM tot t LEFT JOIN reb r USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
 
     "tx_normalize" ->
       """SELECT doc_id,

@@ -300,6 +300,68 @@ class StagedIndexSpec extends AnyFunSuite {
     }
   }
 
+  /** Marker files (`_BASE` / `_FULL`) of every staged dir whose name
+    * starts with `prefix` under the session's current stage root.
+    */
+  private def spineMarkers(prefix: String, marker: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(spark.conf.get("graft.stage.dir"))
+    if (!Files.exists(root)) Seq.empty
+    else Files.walk(root).iterator().asScala
+      .filter(p => p.getFileName.toString == marker &&
+        p.getParent.getFileName.toString.startsWith(prefix))
+      .map(_.getParent.toString).toSeq
+  }
+
+  test("appendable-delta pair spine: delta equals full; rewrite roots full") {
+    withStageDir {
+      import org.apache.spark.sql.functions.{col, lit}
+      val rootA = spark.conf.get("graft.stage.dir")
+      // scratch copy of the sf0.001 corpus (near/exact dups included)
+      val work = Files.createTempDirectory("sis_pairs").toString
+      val input = s"$work/documents.parquet"
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .coalesce(1).write.parquet(input)
+      def rows(): Set[(Long, Long, Long)] =
+        DedupQueries.queries("dd_minhash_lsh")(spark, work)
+          .select(col("ida"), col("idb"), col("agree")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val base = rows()
+      assert(spineMarkers("dd_lsh_pairs_v2", "_FULL").size === 1)
+      // append 20% of the docs as EXACT duplicates under fresh ids,
+      // in new part files — guaranteed new band collisions
+      spark.read.parquet(input).filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+        .coalesce(1).write.mode("append").parquet(input)
+      StagedIndex.refreshTokens()
+      val viaDelta = rows()
+      // the spine head must be a CHAINED delta, not a full rebuild
+      assert(spineMarkers("dd_lsh_pairs_v2", "_BASE").size === 1,
+        "append must chain the pair spine via a _BASE delta link")
+      assert(base.subsetOf(viaDelta) && viaDelta.size > base.size,
+        "appended duplicates must ADD pairs on top of the base spine")
+      // independent truth: a fresh stage root has no sibling to chain
+      // on, so the same rows are derived by a from-scratch FULL build
+      val rootB = Files.createTempDirectory("sis_pairs_b").toString
+      spark.conf.set("graft.stage.dir", rootB)
+      try {
+        val viaFull = rows()
+        assert(viaDelta === viaFull,
+          "delta-maintained spine must equal the full rebuild row set")
+      } finally spark.conf.set("graft.stage.dir", rootA)
+      // rewrite (shrink) the input in place: no manifest is a subset
+      // anymore, so the next access roots a fresh FULL chain
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(col("doc_id") < 30)
+        .coalesce(1).write.mode("overwrite").parquet(input)
+      StagedIndex.refreshTokens()
+      rows()
+      assert(spineMarkers("dd_lsh_pairs_v2", "_FULL").size === 2 &&
+        spineMarkers("dd_lsh_pairs_v2", "_BASE").size === 1,
+        "a rewritten input must fall back to a full-build chain root")
+    }
+  }
+
   test("graft.stage.dir=off falls back to the in-session memo") {
     spark.conf.set("graft.stage.dir", "off")
     try {
