@@ -1,0 +1,223 @@
+package graft
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.{StreamingNearDup, StreamingPack, StreamingSemDedup}
+
+/** Throughput probes for the stateful streaming twins a 100-TB ingest
+  * would gate on — the MinHash near-dup matcher, the embedding
+  * SemDedup matcher, and the token packer — measured on the actual
+  * flatMapGroupsWithState runtime under BOTH state-store providers
+  * (default heap, RocksDB), with the LatenessProbe discipline: every
+  * workload carries planted work (duplicate docs / duplicate vectors
+  * / every doc places), the probe counts the emissions in-run, and a
+  * run whose expected output did not happen is REFUSED rather than
+  * reported (the class of bogus number a silently-skipped drive loop
+  * once produced — see PLANS.md r9).
+  *
+  * `runMain graft.StreamProbe [op] [nEvents]` where op ∈
+  * `neardup | semdedup | pack | all` (default all). Batches are
+  * pre-built outside the timed window; the first batch is warm-up;
+  * best of 3 passes per provider is reported.
+  *
+  * Bucket TTLs are disabled here (`bucketTtl = None`): with a
+  * processing-time timeout the engine schedules timeout-check
+  * batches continuously and `processAllAvailable` never quiesces, so
+  * a timed drive loop can't use them. The TTL path is behavior, not
+  * throughput — its eviction semantics are spec-pinned
+  * (StreamingNearDupSpec / StreamingSemDedupSpec); state size here
+  * is bounded by the probe's key space instead.
+  */
+object StreamProbe {
+
+  private val RocksDb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+
+  private def withProvider[A](spark: SparkSession,
+      provider: Option[String])(f: => A): A = {
+    val prior = spark.conf.getOption(ProviderKey)
+    provider match {
+      case Some(p) => spark.conf.set(ProviderKey, p)
+      case None => spark.conf.unset(ProviderKey)
+    }
+    try f
+    finally prior match {
+      case Some(v) => spark.conf.set(ProviderKey, v)
+      case None => spark.conf.unset(ProviderKey)
+    }
+  }
+
+  /** Drive `pipeline` over pre-built batches through MemoryStream →
+    * foreachBatch, timing everything after the warm-up batch.
+    * Returns (events/s, total output rows). One pass; the caller
+    * takes best-of-3.
+    */
+  private def onePass[I <: Product : org.apache.spark.sql.Encoder,
+      O](spark: SparkSession, batches: IndexedSeq[IndexedSeq[I]],
+      pipeline: Dataset[I] => Dataset[O]): (Long, Long) = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[I]
+    val out = new java.util.concurrent.atomic.AtomicLong
+    val ckpt = java.nio.file.Files.createTempDirectory("stream_probe")
+    val q = pipeline(in.toDS()).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.ProcessingTime(0L))
+      .foreachBatch { (b: Dataset[O], _: Long) =>
+        out.addAndGet(b.count()); ()
+      }
+      .start()
+    try {
+      in.addData(batches.head: _*)
+      q.processAllAvailable() // warm-up: codegen + state init
+      val timedEvents = batches.tail.map(_.size.toLong).sum
+      val t0 = System.nanoTime()
+      batches.tail.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      val wall = (System.nanoTime() - t0) / 1e9
+      ((timedEvents / wall).round, out.get())
+    } finally {
+      q.stop()
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ckpt).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
+  }
+
+  private def bestOf3[I <: Product : org.apache.spark.sql.Encoder, O](
+      spark: SparkSession, name: String, provider: Option[String],
+      batches: IndexedSeq[IndexedSeq[I]],
+      pipeline: Dataset[I] => Dataset[O],
+      selfCheck: Long => Boolean): Long = withProvider(spark, provider) {
+    val label = provider.map(_ => "rocksdb").getOrElse("default")
+    var best = -1L
+    for (pass <- 1 to 3) {
+      val (evps, outRows) = onePass(spark, batches, pipeline)
+      println(f"[stream-probe] $name provider=$label pass $pass: " +
+        f"$evps ev/s (out=$outRows)")
+      require(selfCheck(outRows),
+        s"$name/$label pass $pass: expected output missing " +
+          s"(out=$outRows) — refusing a bogus rate")
+      best = math.max(best, evps)
+    }
+    best
+  }
+
+  /** splitmix64 finalizer — the generators below need NONLINEAR word
+    * and coordinate hashes: a linear grid like `(i*A + w*B) mod P`
+    * makes doc i's word sequence a SHIFT of doc j's whenever
+    * (i-j)*A ≡ k*B, so shingles collide en masse across unrelated
+    * docs (a first cut of this probe emitted 7.2M pairs from 100k
+    * docs and measured emission cost, not matcher throughput).
+    */
+  private def mix(x: Long): Long = {
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** ~30-word texts from a doc-indexed vocabulary; every 10th doc is
+    * an EXACT duplicate of the doc 9 before it — same signature, same
+    * band keys, guaranteed pair emission (agree = K). Non-dup docs
+    * are pairwise shingle-disjoint w.h.p. (mix() words), so expected
+    * emissions ≈ the planted n/10 pairs.
+    */
+  private def nearDupBatches(n: Int,
+      batches: Int): IndexedSeq[IndexedSeq[StreamingNearDup.Doc]] = {
+    def text(i: Long): String =
+      (0 until 30).map(w =>
+        s"w${math.floorMod(mix(i * 64 + w), 1000003L)}").mkString(" ")
+    val perBatch = math.max(1, n / batches)
+    (0 until batches).map { b =>
+      (0 until perBatch).map { j =>
+        val i = b.toLong * perBatch + j
+        StreamingNearDup.Doc(i, if (i % 10 == 9) text(i - 9) else text(i))
+      }
+    }
+  }
+
+  /** dim-64 vectors keyed by index; every 10th is an exact copy of
+    * the vector 9 before it (cos = 1 ≥ threshold in its bucket).
+    */
+  private def semDedupBatches(n: Int, batches: Int,
+      dim: Int): IndexedSeq[IndexedSeq[StreamingSemDedup.Vec]] = {
+    def vec(i: Long): Array[Float] =
+      Array.tabulate(dim)(p =>
+        (math.floorMod(mix(i * 64 + p), 2000L) - 1000L).toFloat / 1000f)
+    val perBatch = math.max(1, n / batches)
+    (0 until batches).map { b =>
+      (0 until perBatch).map { j =>
+        val i = b.toLong * perBatch + j
+        StreamingSemDedup.Vec(i, if (i % 10 == 9) vec(i - 9) else vec(i))
+      }
+    }
+  }
+
+  private def packBatches(n: Int,
+      batches: Int): IndexedSeq[IndexedSeq[StreamingPack.Doc]] = {
+    val langs = Array("en", "de", "fr", "es", "pt", "it", "nl", "pl")
+    val perBatch = math.max(1, n / batches)
+    (0 until batches).map { b =>
+      (0 until perBatch).map { j =>
+        val i = b.toLong * perBatch + j
+        StreamingPack.Doc(i, langs((i % langs.length).toInt),
+          64L + i % 1900L)
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val op = args.headOption.getOrElse("all")
+    val n = args.drop(1).headOption.map(_.toInt).getOrElse(100000)
+    val batches = 10
+    val spark = GraftSession.local()
+    GraftSession.applyEnvConf(spark)
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def probe[I <: Product : org.apache.spark.sql.Encoder, O](name: String,
+        data: IndexedSeq[IndexedSeq[I]],
+        pipeline: Dataset[I] => Dataset[O],
+        selfCheck: Long => Boolean): Unit = {
+      results(s"${name}_events_per_sec") =
+        bestOf3(spark, name, None, data, pipeline, selfCheck)
+      results(s"${name}_events_per_sec_rocksdb") =
+        bestOf3(spark, name, Some(RocksDb), data, pipeline, selfCheck)
+    }
+
+    // planted duplicates: 1 in 10 docs pairs with its original — the
+    // timed 9 batches alone contain ≥ n*9/10/10 duplicate arrivals,
+    // so a run emitting no pairs did no matcher work
+    if (op == "all" || op == "neardup")
+      probe[StreamingNearDup.Doc, StreamingNearDup.Pair]("neardup",
+        nearDupBatches(n, batches),
+        ds => StreamingNearDup.candidatePairs(ds, bucketTtl = None),
+        _ >= n.toLong / 10)
+    if (op == "all" || op == "semdedup") {
+      val data = semDedupBatches(n, batches, 64)
+      // planes from the first 6 vectors — the batch twin's rule
+      val planes = StreamingSemDedup.planesOf(data.head.take(6), 6)
+      probe[StreamingSemDedup.Vec, StreamingSemDedup.SemPair]("semdedup",
+        data,
+        ds => StreamingSemDedup.candidatePairs(ds, planes,
+          bucketTtl = None),
+        _ >= n.toLong / 10)
+    }
+    if (op == "all" || op == "pack")
+      probe[StreamingPack.Doc, StreamingPack.Placement]("pack",
+        packBatches(n, batches),
+        ds => StreamingPack.pack(ds, packLen = 4096L),
+        // EVERY doc must place exactly once across the 10 batches
+        _ == n.toLong / batches * batches)
+    val json = results.map { case (k, v) => s""""$k":$v""" }
+      .mkString("{", ",", "}")
+    println(json)
+    spark.stop()
+  }
+}

@@ -390,6 +390,15 @@ object MultimodalQueries {
     * — ONE copy shared by the mm_scene_cut / mm_keyframes oracles so
     * the two replays cannot drift apart (the sqlPhashPairCtes
     * discipline). Ends at `d(media_id, frame_no, luma, delta)`.
+    *
+    * ASCII-corpus assumption (as with every byte/char twin in this
+    * file): the Spark side lumas raw UTF-8 BYTES (`b & 0xff` over
+    * 32-byte frames) while this replay lumas CHARACTERS (substr char
+    * offsets, ascii() per char) — the two agree exactly on the
+    * driver testdata because documents.text is pure ASCII (1 char =
+    * 1 byte), and MultimodalSpec's testdata guard pins that
+    * precondition. A multibyte corpus would need the oracle side
+    * ported to blob slicing (encode(text) + octet-level reads).
     */
   private lazy val sqlLumaCtes: String =
     """chunks AS (

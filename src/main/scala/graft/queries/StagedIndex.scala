@@ -408,15 +408,21 @@ object StagedIndex {
   /** Drop EVERY session's cached verdicts for `dir` — a heal/rebuild
     * must be visible to concurrent sessions in the same JVM, or a
     * sibling session's stale FALSE would delete the freshly rebuilt
-    * stage right back.
+    * stage right back. Whole-chain (`c:`) verdicts are dropped for
+    * ALL heads, not just `dir`'s own: a dependent head whose `_BASE`
+    * ancestry includes the healed dir would otherwise keep a stale
+    * chain verdict (a stale FALSE forces a pointless delete + full
+    * rebuild of a still-valid head; a stale TRUE could mask the
+    * heal). Chain verdicts cost O(depth) tiny-file reads to
+    * recompute, so clearing them all beats tracking reverse
+    * ancestry.
     */
   private def evictVerdicts(dir: String): Unit = {
     val member = s"m:$dir"
-    val chain = s"c:$dir"
     val it = intactCache.keySet.iterator()
     while (it.hasNext) {
       val k = it.next()
-      if (k._2 == member || k._2 == chain) it.remove()
+      if (k._2 == member || k._2.startsWith("c:")) it.remove()
     }
   }
 

@@ -267,15 +267,18 @@ class PlanAuditSpec extends AnyFunSuite {
   // dd_semdedup is NOT pinned here since r8: its rn=1 assignment
   // window moved into the staged kmeans-core build, so the audited
   // steady-state plan is a stage scan + joins with no window at all
-  // (the build plan still gets the pushdown when it runs).
+  // (the build plan still gets the pushdown when it runs). The same
+  // move de-pins the whole staged-rank-list family in r10:
+  // sim_cosine_topk / sim_lsh_ann / sim_multiprobe_ann /
+  // sim_ivf_kmeans and their audit consumers (sim_recall_at_k,
+  // sim_multiprobe_recall) now scan ≤ probes×k staged rows; their
+  // top-k windows live in the stage builds.
   private val rankLimited = Set("rel_topk",
-    "rel_window_nav", "sim_cosine_topk", "sim_filtered_ann",
-    "sim_ivf_ann", "sim_ivf_kmeans", "sim_lsh_ann", "sim_pq_ann",
+    "rel_window_nav", "sim_filtered_ann",
+    "sim_ivf_ann", "sim_pq_ann",
     "sim_pq_code_balance", // the PQ encode's rank-1 window
-    "sim_ivfpq_ann", "sim_recall_at_k", "tx_tfidf", "tx_source_cap",
+    "sim_ivfpq_ann", "tx_tfidf", "tx_source_cap",
     "tx_sample_weighted", "sim_knn_graph", "tx_langid_ngram",
-    "sim_multiprobe_ann", // top-k rerank + the flips-per-probe rank
-    "sim_multiprobe_recall", // inherits all three rank-limited legs
     "sim_knn_label", // majority-vote rn=1 pick over (src, label) votes
     "graph_label_prop", // per-round majority pick on the src key
     "sim_sq8_ann", // integer-dot shortlist + exact rerank windows

@@ -186,4 +186,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frameLuma(media, 2, 1).collect().forall(_.media_id == 2L))
     assert(sampleFrames(media, 2, 1).count() === 2L)
   }
+
+  test("testdata guard: documents.text is pure ASCII (byte/char twins)") {
+    // The mm_scene_cut / mm_keyframes oracles luma CHARACTERS
+    // (substr + ascii) while the Spark side lumas UTF-8 BYTES — the
+    // twins agree exactly iff 1 char = 1 byte. This guard fails the
+    // suite (instead of a silent oracle drift) if a testdata refresh
+    // ever introduces multibyte text.
+    import org.apache.spark.sql.functions.{col, length, octet_length}
+    val nonAscii = spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet")
+      .filter(octet_length(col("text")) =!= length(col("text")))
+      .count()
+    assert(nonAscii === 0L,
+      s"$nonAscii documents carry multibyte text — the character-" +
+        "offset oracle CTEs (sqlLumaCtes and every byte/char twin) " +
+        "no longer replay the byte-level Spark side")
+  }
 }
