@@ -93,7 +93,7 @@ object BenchExpect {
     "dd_band_sweep" -> 1.2, // three band-geometry legs on staged sigs (r8 calm)
     "sim_planes_sweep" -> 0.6, // staged lsh legs + truth (r10)
     "tx_span_strip" -> 1.0, // staged positional gram index (r8)
-    "tx_boilerplate" -> 2.0, // domain line-hash df + anti-join + reassembly
+    "tx_boilerplate" -> 1.4, // staged line index + anti-join + reassembly
     "tx_span_cut" -> 1.8, // span removal + per-doc reassembly (r8)
     "sim_threshold_sweep" -> 0.8,
     "cdc_reconcile" -> 1.0,
@@ -358,6 +358,7 @@ object Bench {
       SparkEntry.queries("sim_multiprobe_recall")(spark, sfDir)
       SparkEntry.queries("sim_nprobe_sweep")(spark, sfDir)
       SparkEntry.queries("sim_planes_sweep")(spark, sfDir)
+      SparkEntry.queries("tx_boilerplate")(spark, sfDir) // line index
       SparkEntry.queries("mm_phash")(spark, sfDir)
       SparkEntry.queries("tx_langid_ngram")(spark, sfDir)
       SparkEntry.queries("tx_lm_score")(spark, sfDir)

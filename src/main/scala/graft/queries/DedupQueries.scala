@@ -135,6 +135,11 @@ object DedupQueries {
     * restriction), so one artifact serves all three measures — the
     * compute-once-per-snapshot pattern every staged index follows.
     */
+  // NOT appendable-delta (unlike lshAgreePairs): the df CAP couples
+  // old rows to new ones — a shingle under the ceiling before an
+  // ingest can exceed it after, which must REMOVE old×old pairs from
+  // the artifact, violating the delta contract (rows_full(old∪new) ⊇
+  // rows_full(old) fails). Growth restages the full posting join.
   private def cappedCommon(s: SparkSession, d: String): DataFrame =
     StagedIndex.orStage(s,
       s"dd_capped_common_v1_${StageFp}_df${maxShingleDf(s)}", d,

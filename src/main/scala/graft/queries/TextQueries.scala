@@ -1134,17 +1134,26 @@ object TextQueries {
       val docs = Tables.documents(s, d)
       val W = BoilerplateLineWords
       val nLines = ceil(size(w) / lit(W.toDouble)).cast(LongType)
-      val segs = transform(
-        sequence(lit(0L), nLines - 1),
-        i => struct(i.alias("line_no"),
-          array_join(slice(w, (i * W + 1).cast("int"), lit(W)), " ")
-            .alias("line")))
-      val lines = docs
-        .select(col("doc_id"), col("source"), explode(segs).alias("ln"))
-        .select(col("doc_id"), col("source"),
-          col("ln.line_no").alias("line_no"),
-          col("ln.line").alias("line"))
-        .withColumn("lh", DedupQueries.h60(col("line")))
+      // the line index is staged (per-row artifact, APPENDABLE: a
+      // new crawl's lines segment from its new part files only):
+      // both consumers below — the domain df aggregate and the
+      // strip's anti-join side — would otherwise each re-run the
+      // interpreted transform/explode/md5 chain per reference
+      val lines = StagedIndex.orStageAppendable(s,
+        s"tx_lines_v1_w$W", d, s"$d/documents.parquet") { in =>
+        val ws = split(col("text"), " ")
+        val nl = ceil(size(ws) / lit(W.toDouble)).cast(LongType)
+        val segs = transform(
+          sequence(lit(0L), nl - 1),
+          i => struct(i.alias("line_no"),
+            array_join(slice(ws, (i * W + 1).cast("int"), lit(W)), " ")
+              .alias("line")))
+        in.select(col("doc_id"), col("source"), explode(segs).alias("ln"))
+          .select(col("doc_id"), col("source"),
+            col("ln.line_no").alias("line_no"),
+            col("ln.line").alias("line"))
+          .withColumn("lh", DedupQueries.h60(col("line")))
+      }
       // within-domain df over DISTINCT documents (a line repeated
       // inside one doc is repetition, not boilerplate — tx_repetition
       // owns that signal)

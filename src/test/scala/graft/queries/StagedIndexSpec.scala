@@ -340,14 +340,25 @@ class StagedIndexSpec extends AnyFunSuite {
         "append must chain the pair spine via a _BASE delta link")
       assert(base.subsetOf(viaDelta) && viaDelta.size > base.size,
         "appended duplicates must ADD pairs on top of the base spine")
+      // SECOND append: the new delta must also pair new2×new1 docs
+      // (new1 is "old" now — it lives in the signature chain the
+      // delta bands against), so a chain of two delta links still
+      // equals the from-scratch build
+      spark.read.parquet(input).filter(col("doc_id") % 5 === 1)
+        .withColumn("doc_id", col("doc_id") + lit(2000000000L))
+        .coalesce(1).write.mode("append").parquet(input)
+      StagedIndex.refreshTokens()
+      val viaDelta2 = rows()
+      assert(spineMarkers("dd_lsh_pairs_v2", "_BASE").size === 2,
+        "second append must chain a second delta link")
       // independent truth: a fresh stage root has no sibling to chain
       // on, so the same rows are derived by a from-scratch FULL build
       val rootB = Files.createTempDirectory("sis_pairs_b").toString
       spark.conf.set("graft.stage.dir", rootB)
       try {
         val viaFull = rows()
-        assert(viaDelta === viaFull,
-          "delta-maintained spine must equal the full rebuild row set")
+        assert(viaDelta2 === viaFull,
+          "delta-chain-maintained spine must equal the full rebuild row set")
       } finally spark.conf.set("graft.stage.dir", rootA)
       // rewrite (shrink) the input in place: no manifest is a subset
       // anymore, so the next access roots a fresh FULL chain
@@ -357,7 +368,7 @@ class StagedIndexSpec extends AnyFunSuite {
       StagedIndex.refreshTokens()
       rows()
       assert(spineMarkers("dd_lsh_pairs_v2", "_FULL").size === 2 &&
-        spineMarkers("dd_lsh_pairs_v2", "_BASE").size === 1,
+        spineMarkers("dd_lsh_pairs_v2", "_BASE").size === 2,
         "a rewritten input must fall back to a full-build chain root")
     }
   }
