@@ -348,30 +348,41 @@ object Bench {
     // scan-of-staged-parquet, not index derivation — the documented
     // compute-once-per-snapshot production pattern.
     val tStage = System.nanoTime()
-    try {
-      SparkEntry.queries("dd_minhash_lsh")(spark, sfDir)
-      SparkEntry.queries("sim_cosine_topk")(spark, sfDir)
-      SparkEntry.queries("sim_rrf_fusion")(spark, sfDir) // lexical topk stage
-      // ANN rank-list stages: multi-probe + the sweep legs (ivf
-      // nprobe 1/2/4, lsh planes 4/6/8 + default) — construction
-      // alone triggers the orStage builds
-      SparkEntry.queries("sim_multiprobe_recall")(spark, sfDir)
-      SparkEntry.queries("sim_nprobe_sweep")(spark, sfDir)
-      SparkEntry.queries("sim_planes_sweep")(spark, sfDir)
-      SparkEntry.queries("tx_boilerplate")(spark, sfDir) // line index
-      SparkEntry.queries("mm_phash")(spark, sfDir)
-      SparkEntry.queries("tx_langid_ngram")(spark, sfDir)
-      SparkEntry.queries("tx_lm_score")(spark, sfDir)
-      SparkEntry.queries("graph_pagerank")(spark, sfDir)
-      SparkEntry.queries("pipe_mm_curate")(spark, sfDir)
-      SparkEntry.queries("dd_winnow")(spark, sfDir)
-      SparkEntry.queries("dd_agreement")(spark, sfDir)
-      SparkEntry.queries("tx_span_cut")(spark, sfDir)
-      SparkEntry.queries("mm_dedup")(spark, sfDir)
-    } catch {
-      case e: Throwable =>
-        System.err.println(s"[bench] pre-stage failed: ${e.getMessage}")
+    // per-query build seconds (construction alone triggers the
+    // orStage builds), reported as stage_build so a cold-stage run
+    // attributes its one-time derivation cost by name instead of
+    // presenting one opaque total. A failed pre-stage records -1 for
+    // that entry (the query itself will surface the error in-sweep).
+    val stageBuild = collection.mutable.LinkedHashMap.empty[String, Double]
+    def preStage(name: String): Unit = {
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+        stageBuild(name) = (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          stageBuild(name) = -1.0
+          System.err.println(s"[bench] pre-stage $name failed: ${e.getMessage}")
+      }
     }
+    preStage("dd_minhash_lsh")
+    preStage("sim_cosine_topk")
+    preStage("sim_rrf_fusion") // lexical topk stage
+    // ANN rank-list stages: multi-probe + the sweep legs (ivf
+    // nprobe 1/2/4, lsh planes 4/6/8 + default)
+    preStage("sim_multiprobe_recall")
+    preStage("sim_nprobe_sweep")
+    preStage("sim_planes_sweep")
+    preStage("tx_boilerplate") // line index
+    preStage("mm_phash")
+    preStage("tx_langid_ngram")
+    preStage("tx_lm_score")
+    preStage("graph_pagerank")
+    preStage("pipe_mm_curate")
+    preStage("dd_winnow")
+    preStage("dd_agreement")
+    preStage("tx_span_cut")
+    preStage("mm_dedup")
     val stageBuildSec = (System.nanoTime() - tStage) / 1e9
     val stagedNames = graft.queries.StagedIndex.stagedNames(spark, sfDir)
     best.clear(); attempted.clear()
@@ -508,7 +519,9 @@ object Bench {
       }
       .mkString("[", ",", "]")
     val stagedJson = stagedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"capped":$cappedFinal,"outliers":$outliers,"sweeps":$sweep,"stage_build_sec":$stageBuildSec,"staged":$stagedJson,"envelope_events_per_sec":$eventsPerSec,"batch_stream_envelope_agreed":$batchStreamAgreed,"streaming_envelope_events_per_sec":$streamEps,"streaming_envelope_events_per_sec_rocksdb":$streamEpsRocks,"streaming_envelope_agreed":$streamAgreed,"streaming_snapshot_events_per_sec":$snapEps,"streaming_snapshot_events_per_sec_rocksdb":$snapEpsRocks,"sf":"$sfDir"}"""
+    val stageBuildJson = stageBuild
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"capped":$cappedFinal,"outliers":$outliers,"sweeps":$sweep,"stage_build_sec":$stageBuildSec,"stage_build":$stageBuildJson,"staged":$stagedJson,"envelope_events_per_sec":$eventsPerSec,"batch_stream_envelope_agreed":$batchStreamAgreed,"streaming_envelope_events_per_sec":$streamEps,"streaming_envelope_events_per_sec_rocksdb":$streamEpsRocks,"streaming_envelope_agreed":$streamAgreed,"streaming_snapshot_events_per_sec":$snapEps,"streaming_snapshot_events_per_sec_rocksdb":$snapEpsRocks,"sf":"$sfDir"}"""
     println(line)
     // The driver captures stdout with `tail`, which can start
     // mid-artifact and truncate the per-query map. Persist the full

@@ -373,6 +373,51 @@ class StagedIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("appendable-delta core law: an append sequence equals full builds") {
+    withStageDir {
+      import org.apache.spark.sql.functions.{col, least, greatest}
+      val rootA = spark.conf.get("graft.stage.dir")
+      val in = Files.createTempDirectory("sis_law_in").toString
+      val input = s"$in/t.parquet"
+      // toy pair artifact: all unordered pairs (a < b) with even sum —
+      // exercises the delta contract with none of the dedup pipeline
+      def pairsOf(l: org.apache.spark.sql.DataFrame,
+          r: org.apache.spark.sql.DataFrame) =
+        l.select(col("x").alias("xa"))
+          .join(r.select(col("x").alias("xb")), col("xa") =!= col("xb"))
+          .select(least(col("xa"), col("xb")).alias("a"),
+            greatest(col("xa"), col("xb")).alias("b"))
+          .distinct()
+          .filter((col("a") + col("b")) % 2 === 0)
+      def call(): Set[(Long, Long)] =
+        StagedIndex.orStageAppendableDelta(spark, "spec_law_v1", in, input) {
+          all => pairsOf(all, all)
+        } { (newRows, all) => pairsOf(newRows, all) }
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def truth(rows: Seq[Long]): Set[(Long, Long)] =
+        (for (a <- rows; b <- rows if a < b && (a + b) % 2 == 0)
+          yield (a, b)).toSet
+      spark.range(6).toDF("x").coalesce(1).write.parquet(input)
+      assert(call() === truth(0L until 6L))
+      // three appends of different sizes; each step must equal the
+      // from-scratch pair set over the grown input
+      var have = (0L until 6L).toVector
+      for ((lo, hi) <- Seq((100L, 103L), (200L, 201L), (300L, 307L))) {
+        spark.range(lo, hi).toDF("x")
+          .coalesce(1).write.mode("append").parquet(input)
+        have ++= (lo until hi)
+        StagedIndex.refreshTokens()
+        assert(call() === truth(have),
+          s"delta chain diverged from truth after appending [$lo,$hi)")
+      }
+      // and the whole chain still equals a from-scratch full build
+      val rootB = Files.createTempDirectory("sis_law_b").toString
+      spark.conf.set("graft.stage.dir", rootB)
+      try assert(call() === truth(have))
+      finally spark.conf.set("graft.stage.dir", rootA)
+    }
+  }
+
   test("graft.stage.dir=off falls back to the in-session memo") {
     spark.conf.set("graft.stage.dir", "off")
     try {
