@@ -255,6 +255,41 @@ object Bench {
   private[graft] def isOutlier(sec: Double, committed: Double): Boolean =
     committed > 0 && sec > 2.0 * committed + 0.3
 
+  /** Top-level numeric fields of the committed artifact (the
+    * throughput figures) — the [[committedQueryTimes]] companion.
+    */
+  private[graft] def committedFigures(
+      path: String = "bench_out.json"): Map[String, Double] =
+    try {
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readAllBytes(p))
+        val b = Map.newBuilder[String, Double]
+        val it = root.properties().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
+        }
+        b.result()
+      }
+    } catch { case _: Throwable => Map.empty }
+
+  /** A throughput figure is suspect when it lands below TWO-THIRDS
+    * of its committed calm value. Closes the blind spot the
+    * hog-validation run exposed: a contention window can depress the
+    * batch AND streaming envelope figures CONSISTENTLY — the pair
+    * then agrees within band while both sit far below calm. The
+    * threshold separates the observed populations: contention runs
+    * measure 0.55-0.58× committed (the r9 driver artifact's 184.8k
+    * vs 335.0k; the validation run's 161.8k vs 280.1k), while
+    * calm-to-calm host variance stays ≥ 0.83× (280-335k envelope,
+    * 17.5-20.3k snapshot across the r9/r10 calm runs).
+    */
+  private[graft] def isSlowFigure(value: Long, committed: Double): Boolean =
+    committed > 0 && value > 0 && value * 3 < committed * 2
+
   /** The batch envelope figure's agreement band against the streaming
     * stateless figure. Same transform (EnvelopeTransform), same event
     * shape — the batch side reads sf parquet with zero micro-batch
@@ -518,10 +553,27 @@ object Bench {
         s"""{"query":"$n","sec":$v,"committed":${committed(n)}}"""
       }
       .mkString("[", ",", "]")
+    // Throughput figures below half their committed calm value: the
+    // pair/agreement checks catch INCONSISTENT contention; this
+    // catches the consistent kind, where every figure is depressed
+    // together and the pairs agree anyway.
+    val committedFigs = committedFigures()
+    val figures = Seq(
+      "envelope_events_per_sec" -> eventsPerSec,
+      "streaming_envelope_events_per_sec" -> streamEps,
+      "streaming_envelope_events_per_sec_rocksdb" -> streamEpsRocks,
+      "streaming_snapshot_events_per_sec" -> snapEps,
+      "streaming_snapshot_events_per_sec_rocksdb" -> snapEpsRocks)
+    val slowFigures = figures
+      .collect { case (f, v) if committedFigs.get(f)
+          .exists(isSlowFigure(v, _)) =>
+        s"""{"figure":"$f","value":$v,"committed":${committedFigs(f).round}}"""
+      }
+      .mkString("[", ",", "]")
     val stagedJson = stagedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val stageBuildJson = stageBuild
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"capped":$cappedFinal,"outliers":$outliers,"sweeps":$sweep,"stage_build_sec":$stageBuildSec,"stage_build":$stageBuildJson,"staged":$stagedJson,"envelope_events_per_sec":$eventsPerSec,"batch_stream_envelope_agreed":$batchStreamAgreed,"streaming_envelope_events_per_sec":$streamEps,"streaming_envelope_events_per_sec_rocksdb":$streamEpsRocks,"streaming_envelope_agreed":$streamAgreed,"streaming_snapshot_events_per_sec":$snapEps,"streaming_snapshot_events_per_sec_rocksdb":$snapEpsRocks,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"capped":$cappedFinal,"outliers":$outliers,"slow_figures":$slowFigures,"sweeps":$sweep,"stage_build_sec":$stageBuildSec,"stage_build":$stageBuildJson,"staged":$stagedJson,"envelope_events_per_sec":$eventsPerSec,"batch_stream_envelope_agreed":$batchStreamAgreed,"streaming_envelope_events_per_sec":$streamEps,"streaming_envelope_events_per_sec_rocksdb":$streamEpsRocks,"streaming_envelope_agreed":$streamAgreed,"streaming_snapshot_events_per_sec":$snapEps,"streaming_snapshot_events_per_sec_rocksdb":$snapEpsRocks,"sf":"$sfDir"}"""
     println(line)
     // The driver captures stdout with `tail`, which can start
     // mid-artifact and truncate the per-query map. Persist the full

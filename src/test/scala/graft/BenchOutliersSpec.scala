@@ -42,6 +42,34 @@ class BenchOutliersSpec extends AnyFunSuite {
     assert(!Bench.isOutlier(10.0, -1.0))
   }
 
+  test("slow-figure rule: below 2/3 committed flags consistent depression") {
+    // the hog-validation run: both envelope figures depressed
+    // together (0.58x), pair agreed within band — still named
+    assert(Bench.isSlowFigure(161809L, 280081.0))
+    assert(Bench.isSlowFigure(184752L, 334989.0)) // r9 driver, 0.55x
+    // calm-to-calm host variance (>= 0.83x observed) never flags
+    assert(!Bench.isSlowFigure(253860L, 304204.0)) // 0.83x
+    assert(!Bench.isSlowFigure(279923L, 334989.0)) // 0.84x
+    assert(!Bench.isSlowFigure(280081L, 280081.0))
+    assert(!Bench.isSlowFigure(-1L, 280081.0)) // failed measurement
+    assert(!Bench.isSlowFigure(100000L, 0.0)) // no committed value
+  }
+
+  test("committedFigures reads the top-level throughput fields") {
+    val tmp = java.nio.file.Files.createTempFile("bench_prev_fig", ".json")
+    java.nio.file.Files.write(tmp,
+      ("""{"metric":"total","value":114.0,"queries":{"q":1.0},""" +
+        """"envelope_events_per_sec":334989,""" +
+        """"streaming_envelope_events_per_sec":245700,"sf":"/x"}""")
+        .getBytes("UTF-8"))
+    val m = Bench.committedFigures(tmp.toString)
+    assert(m("envelope_events_per_sec") == 334989.0)
+    assert(m("streaming_envelope_events_per_sec") == 245700.0)
+    assert(m("value") == 114.0) // numeric top-levels included; harmless
+    assert(!m.contains("queries") && !m.contains("sf"))
+    java.nio.file.Files.deleteIfExists(tmp)
+  }
+
   test("batch/stream agreement band catches the r9 artifact") {
     // committed r9 calm pair: batch 334,989 vs stream 245,700 — agrees
     assert(Bench.batchStreamAgree(334989L, 245700L))
