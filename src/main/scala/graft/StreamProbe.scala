@@ -158,6 +158,47 @@ object StreamProbe {
     }
   }
 
+  /** Zipf-ish term stream: rank r = mix(i) mod 1000, term = "t" + r
+    * with heavy mass on low ranks via a second mod — the workload a
+    * Misra-Gries summary exists for; every batch touches every
+    * bucket, so summaries flow continuously.
+    */
+  private def heavyHitterBatches(n: Int,
+      batches: Int): IndexedSeq[IndexedSeq[graft.streaming.StreamingHeavyHitters.Term]] = {
+    val perBatch = math.max(1, n / batches)
+    (0 until batches).map { b =>
+      (0 until perBatch).map { j =>
+        val i = b.toLong * perBatch + j
+        val u = math.floorMod(mix(i), 1000000L)
+        // ~50% of mass on 8 hot terms, the rest spread over 10k
+        val term = if (u < 500000L) s"hot${u % 8}"
+        else s"t${math.floorMod(mix(u), 10000L)}"
+        graft.streaming.StreamingHeavyHitters.Term(term)
+      }
+    }
+  }
+
+  /** Per-doc gram arrays over 64 shards (keeps each shard's bloom
+    * filter under ~40% fill at n=100k so fresh docs stay verifiably
+    * novel); every 10th doc repeats the grams of the doc 9 before it
+    * (same shard by construction), so its verdict must come back
+    * ~0 new grams — the probe pipeline filters to LOW-novelty
+    * verdicts and requires at least the planted count.
+    */
+  private def noveltyBatches(n: Int,
+      batches: Int): IndexedSeq[IndexedSeq[graft.streaming.StreamingNovelty.Doc]] = {
+    val perBatch = math.max(1, n / batches)
+    def grams(i: Long): Array[Long] =
+      Array.tabulate(20)(g => mix(i * 32 + g))
+    (0 until batches).map { b =>
+      (0 until perBatch).map { j =>
+        val i = b.toLong * perBatch + j
+        val src = if (i % 10 == 9) i - 9 else i
+        graft.streaming.StreamingNovelty.Doc(i, s"s${src % 64}", grams(src))
+      }
+    }
+  }
+
   private def packBatches(n: Int,
       batches: Int): IndexedSeq[IndexedSeq[StreamingPack.Doc]] = {
     val langs = Array("en", "de", "fr", "es", "pt", "it", "nl", "pl")
@@ -215,6 +256,24 @@ object StreamProbe {
         ds => StreamingPack.pack(ds, packLen = 4096L),
         // EVERY doc must place exactly once across the 10 batches
         _ == n.toLong / batches * batches)
+    if (op == "all" || op == "heavyhitters")
+      probe[graft.streaming.StreamingHeavyHitters.Term,
+          graft.streaming.StreamingHeavyHitters.Hitter]("heavyhitters",
+        heavyHitterBatches(n, batches),
+        ds => graft.streaming.StreamingHeavyHitters.summaries(ds,
+          idleTtl = None),
+        // every batch hits every bucket, so each of the 10 batches
+        // must re-emit >= 1 summary row per bucket (16 buckets)
+        _ >= 10L * 16L)
+    if (op == "all" || op == "novelty")
+      probe[graft.streaming.StreamingNovelty.Doc,
+          graft.streaming.StreamingNovelty.Verdict]("novelty",
+        noveltyBatches(n, batches),
+        // count only LOW-novelty verdicts: the planted duplicates
+        // must resolve to ~0 new grams against their shard's filter
+        ds => graft.streaming.StreamingNovelty.score(ds)
+          .filter(_.novel_ppm < 500000L),
+        _ >= n.toLong / 10)
     val json = results.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
     println(json)
