@@ -232,6 +232,13 @@ object DedupQueries {
         col("bk.key").alias("key"))
   }
 
+  // Band rows are DERIVED from the staged signature chain per use,
+  // not staged themselves — measured and rejected (r10): every
+  // consumer that needs band rows also reads the signature chain
+  // (the agree step), so the banding is pure CPU on top of a scan
+  // already paid, while a staged band table adds bytes to read AND
+  // a stage round-trip per access (AppendProbe: pairs full
+  // 3.90→4.98 s, delta 2.01→2.99 s with the band stage in place).
   private def banded(s: SparkSession, d: String): DataFrame =
     bandedOf(signatures(s, d))
 
@@ -297,11 +304,13 @@ object DedupQueries {
       val sigNew = sigFromShingles(newDocs.select(col("doc_id"),
         graft.functions.WordShingles(col("text"), 3).alias("sh")))
       val sigAll = signatures(s, d)
-      // new-side band rows against the whole corpus's band rows:
-      // every pair with ≥ 1 new doc, found from its new side; a
-      // new×new pair is seen from both sides and distinct-ed under
-      // the canonical (min, max) orientation — old×old pairs are
-      // unreachable by construction
+      // new-side band rows against the whole corpus's band rows
+      // (banded from the O(delta)-maintained signature chain — the
+      // same scan the agree step below pays anyway): every pair with
+      // ≥ 1 new doc, found from its new side; a new×new pair is seen
+      // from both sides and distinct-ed under the canonical
+      // (min, max) orientation — old×old pairs are unreachable by
+      // construction
       val pairs = bandedOf(sigNew).alias("a")
         .join(bandedOf(sigAll).alias("b"),
           col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
