@@ -265,6 +265,41 @@ object StreamProbe {
         // every batch hits every bucket, so each of the 10 batches
         // must re-emit >= 1 summary row per bucket (16 buckets)
         _ >= 10L * 16L)
+    if (op == "all" || op == "crossdedup") {
+      // dedup-at-ingest against an existing corpus: STATELESS on the
+      // stream side (a stream-static equi-join against the per-
+      // snapshot band index), so no state-store comparison applies —
+      // one figure, default provider. The index (50k docs × 8 band
+      // rows with full signatures) is built and materialized OUTSIDE
+      // the timed window, exactly the staged-once-per-snapshot
+      // production pattern; every 10th stream doc duplicates a
+      // corpus doc and must match it exactly once.
+      import graft.streaming.StreamingCrossDedup
+      val corpusDocs = (0 until 50000).map { j =>
+        StreamingNearDup.Doc(2000000000L + j, (0 until 30).map(w =>
+          s"c${math.floorMod(mix(3000000000L + j * 64L + w), 1000003L)}")
+          .mkString(" "))
+      }
+      val index = StreamingCrossDedup.corpusIndex(
+        spark.createDataset(corpusDocs).toDF()).cache()
+      index.count() // materialize before any timed pass
+      val data = (0 until batches).map { b =>
+        (0 until math.max(1, n / batches)).map { j =>
+          val i = b.toLong * math.max(1, n / batches) + j
+          if (i % 10 == 9) {
+            val c = corpusDocs((i % 50000).toInt)
+            StreamingNearDup.Doc(i, c.text)
+          } else StreamingNearDup.Doc(i, (0 until 30).map(w =>
+            s"w${math.floorMod(mix(i * 64 + w), 1000003L)}").mkString(" "))
+        }
+      }
+      results("crossdedup_events_per_sec") =
+        bestOf3[StreamingNearDup.Doc, org.apache.spark.sql.Row](
+          spark, "crossdedup", None, data,
+          ds => StreamingCrossDedup.matches(ds, index),
+          _ >= n.toLong / 10)
+      index.unpersist()
+    }
     if (op == "all" || op == "novelty")
       probe[graft.streaming.StreamingNovelty.Doc,
           graft.streaming.StreamingNovelty.Verdict]("novelty",
