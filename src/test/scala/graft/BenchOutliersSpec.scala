@@ -76,10 +76,50 @@ class BenchOutliersSpec extends AnyFunSuite {
     // the r9 driver artifact: batch 184,752 vs stream 246,900 — the
     // batch side is below stream/1.25, the corrupted-batch signature
     assert(!Bench.batchStreamAgree(184752L, 246900L))
+    // calm drift above the committed 1.36 ratio must NOT trip the
+    // band (the 1.5 ratio left ~10% headroom; widened to 1.7)
+    assert(Bench.batchStreamAgree(400000L, 245700L)) // 1.63x: drift
     // batch far above stream: the streaming side is the suspect
-    assert(!Bench.batchStreamAgree(400000L, 245700L))
+    assert(!Bench.batchStreamAgree(450000L, 245700L)) // 1.83x
     // failed measurements never agree (caller keeps its retry budget)
     assert(!Bench.batchStreamAgree(-1L, 245700L))
     assert(!Bench.batchStreamAgree(334989L, -1L))
+  }
+
+  test("committed baseline is pinned to git HEAD, not the working tree") {
+    // The working-tree bench_out.json is the very file Bench.main
+    // overwrites at the end of each run — a second run in one session
+    // must still baseline against the COMMITTED calm artifact, or a
+    // contended run followed by a re-run self-reports outliers:[]
+    // (r10 verdict What's-wrong #1).
+    val repoFile = java.nio.file.Paths.get("bench_out.json").toAbsolutePath
+    val gitHasIt =
+      try {
+        new ProcessBuilder("git", "-C", repoFile.getParent.toString,
+          "cat-file", "-e", "HEAD:./bench_out.json").start().waitFor() == 0
+      } catch { case _: Throwable => false }
+    assume(gitHasIt, "not a git checkout with a committed bench_out.json")
+    val original = java.nio.file.Files.readAllBytes(repoFile)
+    try {
+      // simulate a contended prior run having overwritten the file
+      java.nio.file.Files.write(repoFile,
+        ("""{"queries":{"rel_q1_agg":99.9},""" +
+          """"envelope_events_per_sec":1}""").getBytes("UTF-8"))
+      val m = Bench.committedQueryTimes()
+      // the baseline is HEAD's calm value, not the contended 99.9 —
+      // so the contended sample still fires as an outlier
+      assert(m.get("rel_q1_agg").exists(_ < 10.0))
+      assert(Bench.isOutlier(99.9, m("rel_q1_agg")))
+      val figs = Bench.committedFigures()
+      assert(figs.get("envelope_events_per_sec").exists(_ > 1000.0))
+    } finally java.nio.file.Files.write(repoFile, original)
+  }
+
+  test("committedBytes falls back to the file outside a git checkout") {
+    val tmp = java.nio.file.Files.createTempFile("bench_nogit", ".json")
+    java.nio.file.Files.write(tmp,
+      """{"queries":{"q":1.5}}""".getBytes("UTF-8"))
+    assert(Bench.committedQueryTimes(tmp.toString) == Map("q" -> 1.5))
+    java.nio.file.Files.deleteIfExists(tmp)
   }
 }
