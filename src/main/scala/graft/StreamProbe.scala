@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.streaming.{StreamingNearDup, StreamingPack, StreamingSemDedup}
+import graft.streaming.{StreamingAsofState, StreamingDeltaAgg,
+  StreamingNearDup, StreamingPack, StreamingScd2, StreamingSemDedup}
 
 /** Throughput probes for the stateful streaming twins a 100-TB ingest
   * would gate on — the MinHash near-dup matcher, the embedding
@@ -17,7 +18,8 @@ import graft.streaming.{StreamingNearDup, StreamingPack, StreamingSemDedup}
   * once produced — see PLANS.md r9).
   *
   * `runMain graft.StreamProbe [op] [nEvents]` where op ∈
-  * `neardup | semdedup | pack | all` (default all). Batches are
+  * `neardup | semdedup | pack | heavyhitters | crossdedup | novelty |
+  * scd2 | asofstate | deltaagg | all` (default all). Batches are
   * pre-built outside the timed window; the first batch is warm-up;
   * best of 3 passes per provider is reported.
   *
@@ -180,10 +182,15 @@ object StreamProbe {
 
   /** Per-doc gram arrays over 64 shards (keeps each shard's bloom
     * filter under ~40% fill at n=100k so fresh docs stay verifiably
-    * novel); every 10th doc repeats the grams of the doc 9 before it
-    * (same shard by construction), so its verdict must come back
-    * ~0 new grams — the probe pipeline filters to LOW-novelty
-    * verdicts and requires at least the planted count.
+    * novel); every 10th doc repeats the grams of an ORIGINAL doc one
+    * batch EARLIER (same shard by construction), so the original's
+    * filter bits are committed state before the twin arrives —
+    * flatMapGroupsWithState guarantees nothing about within-group
+    * iterator order, so a same-batch plant would rest on an ordering
+    * accident and an order change would abort the whole run (ADVICE
+    * r10). The warm-up batch plants no duplicates; the probe pipeline
+    * filters to LOW-novelty verdicts and requires at least the
+    * planted count from the later batches.
     */
   private def noveltyBatches(n: Int,
       batches: Int): IndexedSeq[IndexedSeq[graft.streaming.StreamingNovelty.Doc]] = {
@@ -193,8 +200,55 @@ object StreamProbe {
     (0 until batches).map { b =>
       (0 until perBatch).map { j =>
         val i = b.toLong * perBatch + j
-        val src = if (i % 10 == 9) i - 9 else i
+        // i%10==9 → copy the i%10==0 original one batch back (src%10
+        // == 0, so the source doc carried its OWN grams)
+        val src = if (i % 10 == 9 && i >= perBatch) i - perBatch - 9 else i
         graft.streaming.StreamingNovelty.Doc(i, s"s${src % 64}", grams(src))
+      }
+    }
+  }
+
+  /** One event per key per batch over K = n/batches keys (eventId =
+    * the global position, the stream's total order), for the CDC
+    * materialization trio. Every 10th key's arrivals from batch 1 on
+    * REPLAY the key's batch-0 event verbatim — the resume-token
+    * redelivery path must move nothing at rate, not just in the spec
+    * — and every 4th key alternates delete/re-create so tombstone
+    * handling is in the measured path. Emissions are exact
+    * arithmetic per operator (see the call sites).
+    */
+  private def cdcChangeBatches[A](n: Int, batches: Int)(
+      mk: (Long, Long, String, Long) => A): IndexedSeq[IndexedSeq[A]] = {
+    val perBatch = math.max(1, n / batches)
+    (0 until batches).map { b =>
+      (0 until perBatch).map { j =>
+        val i = b.toLong * perBatch + j
+        if (j % 10 == 9 && b > 0)
+          mk(j.toLong, j.toLong, "u", j.toLong) // replay batch-0 event
+        else {
+          val opv = if (j % 4 == 3 && b % 2 == 1) "d" else "u"
+          mk(j.toLong, i, opv, i)
+        }
+      }
+    }
+  }
+
+  /** Purchases ("c", odd keys) interleaved with state changes ("u",
+    * even keys), one event per user per batch; every 10th user
+    * replays their batch-0 purchase from batch 1 on. Each FRESH
+    * purchase enriches exactly once; redeliveries enrich nothing.
+    */
+  private def asofBatches(n: Int,
+      batches: Int): IndexedSeq[IndexedSeq[StreamingAsofState.Ev]] = {
+    val perBatch = math.max(1, n / batches)
+    (0 until batches).map { b =>
+      (0 until perBatch).map { j =>
+        val i = b.toLong * perBatch + j
+        if (j % 10 == 9 && b > 0)
+          StreamingAsofState.Ev(j.toLong, j.toLong, "c", j.toLong)
+        else
+          StreamingAsofState.Ev(i, j.toLong,
+            if (j % 2 == 1) "c" else "u", i)
       }
     }
   }
@@ -308,7 +362,43 @@ object StreamProbe {
         // must resolve to ~0 new grams against their shard's filter
         ds => graft.streaming.StreamingNovelty.score(ds)
           .filter(_.novel_ppm < 500000L),
-        _ >= n.toLong / 10)
+        // batches 1..9 each plant perBatch/10 duplicates (warm-up
+        // batch plants none — its originals must be committed first)
+        _ >= (batches - 1).toLong * (math.max(1, n / batches) / 10))
+    // The CDC materialization trio (r10 verdict #3): per-key state
+    // held FOREVER (open version / latest user state / applied
+    // high-water + live value), so these — not the stateless paths —
+    // gate a 100-TB ingest. Workloads plant redeliveries (every 10th
+    // key replays its batch-0 event from batch 1 on), so the
+    // idempotence path runs at rate; expected emissions are EXACT
+    // arithmetic — a missing or doubled emission refuses the run.
+    val perBatch = math.max(1, n / batches)
+    if (op == "all" || op == "scd2")
+      probe[StreamingScd2.Change, StreamingScd2.Version]("scd2",
+        cdcChangeBatches(n, batches)(StreamingScd2.Change.apply),
+        ds => StreamingScd2(ds),
+        // each fresh arrival after a key's first closes one version;
+        // redelivery keys (K/10) emit nothing after batch 0
+        _ == (perBatch - perBatch / 10).toLong * (batches - 1))
+    if (op == "all" || op == "asofstate")
+      probe[StreamingAsofState.Ev, StreamingAsofState.Enriched]("asofstate",
+        asofBatches(n, batches),
+        ds => StreamingAsofState.enrich(ds),
+        // fresh purchases: odd non-redelivery users every batch +
+        // the redelivery users' single batch-0 purchase
+        _ == (perBatch / 2 - perBatch / 10).toLong * batches +
+          perBatch / 10)
+    if (op == "all" || op == "deltaagg")
+      probe[StreamingDeltaAgg.Change, StreamingDeltaAgg.Delta]("deltaagg",
+        cdcChangeBatches(n, batches)(StreamingDeltaAgg.Change.apply),
+        // stage 1 (the forever-state operator) is what the probe
+        // times; stage 2 is Spark's own streaming agg over <= 1
+        // delta row per key per batch. Every fresh event changes the
+        // key's value (unique cents / alternating tombstones), so
+        // deltas == fresh events exactly.
+        ds => StreamingDeltaAgg.deltas(ds),
+        _ == perBatch.toLong * batches -
+          (perBatch / 10).toLong * (batches - 1))
     val json = results.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
     println(json)
