@@ -13,18 +13,34 @@ import graft.queries.StagedIndex
   * measured: the delta pass should cost ~a tenth of the full pass,
   * not another full derivation.
   *
-  * `runMain graft.AppendProbe [baseDir]` prints:
-  * `[append] full=<sec> rows=<n> / delta=<sec> rows=<n>`.
+  * `runMain graft.AppendProbe [baseDir] [baseRep]` prints:
+  * `[append] rep=<f> full=<sec> rows=<n> / delta=<sec> rows=<n>`.
+  *
+  * `baseRep` (default 1) grows the BASE corpus ×f before staging —
+  * per-replica rehashed words and offset ids (the ScaleProbe
+  * discipline: replica content is distinct, so replicas never pair
+  * with each other) — while the APPEND stays the same absolute slice
+  * of the ×1 base. Delta time roughly flat in f ⇒ the delta pass is
+  * decoupled from corpus size (the r10 verdict's question about the
+  * pair spine's narrow signature-chain scan).
   */
 object AppendProbe {
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val baseRep = args.drop(1).headOption.map(_.toInt).getOrElse(1)
     val spark = GraftSession.local()
     GraftSession.applyEnvConf(spark)
     val work = java.nio.file.Files.createTempDirectory("graft_append")
       .toString
     val input = s"$work/documents.parquet"
-    spark.read.parquet(s"$base/documents.parquet")
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    def docRep(i: Int): DataFrame =
+      if (i == 0) docs
+      else docs.select(
+        (col("doc_id") + lit(i.toLong * 1000000L)).alias("doc_id"),
+        regexp_replace(col("text"), "(^| )", s"$$1r${i}q").alias("text"),
+        col("lang"), col("source"), col("n_chars"))
+    (0 until baseRep).map(docRep).reduce(_ unionByName _)
       .write.parquet(input)
     spark.conf.set("graft.stage.dir", s"$work/stage")
 
@@ -53,18 +69,20 @@ object AppendProbe {
 
     val (fullSec, n0) = pass()
     val (pairFullSec, p0) = pairPass()
-    // append ~10%: every 10th doc re-id'd above the existing range,
-    // written as NEW part files
+    // append a FIXED slice — every 10th doc of the ×1 BASE (replica
+    // ids sit ≥ 1e6), re-id'd above every replica range, written as
+    // NEW part files — so the delta's size is constant across
+    // baseRep and the delta-vs-corpus-size question is isolated
     spark.read.parquet(input)
-      .filter(col("doc_id") % 10 === 0)
+      .filter(col("doc_id") < 1000000L && col("doc_id") % 10 === 0)
       .withColumn("doc_id", col("doc_id") + lit(1000000000L))
       .write.mode("append").parquet(input)
     StagedIndex.refreshTokens()
     val (deltaSec, n1) = pass()
     val (pairDeltaSec, p1) = pairPass()
-    println(f"[append] full=$fullSec%.2f s rows=$n0 / " +
+    println(f"[append] rep=$baseRep full=$fullSec%.2f s rows=$n0 / " +
       f"delta=$deltaSec%.2f s rows=$n1")
-    println(f"[append] pairs full=$pairFullSec%.2f s rows=$p0 / " +
+    println(f"[append] rep=$baseRep pairs full=$pairFullSec%.2f s rows=$p0 / " +
       f"delta=$pairDeltaSec%.2f s rows=$p1")
     spark.stop()
   }
