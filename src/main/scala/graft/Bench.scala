@@ -217,30 +217,64 @@ object BenchExpect {
   */
 object Bench {
 
-  /** Bytes of the committed calm baseline artifact. Reads
-    * `git show HEAD:<file>` FIRST: the working-tree file is the very
-    * file [[main]] overwrites at the end of each run, so a second
-    * bench run in one session would otherwise baseline against the
-    * previous run's possibly-contended numbers — a contended run
-    * followed by a re-run would self-report `outliers:[]` and the
-    * corruption becomes invisible. The working-tree file is only a
-    * fallback for non-git checkouts (where it is, by construction,
-    * the last committed state).
+  /** Bytes of the committed calm baseline artifact. Reads from GIT
+    * first — never this run's own working-tree output: the
+    * working-tree file is the very file [[main]] overwrites at the
+    * end of each run, so a second bench run in one session would
+    * otherwise baseline against the previous run's possibly-contended
+    * numbers — a contended run followed by a re-run would self-report
+    * `outliers:[]` and the corruption becomes invisible.
+    *
+    * Within git, the reader walks the file's history NEWEST-FIRST to
+    * the most recent artifact that self-describes as CALM (empty
+    * `outliers`/`capped`/`slow_figures`; fields absent count as
+    * empty). Pinning to bare HEAD is not enough: the round driver
+    * commits its own bench output, and its r10 commit put a contended
+    * artifact (total 176.5 s, 9 self-flagged outliers) at HEAD — a
+    * baseline taken from it would be 2-5× too high and mask real
+    * contention. A contended artifact always names itself, so the
+    * walk is well-founded. Falls back to the newest committed version
+    * when no calm one exists in the last [[CalmWalkDepth]], then to
+    * the working-tree file for non-git checkouts.
     */
+  private[graft] val CalmWalkDepth = 10
+
   private[graft] def committedBytes(path: String): Option[Array[Byte]] = {
     val p = java.nio.file.Paths.get(path).toAbsolutePath
-    val fromGit =
+    val dir = p.getParent.toString
+    val name = p.getFileName.toString
+    def run(cmd: String*): Option[Array[Byte]] =
       try {
-        // `-C parent` + `HEAD:./name` resolves the pathspec relative
-        // to the file's own directory, wherever the repo root is.
-        val pb = new ProcessBuilder(
-          "git", "-C", p.getParent.toString, "show",
-          "HEAD:./" + p.getFileName.toString)
+        val pb = new ProcessBuilder(cmd: _*)
         pb.redirectError(ProcessBuilder.Redirect.DISCARD)
         val proc = pb.start()
         val out = proc.getInputStream.readAllBytes()
         if (proc.waitFor() == 0 && out.nonEmpty) Some(out) else None
       } catch { case _: Throwable => None }
+    def isCalmArtifact(bytes: Array[Byte]): Boolean =
+      try {
+        val root =
+          new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+        def emptyArr(f: String): Boolean = {
+          val n = root.get(f)
+          n == null || (n.isArray && n.isEmpty)
+        }
+        root.isObject && emptyArr("outliers") && emptyArr("capped") &&
+          emptyArr("slow_figures")
+      } catch { case _: Throwable => false }
+    // the file's own history, newest-first (`-C parent` + `./name`
+    // resolve relative to the file's directory wherever the repo
+    // root is)
+    val shas: Seq[String] = run("git", "-C", dir, "log",
+        "--format=%H", "-n", CalmWalkDepth.toString, "--", name)
+      .map(b => new String(b, "UTF-8").linesIterator.toSeq)
+      .getOrElse(Seq.empty)
+    val versions = shas.iterator
+      .flatMap(sha => run("git", "-C", dir, "show", s"$sha:./$name"))
+    val fromGit = {
+      val all = versions.toSeq
+      all.find(isCalmArtifact).orElse(all.headOption)
+    }
     fromGit.orElse {
       try {
         if (java.nio.file.Files.exists(p))

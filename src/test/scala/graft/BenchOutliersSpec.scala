@@ -86,7 +86,7 @@ class BenchOutliersSpec extends AnyFunSuite {
     assert(!Bench.batchStreamAgree(334989L, -1L))
   }
 
-  test("committed baseline is pinned to git HEAD, not the working tree") {
+  test("committed baseline is pinned to git, not the working tree") {
     // The working-tree bench_out.json is the very file Bench.main
     // overwrites at the end of each run — a second run in one session
     // must still baseline against the COMMITTED calm artifact, or a
@@ -113,6 +113,32 @@ class BenchOutliersSpec extends AnyFunSuite {
       val figs = Bench.committedFigures()
       assert(figs.get("envelope_events_per_sec").exists(_ > 1000.0))
     } finally java.nio.file.Files.write(repoFile, original)
+  }
+
+  test("committed baseline walks past a contended committed artifact") {
+    // The round driver commits its own bench output, and that run can
+    // be contended — r10's round commit put a 176.5 s artifact with 9
+    // self-flagged outliers at HEAD. The baseline must come from the
+    // most recent SELF-DESCRIBED-CALM committed version, not bare
+    // HEAD, or every outlier threshold silently inflates 2-5×.
+    val repoFile = java.nio.file.Paths.get("bench_out.json").toAbsolutePath
+    val gitHasIt =
+      try {
+        new ProcessBuilder("git", "-C", repoFile.getParent.toString,
+          "cat-file", "-e", "HEAD:./bench_out.json").start().waitFor() == 0
+      } catch { case _: Throwable => false }
+    assume(gitHasIt, "not a git checkout with a committed bench_out.json")
+    val bytes = Bench.committedBytes("bench_out.json")
+    assert(bytes.isDefined)
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(bytes.get)
+    def calmField(f: String): Boolean = {
+      val n = root.get(f)
+      n == null || (n.isArray && n.isEmpty)
+    }
+    assert(calmField("outliers"), "selected baseline has outliers")
+    assert(calmField("capped"), "selected baseline has capped queries")
+    assert(calmField("slow_figures"), "selected baseline has slow figures")
   }
 
   test("committedBytes falls back to the file outside a git checkout") {
