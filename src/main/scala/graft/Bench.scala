@@ -120,6 +120,7 @@ object BenchExpect {
     "tx_bpe_tokens" -> 0.4,
     "tx_cms_topk" -> 1.0,
     "tx_filter_verdict" -> 1.0,
+    "tx_quality_clf" -> 1.5, // gate labels + two corpus-agg passes
     "tx_fingerprint" -> 0.3,
     "tx_langid" -> 0.3,
     "tx_langid_ngram" -> 1.5,
