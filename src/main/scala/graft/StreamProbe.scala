@@ -253,6 +253,91 @@ object StreamProbe {
     }
   }
 
+  /** Funnel journeys: every user signs up (batch 0), clicks
+    * (batch 1), purchases (batch 2) — one stage-advance emission
+    * each — then batches 3..9 REPLAY the user's purchase event
+    * verbatim (post-conversion traffic the operator must no-op
+    * cheaply, and the t-based advance() makes the replay a strict
+    * no-emission; most real traffic does not advance a funnel).
+    */
+  private def funnelBatches(n: Int, batches: Int)
+      : IndexedSeq[IndexedSeq[graft.streaming.StreamingFunnel.Ev]] = {
+    val perBatch = math.max(1, n / batches)
+    (0 until batches).map { b =>
+      (0 until perBatch).map { j =>
+        val t0 = j.toLong * 1000L
+        b match {
+          case 0 => graft.streaming.StreamingFunnel.Ev(j.toLong, "signup", t0)
+          case 1 => graft.streaming.StreamingFunnel.Ev(j.toLong, "click", t0 + 1000L)
+          case _ => graft.streaming.StreamingFunnel.Ev(j.toLong, "purchase", t0 + 2000L)
+        }
+      }
+    }
+  }
+
+  /** Retention journeys: signup on the user's cohort day (batch 0,
+    * one credit at offset 0), then one activity event per day —
+    * batch b lands exactly on offset b, crediting once while
+    * b ≤ maxOffset (7) and falling off the tracked window after,
+    * so batches 8-9 exercise the no-credit path at rate.
+    */
+  private def retentionBatches(n: Int, batches: Int)
+      : IndexedSeq[IndexedSeq[graft.streaming.StreamingRetention.Ev]] = {
+    val day = graft.streaming.StreamingRetention.DayUs
+    val perBatch = math.max(1, n / batches)
+    (0 until batches).map { b =>
+      (0 until perBatch).map { j =>
+        val t0 = (j % 5).toLong * day
+        if (b == 0)
+          graft.streaming.StreamingRetention.Ev(j.toLong, "signup", t0)
+        else
+          graft.streaming.StreamingRetention.Ev(j.toLong, "act",
+            t0 + b.toLong * day)
+      }
+    }
+  }
+
+  /** Metric observations over 1,000 keys (10 per key per batch):
+    * baseline alternates 0/2 by in-batch slot (per-key variance 1
+    * from the first batch — a constant baseline would zero the
+    * variance and mute the detector); from batch 6 on, each key's
+    * last slot is a planted 1000 (minN=50 is reached at batch 5's
+    * end, and the z stays > 3 even as earlier outliers inflate the
+    * folded moments: 999 → 8.3 → 6.2 → 5.4).
+    */
+  private def anomalyBatches(n: Int, batches: Int)
+      : IndexedSeq[IndexedSeq[graft.streaming.StreamingAnomaly.Obs]] = {
+    val perBatch = math.max(1, n / batches)
+    val keys = 1000
+    (0 until batches).map { b =>
+      (0 until perBatch).map { j =>
+        val i = b.toLong * perBatch + j
+        val slot = j / keys
+        val v =
+          if (b >= 6 && slot == (perBatch / keys) - 1) 1000L
+          else (slot % 2).toLong * 2L
+        graft.streaming.StreamingAnomaly.Obs(i, s"k${j % keys}", v)
+      }
+    }
+  }
+
+  /** Growth hits: 90% of each post-warm-up batch is NEW users (state
+    * grows by ~0.9·perBatch booleans per batch — the natural
+    * exact-distinct shape), 10% repeats batch-0 users (the
+    * no-emission path). Every first touch emits exactly once.
+    */
+  private def growthBatches(n: Int, batches: Int)
+      : IndexedSeq[IndexedSeq[graft.streaming.StreamingGrowth.Hit]] = {
+    val perBatch = math.max(1, n / batches)
+    (0 until batches).map { b =>
+      (0 until perBatch).map { j =>
+        val i = b.toLong * perBatch + j
+        val user = if (j % 10 == 9 && b > 0) j.toLong else i
+        graft.streaming.StreamingGrowth.Hit(user, i / 1000L)
+      }
+    }
+  }
+
   private def packBatches(n: Int,
       batches: Int): IndexedSeq[IndexedSeq[StreamingPack.Doc]] = {
     val langs = Array("en", "de", "fr", "es", "pt", "it", "nl", "pl")
@@ -373,6 +458,39 @@ object StreamProbe {
     // idempotence path runs at rate; expected emissions are EXACT
     // arithmetic — a missing or doubled emission refuses the run.
     val perBatch = math.max(1, n / batches)
+    if (op == "all" || op == "funnel")
+      probe[graft.streaming.StreamingFunnel.Ev,
+          graft.streaming.StreamingFunnel.FunnelRow]("funnel",
+        funnelBatches(n, batches),
+        ds => graft.streaming.StreamingFunnel.track(ds,
+          windowUs = 3600000000L, idleTtl = None),
+        // one stage-advance emission per user per stage; the 7
+        // replay batches emit nothing
+        _ == 3L * perBatch)
+    if (op == "all" || op == "retention")
+      probe[graft.streaming.StreamingRetention.Ev,
+          graft.streaming.StreamingRetention.Credit]("retention",
+        retentionBatches(n, batches),
+        ds => graft.streaming.StreamingRetention.track(ds,
+          maxOffset = 7L, idleTtl = None),
+        // offsets 0..7 credit exactly once per user; 8-9 never do
+        _ == 8L * perBatch)
+    if (op == "all" || op == "anomaly")
+      probe[graft.streaming.StreamingAnomaly.Obs,
+          graft.streaming.StreamingAnomaly.Anomaly]("anomaly",
+        anomalyBatches(n, batches),
+        ds => graft.streaming.StreamingAnomaly.detect(ds, idleTtl = None),
+        // 1,000 keys × one planted outlier per batch in batches 6-9;
+        // baseline z stays ≤ 1, so flags == plants exactly
+        _ == 4L * 1000L)
+    if (op == "all" || op == "growth")
+      probe[graft.streaming.StreamingGrowth.Hit,
+          graft.streaming.StreamingGrowth.NewUser]("growth",
+        growthBatches(n, batches),
+        ds => graft.streaming.StreamingGrowth.firstTouch(ds),
+        // every first touch emits once; batch-0 repeats never do
+        _ == perBatch.toLong +
+          (batches - 1).toLong * (perBatch - perBatch / 10))
     if (op == "all" || op == "scd2")
       probe[StreamingScd2.Change, StreamingScd2.Version]("scd2",
         cdcChangeBatches(n, batches)(StreamingScd2.Change.apply),
