@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.streaming.{StreamingAsofState, StreamingDeltaAgg,
@@ -517,6 +518,48 @@ object StreamProbe {
         ds => StreamingDeltaAgg.deltas(ds),
         _ == perBatch.toLong * batches -
           (perBatch / 10).toLong * (batches - 1))
+    if (op == "all" || op == "qualityclf") {
+      // Quality classification at ingest: STATELESS on the stream
+      // side (a broadcast-model projection), so no state-store
+      // comparison applies — one figure, default provider. The model
+      // is learned OUTSIDE the timed window from a 100-doc labeled
+      // corpus whose keep/drop vocabularies are disjoint, which
+      // makes the classifier's separation exact by construction:
+      // every keep-class bigram bucket is keep-leaning (nd=0) and
+      // every drop-class bucket drop-leaning, so streamed docs that
+      // reuse the training variants MUST predict their class — the
+      // probe filters to pred_keep and requires exactly the planted
+      // keep-class half.
+      import graft.streaming.StreamingQualityClf
+      def kw(v: Int, w: Int) = s"ka${math.floorMod(mix(v * 100L + w), 1000003L)}"
+      def dw(v: Int, w: Int) = s"dr${math.floorMod(mix(v * 100L + w), 1000003L)}"
+      // keep variant: 60 tokens (one stopword so the gate's
+      // stop-ratio rule passes); drop variant: 35 tokens (fails the
+      // gate's length rule)
+      def keepText(v: Int) =
+        ("the" +: (0 until 59).map(w => kw(v, w))).mkString(" ")
+      def dropText(v: Int) = (0 until 35).map(w => dw(v, w)).mkString(" ")
+      val train = (0 until 50).flatMap { v =>
+        Seq(StreamingNearDup.Doc(v.toLong, keepText(v)),
+          StreamingNearDup.Doc(100L + v, dropText(v)))
+      }
+      val model = StreamingQualityClf.learn(
+        spark.createDataset(train).toDF())
+      val data = (0 until batches).map { b =>
+        (0 until perBatch).map { j =>
+          val i = b.toLong * perBatch + j
+          val v = (i % 50L).toInt
+          StreamingNearDup.Doc(i,
+            if (i % 2 == 0) keepText(v) else dropText(v))
+        }
+      }
+      results("qualityclf_events_per_sec") =
+        bestOf3[StreamingNearDup.Doc, org.apache.spark.sql.Row](
+          spark, "qualityclf", None, data,
+          ds => StreamingQualityClf.score(ds.toDF(), model)
+            .filter(col("pred_keep")),
+          _ == perBatch.toLong * batches / 2)
+    }
     val json = results.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
     println(json)

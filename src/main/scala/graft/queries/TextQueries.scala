@@ -186,12 +186,16 @@ object TextQueries {
     * frame or a change stream (StreamingDsir pins the parity).
     */
   private[graft] def dsirScoreExpr(text: Column,
-      model: Map[Long, Long], defaultPpm: Long): Column = {
-    val m = typedLit(model)
-    aggregate(split(text, " "), lit(0L),
-      (acc, wd) => acc + coalesce(
-        element_at(m, pmod(DedupQueries.h60(wd), lit(DsirB.toLong))),
-        lit(defaultPpm)))
+      ppmDense: Seq[Long]): Column = {
+    // native H60BucketSum loop, not aggregate(...) over a literal:
+    // the HOF lambda evaluates interpreted PER TOKEN (md5 + conv +
+    // boxing each time), and a literal-map element_at additionally
+    // linear-scans its 4096 entries per lookup — the qualityClf
+    // probe measured that defect class at 2.6-3.2k docs/s, ~20x
+    // below the native rate (H60BucketSum Scaladoc has the numbers)
+    require(ppmDense.length == DsirB,
+      s"dense importance array must have exactly $DsirB slots")
+    graft.functions.H60BucketSum(text, ppmDense, 1)
   }
 
   /** Staged per snapshot: the per-token hash pass behind the score
@@ -630,22 +634,29 @@ object TextQueries {
   }
 
   /** Per-row scorer serving the learned [[qualityClfParts]] ratio
-    * weights as a map literal — `StreamingQualityClf`'s inference
-    * path (the StreamingDsir broadcast-model shape). Returns the same
-    * integer vote_ppm the batch query computes, spec-pinned: the
-    * fraction (ppm) of bigram OCCURRENCES that fall in keep-leaning
-    * buckets (ratio ≥ 1e6); unseen buckets use `defaultPpm`, the
-    * model's own nk=nd=0 ratio; featureless docs score
-    * [[QcKeepPpm]], matching the batch left-join coalesce.
+    * weights as a DENSE per-bucket table through the native
+    * [[graft.functions.H60BucketSum]] loop — `StreamingQualityClf`'s
+    * inference path (the StreamingDsir broadcast-model shape). The
+    * table is pre-thresholded to 0/1 votes, so the expression's sum
+    * IS the keep-leaning occurrence count. Design iterated against
+    * StreamProbe: a literal-MAP lookup measured 2.6k docs/s (linear
+    * scan per element), a dense ARRAY literal 3.2k (O(1) fetch but
+    * the HOF lambda still interprets md5 per element); the native
+    * loop is one call per row (see H60BucketSum's Scaladoc for the
+    * numbers). Returns the same integer vote_ppm the batch query
+    * computes, spec-pinned: the fraction (ppm) of bigram OCCURRENCES
+    * in keep-leaning buckets (ratio ≥ 1e6); unseen buckets carry the
+    * model's own nk=nd=0 default ratio in their array slots;
+    * featureless docs score [[QcKeepPpm]], matching the batch
+    * left-join coalesce.
     */
   private[graft] def qualityClfScoreExpr(text: Column,
-      rPpm: Map[Long, Long], defaultPpm: Long): Column = {
-    val m = typedLit(rPpm)
-    val bgs = wordBigrams(text)
-    val votes = aggregate(bgs, lit(0L), (acc, g) => acc +
-      when(coalesce(element_at(m, pmod(DedupQueries.h60(g), lit(QcB))),
-        lit(defaultPpm)) >= 1000000L, 1L).otherwise(0L))
-    val nf = size(bgs).cast(LongType)
+      rPpmDense: Seq[Long]): Column = {
+    require(rPpmDense.length == QcB.toInt,
+      s"dense weight array must have exactly $QcB slots")
+    val votes01 = rPpmDense.map(r => if (r >= 1000000L) 1L else 0L)
+    val votes = graft.functions.H60BucketSum(text, votes01, 2)
+    val nf = greatest(size(split(text, " ")) - 1, lit(0)).cast(LongType)
     val scaled = votes * lit(1000000L)
     // exact integer division: subtract the remainder first, so the
     // double division is of an exact multiple (values < 2^53)

@@ -54,11 +54,17 @@ object StreamingDsir {
 
   /** Score a (batch or streaming) frame with a `text` column: adds
     * `score_ppm`. Pure projection — composes anywhere in the ingest
-    * chain.
+    * chain. The map model densifies to a B-slot array literal here
+    * (unseen buckets get defaultPpm), because a literal-MAP lookup
+    * linear-scans all B entries per token (see dsirScoreExpr).
     */
   def score(docs: DataFrame, model: Model): DataFrame =
     docs.withColumn("score_ppm",
-      TextQueries.dsirScoreExpr(col("text"), model.ppm, model.defaultPpm))
+      TextQueries.dsirScoreExpr(col("text"), dense(model)))
+
+  private def dense(model: Model): Seq[Long] =
+    Seq.tabulate(TextQueries.DsirB)(i =>
+      model.ppm.getOrElse(i.toLong, model.defaultPpm))
 
   /** Score + admission verdict against a minimum importance. */
   def admit(docs: DataFrame, model: Model, minPpm: Long): DataFrame =

@@ -48,12 +48,20 @@ object StreamingQualityClf {
   /** Score a (batch or streaming) frame with a `text` column: adds
     * `vote_ppm` (the fraction of bigram occurrences in keep-leaning
     * buckets) and the `pred_keep` majority verdict. Pure projection —
-    * composes anywhere in the ingest chain.
+    * composes anywhere in the ingest chain. The map model densifies
+    * to a QcB-slot array literal here (unseen buckets get
+    * defaultPpm): a literal-MAP lookup linear-scans all entries per
+    * bigram — measured 2.6k docs/s before the switch, ~25× below
+    * the hash-bound rate (see qualityClfScoreExpr).
     */
   def score(docs: DataFrame, model: Model): DataFrame =
     docs
       .withColumn("vote_ppm", TextQueries.qualityClfScoreExpr(
-        col("text"), model.rPpm, model.defaultPpm))
+        col("text"), dense(model)))
       .withColumn("pred_keep",
         col("vote_ppm") >= TextQueries.QcKeepPpm)
+
+  private def dense(model: Model): Seq[Long] =
+    Seq.tabulate(TextQueries.QcB.toInt)(i =>
+      model.rPpm.getOrElse(i.toLong, model.defaultPpm))
 }
