@@ -120,7 +120,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "dd_band_sweep",
       // same union-of-1-row-scalar-aggregates shape, one leg per
       // plane count, plus the 1-row ground-truth total
-      "sim_planes_sweep")
+      "sim_planes_sweep",
+      // 1-row (TNK, TND) class-totals scalar over the ≤1024-bucket
+      // counts agg — the weight formula's ratio denominator
+      "tx_quality_clf")
 
   // Queries that intentionally broadcast a tiny build side against a
   // non-equi / cross predicate (band dim, probe rows, hyperplanes,
@@ -160,6 +163,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "rel_idle_customers", // 1-row balance-stats scalar vs customers
     "rel_resample", // generated day skeleton × 5-row type dim cross
     "tx_dsir", // 1-row (R, T) totals scalar vs the 4096-row histogram
+    "tx_quality_clf", // 1-row class-totals scalar vs the bucket counts
     "pipe_dsir", // inherits tx_dsir's 1-row totals scalar
     "graph_modularity", // 1-row arc-count scalar vs the label agg
     "pipe_epoch_plan", // 1-row budget-totals scalar vs the source agg
