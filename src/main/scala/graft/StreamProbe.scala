@@ -518,6 +518,98 @@ object StreamProbe {
         ds => StreamingDeltaAgg.deltas(ds),
         _ == perBatch.toLong * batches -
           (perBatch / 10).toLong * (batches - 1))
+    if (op == "all" || op == "sourcecap")
+      probe[graft.streaming.StreamingSourceCap.Doc,
+          graft.streaming.StreamingSourceCap.Verdict]("sourcecap",
+        (0 until batches).map { b =>
+          (0 until perBatch).map { j =>
+            val i = b.toLong * perBatch + j
+            // every 10th row-block replays its batch-0 twin
+            // (high-water no-op) — keyed on j/50 so the replay slots
+            // are spread across ALL 50 sources rather than pinning
+            // the s%10==9 sources to replay-only traffic
+            if ((j / 50) % 10 == 9 && b > 0)
+              graft.streaming.StreamingSourceCap.Doc(j.toLong, s"s${j % 50}")
+            else
+              graft.streaming.StreamingSourceCap.Doc(i, s"s${(i % 50).toInt}")
+          }
+        },
+        ds => graft.streaming.StreamingSourceCap.admit(ds, cap = 500)
+          .filter(_.admitted),
+        // 50 sources × exactly the first 500 fresh arrivals each
+        // (1,820 fresh per source, so every budget fills)
+        _ == 50L * 500L)
+    if (op == "all" || op == "gapdetect")
+      probe[graft.streaming.StreamingGapDetect.Ev,
+          graft.streaming.StreamingGapDetect.Gap]("gapdetect",
+        (0 until batches).map { b =>
+          (0 until perBatch).map { j =>
+            // 50 topics; topic-local index m advances per batch; the
+            // id skips one value at every 10th m → exactly one
+            // width-1 gap per skip
+            val topic = j % 50
+            val m = b.toLong * (perBatch / 50) + j / 50
+            graft.streaming.StreamingGapDetect.Ev(m + m / 10, s"t$topic")
+          }
+        },
+        ds => graft.streaming.StreamingGapDetect.detect(ds),
+        // per topic: m ∈ {10, 20, …, 1990} each skip one id → 199
+        _ == 50L * ((perBatch.toLong * batches / 50 - 1) / 10))
+    if (op == "all" || op == "sample") {
+      // bottom-K changelog sampler: 8 language shards, K=64 keys per
+      // shard. The change count is input-dependent, so the expected
+      // emissions are derived by SIMULATING the bottom-K contract
+      // driver-side over the exact generated sequence (adds + evicts)
+      // — the probe refuses the rate unless the operator's changelog
+      // length matches the simulation exactly.
+      val langs = Array("en", "de", "fr", "es", "pt", "it", "nl", "pl")
+      val k = 64
+      val data = (0 until batches).map { b =>
+        (0 until perBatch).map { j =>
+          val i = b.toLong * perBatch + j
+          graft.streaming.StreamingSample.Doc(i,
+            langs((i % langs.length).toInt), mix(i))
+        }
+      }
+      var expected = 0L
+      val sim = scala.collection.mutable.Map.empty[String,
+        scala.collection.mutable.TreeSet[(Long, Long)]]
+      for (batch <- data; d <- batch.sortBy(_.doc_id)) {
+        val s = sim.getOrElseUpdate(d.lang,
+          scala.collection.mutable.TreeSet.empty[(Long, Long)])
+        if (s.size < k) { s += ((d.h, d.doc_id)); expected += 1 }
+        else {
+          val worst = s.last
+          if (d.h < worst._1 || (d.h == worst._1 && d.doc_id < worst._2)) {
+            s -= worst; s += ((d.h, d.doc_id)); expected += 2 // evict+add
+          }
+        }
+      }
+      probe[graft.streaming.StreamingSample.Doc,
+          graft.streaming.StreamingSample.Change]("sample",
+        data,
+        ds => graft.streaming.StreamingSample.sample(ds, k),
+        _ == expected)
+    }
+    if (op == "all" || op == "sessions")
+      // the one twin on Spark's BUILT-IN session_window aggregation
+      // (engine state, not flatMapGroupsWithState) — the contrast row
+      // for the table. One event per user per batch, 1 h apart with a
+      // 30 min gap → every batch epoch closes the previous one's
+      // 10k single-event sessions once the watermark passes; the
+      // engine's watermark lags the final 1-2 epochs, so the check is
+      // a floor, not an equality (still refuses a no-emission run).
+      probe[graft.streaming.StreamingSessions.Ev,
+          org.apache.spark.sql.Row]("sessions",
+        (0 until batches).map { b =>
+          (0 until perBatch).map { j =>
+            graft.streaming.StreamingSessions.Ev(j.toLong,
+              b.toLong * perBatch + j, b.toLong * 3600000L + j % 1000)
+          }
+        },
+        ds => graft.streaming.StreamingSessions.track(ds,
+          gapMs = 1800000L),
+        _ >= 7L * perBatch)
     if (op == "all" || op == "qualityclf") {
       // Quality classification at ingest: STATELESS on the stream
       // side (a broadcast-model projection), so no state-store
