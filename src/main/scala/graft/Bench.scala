@@ -119,8 +119,8 @@ object BenchExpect {
     "sim_recall_at_k" -> 0.6, // staged truth + ivf list (r10)
     "tx_bpe_tokens" -> 0.4,
     "tx_cms_topk" -> 1.0,
-    "tx_filter_verdict" -> 1.0,
-    "tx_quality_clf" -> 1.5, // gate labels + two corpus-agg passes
+    "tx_filter_verdict" -> 0.5, // staged gate-verdict scan (r11)
+    "tx_quality_clf" -> 1.1, // staged labels + staged feature table
     "tx_fingerprint" -> 0.3,
     "tx_langid" -> 0.3,
     "tx_langid_ngram" -> 1.5,
@@ -484,6 +484,8 @@ object Bench {
     preStage("sim_nprobe_sweep")
     preStage("sim_planes_sweep")
     preStage("tx_boilerplate") // line index
+    preStage("tx_filter_verdict") // staged gate-verdict table (r11)
+    preStage("tx_quality_clf") // staged hashed-feature table (r11)
     preStage("mm_phash")
     preStage("tx_langid_ngram")
     preStage("tx_lm_score")

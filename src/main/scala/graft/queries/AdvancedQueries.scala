@@ -69,7 +69,7 @@ object AdvancedQueries {
     StagedIndex.orStage(s,
       s"pipe_curate_verdict_c${SimilarityQueries.kmeansCells(s, d)}_v1", d,
       Seq(s"$d/documents.parquet", s"$d/embeddings.parquet")) {
-      val quality = TextQueries.filterVerdictOf(Tables.documents(s, d))
+      val quality = TextQueries.filterVerdicts(s, d)
         .select(col("doc_id"), col("keep").alias("keep_quality"))
       // the two expensive component verdicts are themselves staged
       // once per input snapshot — their derivation costs remain
@@ -376,7 +376,7 @@ object AdvancedQueries {
     // stage name embeds the decoder knob, like the pHash table it
     // derives from); the join is one id-keyed equi-join.
     "pipe_mm_curate" -> ((s, d) => {
-      val quality = TextQueries.filterVerdictOf(Tables.documents(s, d))
+      val quality = TextQueries.filterVerdicts(s, d)
         .select(col("doc_id").alias("media_id"),
           col("keep").alias("keep_quality"))
       val dec = s.conf.get("graft.media.decoder", "stub")

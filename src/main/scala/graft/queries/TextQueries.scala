@@ -551,6 +551,20 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** The staged per-doc gate-verdict table — [[filterVerdictOf]]'s
+    * output materialized once per snapshot (r11). Four consumers
+    * re-derived it per query (tx_filter_verdict, tx_quality_clf's
+    * labels, pipe_curate's and pipe_mm_curate's stage builds), and
+    * the expensive half is the corpus-wide (doc, word) count agg.
+    * Every rule is per-document, so the artifact is PER-ROW and
+    * appendable: an ingest derives verdicts for the new part files
+    * only — O(delta), the shingle-index contract. Rows are unordered
+    * (parquet read-back); consumers re-apply their ORDER BY.
+    */
+  private[queries] def filterVerdicts(s: SparkSession, d: String): DataFrame =
+    StagedIndex.orStageAppendable(s, "tx_gate_verdict_v1", d,
+      s"$d/documents.parquet")(filterVerdictOf)
+
   /** Hashed-feature bucket count for the learned quality classifier
     * (the DCLM/fastText curation pass — Li et al. 2024 "DataComp-LM",
     * Joulin et al. 2016 fastText — trains exactly this shape: hashed
@@ -612,14 +626,38 @@ object TextQueries {
     * far before that binds, production trains on a sampled labeled
     * slice — the DCLM move — with the shape unchanged.
     */
-  private[graft] def qualityClfParts(docs: DataFrame)
+  /** The classifier's hashed-feature derivation: per-(doc, bucket)
+    * bigram tf, map-side combined. The sf-query path stages it via
+    * [[qcFeatures]]; ad-hoc corpora derive it inline.
+    */
+  private def qcFeaturesOf(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), explode(wordBigrams(col("text"))).alias("g"))
+    .select(col("doc_id"),
+      pmod(DedupQueries.h60(col("g")), lit(QcB)).alias("bucket"))
+    .groupBy("doc_id", "bucket").agg(count(lit(1)).alias("tf"))
+
+  /** Staged hashed-feature table (doc_id, bucket, tf) — the standard
+    * production artifact behind any hashed-feature model (r11). The
+    * query consumed it twice per run (weight training + scoring);
+    * staged it is O(docs × ≤min(59, QcB)) rows of three longs, tiny
+    * next to the corpus. Per-doc rows → appendable (O(delta)
+    * ingest); the stage name embeds the bucket knob.
+    */
+  private def qcFeatures(s: SparkSession, d: String): DataFrame =
+    StagedIndex.orStageAppendable(s, s"tx_qc_feat_b${QcB}_v1", d,
+      s"$d/documents.parquet")(qcFeaturesOf)
+
+  private[graft] def qualityClfParts(docs: DataFrame,
+      labelsOpt: Option[DataFrame] = None,
+      featOpt: Option[DataFrame] = None)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val labels = filterVerdictOf(docs).select(col("doc_id"), col("keep"))
-    val feat = docs
-      .select(col("doc_id"), explode(wordBigrams(col("text"))).alias("g"))
-      .select(col("doc_id"),
-        pmod(DedupQueries.h60(col("g")), lit(QcB)).alias("bucket"))
-      .groupBy("doc_id", "bucket").agg(count(lit(1)).alias("tf"))
+    // the Opt params let the sf-query path supply the STAGED verdict
+    // and feature tables; callers with ad-hoc corpora
+    // (StreamingQualityClf.learn, the probes' synthetic frames)
+    // derive both from `docs`
+    val labels = labelsOpt.getOrElse(
+      filterVerdictOf(docs).select(col("doc_id"), col("keep")))
+    val feat = featOpt.getOrElse(qcFeaturesOf(docs))
     val counts = feat.join(labels, "doc_id")
       .groupBy("bucket")
       .agg(sum(when(col("keep"), col("tf")).otherwise(0L)).alias("nk"),
@@ -1392,7 +1430,7 @@ object TextQueries {
     // map-side-combining (doc, word) count, a per-doc re-agg, one
     // doc-keyed join against a scan-speed projection.
     "tx_filter_verdict" -> ((s, d) =>
-      filterVerdictOf(Tables.documents(s, d))),
+      filterVerdicts(s, d).orderBy("doc_id")),
 
     // The LEARNED quality classifier — the DCLM/fastText production
     // curation pass (hashed word-bigram features, labels distilled
@@ -1412,7 +1450,9 @@ object TextQueries {
     // as a broadcast map literal.
     "tx_quality_clf" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val (labels, feat, wts, _) = qualityClfParts(docs)
+      val (labels, feat, wts, _) = qualityClfParts(docs,
+        Some(filterVerdicts(s, d).select(col("doc_id"), col("keep"))),
+        Some(qcFeatures(s, d)))
       val score = feat.join(broadcast(wts), "bucket")
         .groupBy("doc_id")
         .agg(sum(col("tf")).alias("n_feats"),
