@@ -610,6 +610,45 @@ object StreamProbe {
         ds => graft.streaming.StreamingSessions.track(ds,
           gapMs = 1800000L),
         _ >= 7L * perBatch)
+    if (op == "all" || op == "committracker") {
+      // The reference's contiguous-prefix commit protocol (C1) at
+      // rate: 20 multiplexed readers, two events per count (in-flight
+      // then tokened confirm), every 10th count's confirm DEFERRED
+      // one batch — the out-of-order window the tracker exists for,
+      // so the confirmed map is never trivially contiguous. Each
+      // batch extends each reader's prefix exactly once (up to just
+      // before its first still-deferred count), so emissions are
+      // exactly readers × batches; state stays O(window) because
+      // committed counts evict every batch.
+      import graft.streaming.CommitTracker
+      val readers = 20
+      val cPerB = perBatch / (2 * readers) // counts per reader per batch
+      val data = (0 until batches).map { b =>
+        val evs = IndexedSeq.newBuilder[CommitTracker.CommitInput]
+        for (r <- 0 until readers) {
+          val rid = s"r$r"
+          for (k <- 0 until cPerB) {
+            val c = b.toLong * cPerB + k + 1
+            evs += CommitTracker.CommitInput(rid, c,
+              needConfirm = true, Some(s"t$c"))
+            if (c % 10 != 0)
+              evs += CommitTracker.CommitInput(rid, c,
+                needConfirm = false, Some(s"t$c"))
+          }
+          if (b > 0) for (k <- 0 until cPerB) {
+            val c = (b - 1).toLong * cPerB + k + 1
+            if (c % 10 == 0)
+              evs += CommitTracker.CommitInput(rid, c,
+                needConfirm = false, Some(s"t$c"))
+          }
+        }
+        evs.result()
+      }
+      probe[CommitTracker.CommitInput, CommitTracker.Committable](
+        "committracker", data,
+        ds => CommitTracker.trackStream(ds),
+        _ == readers.toLong * batches)
+    }
     if (op == "all" || op == "qualityclf") {
       // Quality classification at ingest: STATELESS on the stream
       // side (a broadcast-model projection), so no state-store
