@@ -691,6 +691,30 @@ object StreamProbe {
             .filter(col("pred_keep")),
           _ == perBatch.toLong * batches / 2)
     }
+    if (op == "all" || op == "dsir") {
+      // DSIR importance scoring at ingest — stateless broadcast-model
+      // projection (one figure, default provider), the H60BucketSum
+      // unigram path. Self-check by ARITHMETIC: a uniform hand-built
+      // model (every bucket 7 ppm) makes each 60-token doc's score
+      // exactly 420 — the probe filters to that equality, so a
+      // skipped or doubled token lookup drops the row and refuses the
+      // run, while the md5+table work per token is still fully paid.
+      import graft.streaming.StreamingDsir
+      val model = StreamingDsir.Model(Map.empty, defaultPpm = 7L)
+      val data = (0 until batches).map { b =>
+        (0 until perBatch).map { j =>
+          val i = b.toLong * perBatch + j
+          StreamingNearDup.Doc(i, (0 until 60).map(w =>
+            s"w${math.floorMod(mix(i * 64 + w), 1000003L)}").mkString(" "))
+        }
+      }
+      results("dsir_events_per_sec") =
+        bestOf3[StreamingNearDup.Doc, org.apache.spark.sql.Row](
+          spark, "dsir", None, data,
+          ds => StreamingDsir.score(ds.toDF(), model)
+            .filter(col("score_ppm") === 420L),
+          _ == perBatch.toLong * batches)
+    }
     val json = results.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
     println(json)
