@@ -121,6 +121,7 @@ object BenchExpect {
     "tx_cms_topk" -> 1.0,
     "tx_filter_verdict" -> 0.5, // staged gate-verdict scan (r11)
     "tx_quality_clf" -> 1.1, // staged labels + staged feature table
+    "tx_clf_holdout" -> 1.1, // same staged inputs, half-split variant
     "tx_fingerprint" -> 0.3,
     "tx_langid" -> 0.3,
     "tx_langid_ngram" -> 1.5,

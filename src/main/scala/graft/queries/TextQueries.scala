@@ -1432,6 +1432,60 @@ object TextQueries {
     "tx_filter_verdict" -> ((s, d) =>
       filterVerdicts(s, d).orderBy("doc_id")),
 
+    // The classifier's GENERALIZATION calibration — train the
+    // likelihood-ratio weights on even doc_ids only, score the
+    // held-out odd half (unseen buckets fall back to the train
+    // model's nk=nd=0 default, the same rule the streaming scorer
+    // serves). The honest number next to tx_quality_clf's training
+    // agreement: on THIS corpus held-out accuracy sits AT the base
+    // rate (59% vs 58% at sf0.01, 50.5% vs 51.2% at sf0.1) because
+    // the synthetic vocabulary is class-independent — the gate
+    // labels are structural (length/ttr/stopwords), so a
+    // vocabulary-feature model can only memorize doc-specific
+    // bigrams, and the 82% training agreement is exactly that
+    // memorization made visible. On real corpora vocabulary
+    // correlates with quality and this split is the DCLM operating
+    // measurement; the query exists so the pipeline MEASURES
+    // generalization instead of trusting training accuracy — the
+    // dd_sketch_error genre (calibration queries whose value is the
+    // error they expose).
+    "tx_clf_holdout" -> ((s, d) => {
+      val labels = filterVerdicts(s, d).select(col("doc_id"), col("keep"))
+      val feat = qcFeatures(s, d)
+      val counts = feat.filter(col("doc_id") % 2 === 0)
+        .join(labels, "doc_id")
+        .groupBy("bucket")
+        .agg(sum(when(col("keep"), col("tf")).otherwise(0L)).alias("nk"),
+          sum(when(col("keep"), 0L).otherwise(col("tf"))).alias("nd"))
+      val tots = counts.agg(sum(col("nk")).alias("tnk"),
+        sum(col("nd")).alias("tnd"))
+      val wts = counts.crossJoin(broadcast(tots))
+        .select(col("bucket"),
+          expr(s"(nk + 1) * (tnd + $QcB) * 1000000" +
+            s" div ((nd + 1) * (tnk + $QcB))").alias("r_ppm"))
+      val score = feat.filter(col("doc_id") % 2 === 1)
+        .join(broadcast(wts), Seq("bucket"), "left")
+        .crossJoin(broadcast(tots))
+        .select(col("doc_id"), col("tf"),
+          coalesce(col("r_ppm"),
+            expr(s"(tnd + $QcB) * 1000000 div (tnk + $QcB)")).alias("r"))
+        .groupBy("doc_id")
+        .agg(sum(col("tf")).alias("n_feats"),
+          expr("sum(CASE WHEN r >= 1000000 THEN tf ELSE 0 END)" +
+            " * 1000000 div sum(tf)").alias("vote_ppm"))
+      labels.filter(col("doc_id") % 2 === 1)
+        .join(score, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_feats"), lit(0L)).alias("n_feats"),
+          coalesce(col("vote_ppm"), lit(QcKeepPpm)).alias("vote_ppm"),
+          (coalesce(col("vote_ppm"), lit(QcKeepPpm)) >= QcKeepPpm)
+            .alias("pred_keep"),
+          col("keep"),
+          when((coalesce(col("vote_ppm"), lit(QcKeepPpm)) >= QcKeepPpm)
+            === col("keep"), 1L).otherwise(0L).alias("hit"))
+        .orderBy("doc_id")
+    }),
+
     // The LEARNED quality classifier — the DCLM/fastText production
     // curation pass (hashed word-bigram features, labels distilled
     // from the oracled tx_filter_verdict gate, per-bucket
@@ -2325,6 +2379,75 @@ object TextQueries {
         |SELECT doc_id, n_tokens, ttr, stop_ratio, top_frac, dup3_frac,
         |  fail_mask, fail_mask = 0 AS keep
         |FROM v ORDER BY doc_id""".stripMargin,
+
+    // Held-out split of the classifier: weights from even doc_ids,
+    // scores for odd; unseen buckets take the train model's nk=nd=0
+    // default ratio.
+    "tx_clf_holdout" ->
+      s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w
+         |             FROM documents),
+         |wc AS (SELECT doc_id, wd, CAST(count(*) AS BIGINT) AS n
+         |       FROM (SELECT doc_id, unnest(w) AS wd FROM docs) t
+         |       GROUP BY doc_id, wd),
+         |top AS (SELECT doc_id, max(n) AS maxn, CAST(sum(n) AS BIGINT) AS nw
+         |        FROM wc GROUP BY doc_id),
+         |scan AS (SELECT doc_id,
+         |    CAST(len(w) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct(w)) AS BIGINT) AS uniq_n,
+         |    CAST(len(list_filter(w, x -> x IN ('the','a'))) AS BIGINT)
+         |      AS stop_n,
+         |    CAST(greatest(len(w) - 2, 0) AS BIGINT) AS tot3,
+         |    CAST(CASE WHEN len(w) >= 3 THEN
+         |      len(list_distinct([array_to_string(w[i:i+2], ' ')
+         |                         for i in range(1, len(w) - 1)]))
+         |      ELSE 0 END AS BIGINT) AS d3
+         |  FROM docs),
+         |labels AS (SELECT scan.doc_id,
+         |    (CASE WHEN n_tokens < 50 THEN 1 ELSE 0 END
+         |      + CASE WHEN CAST(uniq_n AS DOUBLE) / n_tokens
+         |          < CAST(0.3 AS DOUBLE) THEN 2 ELSE 0 END
+         |      + CASE WHEN CAST(stop_n AS DOUBLE) / n_tokens
+         |          < CAST(0.01 AS DOUBLE) THEN 4 ELSE 0 END
+         |      + CASE WHEN CAST(maxn AS DOUBLE) / nw
+         |          > CAST(0.15 AS DOUBLE) THEN 8 ELSE 0 END
+         |      + CASE WHEN (CASE WHEN tot3 > 0 THEN
+         |            1.0 - CAST(d3 AS DOUBLE) / tot3 ELSE 0.0 END)
+         |          > CAST(0.02 AS DOUBLE) THEN 16 ELSE 0 END) = 0 AS keep
+         |  FROM scan JOIN top ON scan.doc_id = top.doc_id),
+         |feat AS (SELECT doc_id,
+         |    CAST(${DedupQueries.SqlH60("g")} % $QcB AS BIGINT) AS bucket,
+         |    CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest([w[i] || ' ' || w[i + 1]
+         |          for i in range(1, len(w))]) AS g FROM docs) t
+         |  GROUP BY doc_id, bucket),
+         |trainc AS (SELECT bucket,
+         |    CAST(sum(CASE WHEN keep THEN tf ELSE 0 END) AS BIGINT) AS nk,
+         |    CAST(sum(CASE WHEN keep THEN 0 ELSE tf END) AS BIGINT) AS nd
+         |  FROM feat JOIN labels USING (doc_id)
+         |  WHERE doc_id % 2 = 0 GROUP BY bucket),
+         |tots AS (SELECT CAST(sum(nk) AS BIGINT) AS tnk,
+         |                CAST(sum(nd) AS BIGINT) AS tnd FROM trainc),
+         |wts AS (SELECT bucket,
+         |    CAST((nk + 1) * (tnd + $QcB) * 1000000
+         |      // ((nd + 1) * (tnk + $QcB)) AS BIGINT) AS r_ppm
+         |  FROM trainc, tots),
+         |score AS (SELECT f.doc_id, CAST(sum(tf) AS BIGINT) AS n_feats,
+         |    CAST(sum(CASE WHEN coalesce(w.r_ppm,
+         |        (tots.tnd + $QcB) * 1000000 // (tots.tnk + $QcB))
+         |        >= 1000000 THEN tf ELSE 0 END)
+         |      * 1000000 // sum(tf) AS BIGINT) AS vote_ppm
+         |  FROM feat f LEFT JOIN wts w USING (bucket), tots
+         |  WHERE f.doc_id % 2 = 1 GROUP BY f.doc_id)
+         |SELECT l.doc_id,
+         |  CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+         |  CAST(coalesce(s.vote_ppm, $QcKeepPpm) AS BIGINT) AS vote_ppm,
+         |  coalesce(s.vote_ppm, $QcKeepPpm) >= $QcKeepPpm AS pred_keep,
+         |  l.keep,
+         |  CAST(CASE WHEN (coalesce(s.vote_ppm, $QcKeepPpm) >= $QcKeepPpm)
+         |       = l.keep THEN 1 ELSE 0 END AS BIGINT) AS hit
+         |FROM labels l LEFT JOIN score s USING (doc_id)
+         |WHERE l.doc_id % 2 = 1
+         |ORDER BY l.doc_id""".stripMargin,
 
     // Labels CTE chain = the tx_filter_verdict oracle verbatim;
     // features/weights/score replay the integer-exact classifier.

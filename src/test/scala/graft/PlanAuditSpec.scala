@@ -123,7 +123,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "sim_planes_sweep",
       // 1-row (TNK, TND) class-totals scalar over the ≤1024-bucket
       // counts agg — the weight formula's ratio denominator
-      "tx_quality_clf")
+      "tx_quality_clf",
+      // the same class-totals scalar, train-half variant
+      "tx_clf_holdout")
 
   // Queries that intentionally broadcast a tiny build side against a
   // non-equi / cross predicate (band dim, probe rows, hyperplanes,
@@ -164,6 +166,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "rel_resample", // generated day skeleton × 5-row type dim cross
     "tx_dsir", // 1-row (R, T) totals scalar vs the 4096-row histogram
     "tx_quality_clf", // 1-row class-totals scalar vs the bucket counts
+    "tx_clf_holdout", // same scalar, plus the unseen-bucket default
     "pipe_dsir", // inherits tx_dsir's 1-row totals scalar
     "graph_modularity", // 1-row arc-count scalar vs the label agg
     "pipe_epoch_plan", // 1-row budget-totals scalar vs the source agg
