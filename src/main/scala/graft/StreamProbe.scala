@@ -306,10 +306,9 @@ object StreamProbe {
     * end, and the z stays > 3 even as earlier outliers inflate the
     * folded moments: 999 → 8.3 → 6.2 → 5.4).
     */
-  private def anomalyBatches(n: Int, batches: Int)
-      : IndexedSeq[IndexedSeq[graft.streaming.StreamingAnomaly.Obs]] = {
+  private def anomalyBatches(n: Int, batches: Int,
+      keys: Int): IndexedSeq[IndexedSeq[graft.streaming.StreamingAnomaly.Obs]] = {
     val perBatch = math.max(1, n / batches)
-    val keys = 1000
     (0 until batches).map { b =>
       (0 until perBatch).map { j =>
         val i = b.toLong * perBatch + j
@@ -476,14 +475,20 @@ object StreamProbe {
           maxOffset = 7L, idleTtl = None),
         // offsets 0..7 credit exactly once per user; 8-9 never do
         _ == 8L * perBatch)
-    if (op == "all" || op == "anomaly")
+    if (op == "all" || op == "anomaly") {
+      // keys sized so every key sees ≥10 slots per batch — minN=50
+      // must be reached by batch 6 or the detector (correctly) stays
+      // silent: the integration run at n=20k caught the fixed-1000-
+      // keys version flagging nothing (2 slots × 6 batches = 12 < 50)
+      val keys = math.max(1, math.min(1000, perBatch / 10))
       probe[graft.streaming.StreamingAnomaly.Obs,
           graft.streaming.StreamingAnomaly.Anomaly]("anomaly",
-        anomalyBatches(n, batches),
+        anomalyBatches(n, batches, keys),
         ds => graft.streaming.StreamingAnomaly.detect(ds, idleTtl = None),
-        // 1,000 keys × one planted outlier per batch in batches 6-9;
+        // keys × one planted outlier per batch in batches 6-9;
         // baseline z stays ≤ 1, so flags == plants exactly
-        _ == 4L * 1000L)
+        _ == 4L * keys)
+    }
     if (op == "all" || op == "growth")
       probe[graft.streaming.StreamingGrowth.Hit,
           graft.streaming.StreamingGrowth.NewUser]("growth",
@@ -536,9 +541,15 @@ object StreamProbe {
         },
         ds => graft.streaming.StreamingSourceCap.admit(ds, cap = 500)
           .filter(_.admitted),
-        // 50 sources × exactly the first 500 fresh arrivals each
-        // (1,820 fresh per source, so every budget fills)
-        _ == 50L * 500L)
+        // 50 sources × the first min(500, fresh-per-source) arrivals
+        // (fresh per source: psb rows per batch, psb/10 of them
+        // replays after batch 0 — 1,820 at n=100k so budgets fill;
+        // 364 at n=20k so every fresh doc admits)
+        _ == {
+          val psb = perBatch / 50
+          val fresh = psb.toLong + (batches - 1).toLong * (psb - psb / 10)
+          50L * math.min(500L, fresh)
+        })
     if (op == "all" || op == "gapdetect")
       probe[graft.streaming.StreamingGapDetect.Ev,
           graft.streaming.StreamingGapDetect.Gap]("gapdetect",
