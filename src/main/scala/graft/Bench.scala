@@ -373,16 +373,19 @@ object Bench {
     * means the STREAMING side is the depressed one (its internal pair
     * shares a measurement path, so common-mode contention can pass
     * the internal check — the batch figure is the independent
-    * witness). [[BatchHighRatio]] is 1.7, not 1.5: the committed calm
-    * ratio drifted to 1.36 (r10: 334,989/245,700), so a 1.5 band left
-    * only ~10% headroom and ordinary calm drift could trip the
-    * disagreement loop, burn up to 3 streaming re-measures, and stamp
-    * a false `agreed:false` on a genuinely calm run. Observed
-    * contention signatures sit at ≥1.65× (the 16-hog validation run)
-    * or below [[BatchLowSlack]], both still outside the widened band.
+    * witness). [[BatchHighRatio]] sizing: observed CALM ratios span
+    * 1.02 (r11: 281.1k/274.4k) to 1.37 (r10: 334,989/245,700), so a
+    * 1.5 band left only ~10% headroom over the calm maximum and
+    * ordinary drift could trip the disagreement loop, burn up to 3
+    * streaming re-measures, and stamp a false `agreed:false` on a
+    * genuinely calm run; the observed CONTENTION signature (the
+    * 16-hog validation run) sits at ≥1.65×. 1.6 is the gap between
+    * the two populations — ~17% above the calm maximum, strictly
+    * below the measured contention floor (an r11 cut used 1.7, which
+    * would have stamped a 1.65-1.7× contention ratio as agreed).
     */
   private[graft] val BatchLowSlack = 1.25
-  private[graft] val BatchHighRatio = 1.7
+  private[graft] val BatchHighRatio = 1.6
 
   private[graft] def batchStreamAgree(batch: Long, stream: Long): Boolean =
     batch > 0 && stream > 0 &&

@@ -20,7 +20,10 @@ import graft.streaming.{StreamingAsofState, StreamingDeltaAgg,
   *
   * `runMain graft.StreamProbe [op] [nEvents]` where op ∈
   * `neardup | semdedup | pack | heavyhitters | crossdedup | novelty |
-  * scd2 | asofstate | deltaagg | all` (default all). Batches are
+  * scd2 | asofstate | deltaagg | funnel | retention | anomaly |
+  * growth | sourcecap | gapdetect | sample | sessions |
+  * committracker | qualityclf | dsir | evtumble | evslide | evdedup |
+  * evjoin | evouterjoin | evenrich | all` (default all). Batches are
   * pre-built outside the timed window; the first batch is warm-up;
   * best of 3 passes per provider is reported.
   *
@@ -201,9 +204,15 @@ object StreamProbe {
     (0 until batches).map { b =>
       (0 until perBatch).map { j =>
         val i = b.toLong * perBatch + j
-        // i%10==9 → copy the i%10==0 original one batch back (src%10
-        // == 0, so the source doc carried its OWN grams)
-        val src = if (i % 10 == 9 && i >= perBatch) i - perBatch - 9 else i
+        // j%10==9 → copy the doc at in-batch index j-9 one batch back.
+        // The replay condition is on the IN-BATCH index (j, not i):
+        // the source's in-batch index is j-9 ≡ 0 (mod 10), so the
+        // source doc carried its OWN grams at ANY perBatch — the i%10
+        // spelling held only when perBatch was a multiple of 10, and
+        // at tiny perBatch it could even derive a negative src whose
+        // original never existed (ADVICE r11). j%10==9 implies j ≥ 9,
+        // so src ≥ (b-1)·perBatch ≥ 0 whenever b > 0.
+        val src = if (j % 10 == 9 && b > 0) i - perBatch - 9 else i
         graft.streaming.StreamingNovelty.Doc(i, s"s${src % 64}", grams(src))
       }
     }

@@ -180,10 +180,12 @@ object TextQueries {
   }
 
   /** Per-row DSIR score of a text column against an ALREADY-LEARNED
-    * model (bucket -> ppm map + the unseen-bucket default): one
-    * higher-order fold over the token array, a map-literal lookup per
-    * token — no shuffle, no state, usable identically on a batch
-    * frame or a change stream (StreamingDsir pins the parity).
+    * model, pre-DENSIFIED by the caller to one ppm value per bucket
+    * slot (unseen buckets carry the model default): the whole
+    * per-token hash→slot→sum loop runs as ONE native
+    * [[graft.functions.H60BucketSum]] call per row — no shuffle, no
+    * state, usable identically on a batch frame or a change stream
+    * (StreamingDsir pins the parity).
     */
   private[graft] def dsirScoreExpr(text: Column,
       ppmDense: Seq[Long]): Column = {
@@ -1501,7 +1503,7 @@ object TextQueries {
     // accuracy is one sum away. See [[qualityClfParts]] for the
     // scale shape and the rejected raw-posterior first cut;
     // streaming twin `StreamingQualityClf` serves the same weights
-    // as a broadcast map literal.
+    // densified through the native H60BucketSum loop.
     "tx_quality_clf" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val (labels, feat, wts, _) = qualityClfParts(docs,

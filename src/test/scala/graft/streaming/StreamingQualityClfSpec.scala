@@ -25,8 +25,8 @@ class StreamingQualityClfSpec extends AnyFunSuite {
 
   test("per-row scores equal the batch tx_quality_clf query's scores") {
     // the batch query's (doc_id, vote_ppm, pred_keep) is
-    // oracle-checked; the map-literal expression path must reproduce
-    // those exact integers on every doc of the corpus
+    // oracle-checked; the native H60BucketSum expression path must
+    // reproduce those exact integers on every doc of the corpus
     val want = graft.SparkEntry.queries("tx_quality_clf")(spark, sf)
       .select("doc_id", "vote_ppm", "pred_keep").collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
@@ -54,6 +54,16 @@ class StreamingQualityClfSpec extends AnyFunSuite {
       StreamingQualityClf.Model(Map.empty, defaultPpm = 1500000L)
     assert(StreamingQualityClf.score(doc, keepLean)
       .select("vote_ppm").head().getLong(0) === 1000000L)
+  }
+
+  test("learn on an empty corpus yields the smoothing-only default, not an NPE") {
+    import spark.implicits._
+    // empty frame → the class-total sums are NULL; learn must
+    // coalesce them to 0 (default ratio (0+B)/(0+B) = even odds)
+    // instead of throwing out of getLong (ADVICE r11)
+    val m = StreamingQualityClf.learn(Seq.empty[Doc].toDF())
+    assert(m.rPpm.isEmpty)
+    assert(m.defaultPpm === 1000000L)
   }
 
   test("featureless docs score the even-odds default") {
