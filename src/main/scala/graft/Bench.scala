@@ -122,6 +122,7 @@ object BenchExpect {
     "tx_filter_verdict" -> 0.5, // staged gate-verdict scan (r11)
     "tx_quality_clf" -> 1.1, // staged labels + staged feature table
     "tx_clf_holdout" -> 1.1, // same staged inputs, half-split variant
+    "tx_clf_struct" -> 0.5, // one narrow staged-verdict scan + tiny aggs
     "tx_fingerprint" -> 0.3,
     "tx_langid" -> 0.3,
     "tx_langid_ngram" -> 1.5,
@@ -241,6 +242,26 @@ object Bench {
     */
   private[graft] val CalmWalkDepth = 10
 
+  /** An artifact is a usable CALM baseline when every contention
+    * self-description field is empty (absent counts as empty).
+    * `requalified` non-empty means the run WAS contended and its
+    * flagged queries converged only to within 2× of the previous
+    * baseline — treating such an artifact as the calm baseline would
+    * let thresholds compound ×2 per generation; pre-r12 artifacts
+    * lack the field and are unaffected.
+    */
+  private[graft] def isCalmArtifact(bytes: Array[Byte]): Boolean =
+    try {
+      val root =
+        new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+      def emptyArr(f: String): Boolean = {
+        val n = root.get(f)
+        n == null || (n.isArray && n.isEmpty)
+      }
+      root.isObject && emptyArr("outliers") && emptyArr("capped") &&
+        emptyArr("slow_figures") && emptyArr("requalified")
+    } catch { case _: Throwable => false }
+
   private[graft] def committedBytes(path: String): Option[Array[Byte]] = {
     val p = java.nio.file.Paths.get(path).toAbsolutePath
     val dir = p.getParent.toString
@@ -253,17 +274,6 @@ object Bench {
         val out = proc.getInputStream.readAllBytes()
         if (proc.waitFor() == 0 && out.nonEmpty) Some(out) else None
       } catch { case _: Throwable => None }
-    def isCalmArtifact(bytes: Array[Byte]): Boolean =
-      try {
-        val root =
-          new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
-        def emptyArr(f: String): Boolean = {
-          val n = root.get(f)
-          n == null || (n.isArray && n.isEmpty)
-        }
-        root.isObject && emptyArr("outliers") && emptyArr("capped") &&
-          emptyArr("slow_figures")
-      } catch { case _: Throwable => false }
     // the file's own history, newest-first (`-C parent` + `./name`
     // resolve relative to the file's directory wherever the repo
     // root is)
@@ -324,6 +334,41 @@ object Bench {
     */
   private[graft] def isOutlier(sec: Double, committed: Double): Boolean =
     committed > 0 && sec > 2.0 * committed + 0.3
+
+  /** Extra best-of-N passes a provisionally-flagged outlier gets
+    * before the artifact emits ([[requalify]]).
+    */
+  private[graft] val RequalPasses = 3
+
+  /** Requalification of provisional outliers (r12, after r11 verdict
+    * #1): every driver bench capture to date ran CONTENDED and flagged
+    * 8-9 outliers that a later calm run cleared — each one costing the
+    * next round a manual calm-confirm ritual. So after the normal
+    * sweeps, each query whose best sample still reads as an outlier
+    * gets up to `passes` extra samples (`sample` min-merges into the
+    * caller's best-tracking; `current` reads it back), stopping early
+    * the moment a calm-consistent sample lands. Returns the REQUALIFIED
+    * subset — queries the extra passes cleared; the survivors stay in
+    * `outliers`. A transient burst between sweeps clears here; a
+    * sustained contention window still names itself, because the extra
+    * passes are exactly as contended as the sweeps were. Wall bound by
+    * construction: ≤ passes × the query's tiered watchdog cap per
+    * flagged query (outlier count × O(committed calm) — never the
+    * whole budget), and a calm run spends ZERO extra samples (empty
+    * provisional set). Modeled on the envelope pair's
+    * re-measure-on-disagreement loop.
+    */
+  private[graft] def requalify(provisional: Seq[String],
+      committed: Map[String, Double],
+      current: String => Option[Double],
+      sample: String => Unit,
+      passes: Int = RequalPasses): Seq[String] =
+    provisional.filter { n =>
+      def still = current(n).exists(v => isOutlier(v, committed(n)))
+      var p = 0
+      while (p < passes && still) { sample(n); p += 1 }
+      !still
+    }
 
   /** Top-level numeric fields of the committed artifact (the
     * throughput figures) — the [[committedQueryTimes]] companion.
@@ -610,8 +655,23 @@ object Bench {
     val snapEpsRocks =
       BenchStreaming.snapshotEventsPerSecRocksDb(spark, streamBudget)
 
-    // results AFTER the envelope pairing loop: a p1 re-measure that
-    // found a calmer sample must be the one reported
+    // Requalification ([[requalify]]): re-measure ONLY the queries
+    // whose best sample still reads as an outlier, min-merging into
+    // `best`, and record the cleared names as `requalified` so a
+    // cleared flag stays visible in the artifact. Runs LAST (after
+    // the streaming block) so it never eats the streaming reserve; a
+    // calm run has an empty provisional set and spends nothing here.
+    val provisionalOutliers = names.filter(n =>
+      best.get(n).exists(v => committed.get(n).exists(isOutlier(v, _))))
+    if (provisionalOutliers.nonEmpty)
+      System.err.println(s"[bench] ${provisionalOutliers.size} provisional " +
+        s"outlier(s): ${provisionalOutliers.mkString(", ")} — up to " +
+        s"$RequalPasses extra passes each")
+    val requalifiedNames =
+      requalify(provisionalOutliers, committed, best.get, n => run(n))
+
+    // results AFTER the envelope pairing loop and requalification: a
+    // re-measure that found a calmer sample must be the one reported
     val results = names.map { n =>
       n -> best.getOrElse(n,
         if (attempted(n)) BenchExpect.capSec(n, maxCap).toDouble else -1.0)
@@ -637,6 +697,11 @@ object Bench {
         s"""{"query":"$n","sec":$v,"committed":${committed(n)}}"""
       }
       .mkString("[", ",", "]")
+    // Provisionally-flagged queries whose requalification passes found
+    // a calm-consistent sample — visible so a cleared flag is still a
+    // recorded event, not silence.
+    val requalified = requalifiedNames
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     // Throughput figures below two-thirds of their committed calm
     // value ([[isSlowFigure]]): the pair/agreement checks catch
     // INCONSISTENT contention; this catches the consistent kind,
@@ -660,7 +725,7 @@ object Bench {
     val stagedJson = stagedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val stageBuildJson = stageBuild
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"capped":$cappedFinal,"outliers":$outliers,"slow_figures":$slowFigures,"sweeps":$sweep,"stage_build_sec":$stageBuildSec,"stage_build":$stageBuildJson,"staged":$stagedJson,"envelope_events_per_sec":$eventsPerSec,"batch_stream_envelope_agreed":$batchStreamAgreed,"streaming_envelope_events_per_sec":$streamEps,"streaming_envelope_events_per_sec_rocksdb":$streamEpsRocks,"streaming_envelope_agreed":$streamAgreed,"streaming_snapshot_events_per_sec":$snapEps,"streaming_snapshot_events_per_sec_rocksdb":$snapEpsRocks,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"capped":$cappedFinal,"outliers":$outliers,"requalified":$requalified,"slow_figures":$slowFigures,"sweeps":$sweep,"stage_build_sec":$stageBuildSec,"stage_build":$stageBuildJson,"staged":$stagedJson,"envelope_events_per_sec":$eventsPerSec,"batch_stream_envelope_agreed":$batchStreamAgreed,"streaming_envelope_events_per_sec":$streamEps,"streaming_envelope_events_per_sec_rocksdb":$streamEpsRocks,"streaming_envelope_agreed":$streamAgreed,"streaming_snapshot_events_per_sec":$snapEps,"streaming_snapshot_events_per_sec_rocksdb":$snapEpsRocks,"sf":"$sfDir"}"""
     println(line)
     // The driver captures stdout with `tail`, which can start
     // mid-artifact and truncate the per-query map. Persist the full
@@ -683,7 +748,7 @@ object Bench {
       outlierEntries.map(e => "\"" + e._1 + "\"").mkString("[", ",", "]")
     val slowFigureNames =
       slowFigureEntries.map(e => "\"" + e._1 + "\"").mkString("[", ",", "]")
-    println(s"""{"summary":{"total":$total,"sweeps":$sweep,"capped":$cappedFinal,"outliers":$outlierNames,"slow_figures":$slowFigureNames,"batch_stream_envelope_agreed":$batchStreamAgreed,"streaming_envelope_agreed":$streamAgreed}}""")
+    println(s"""{"summary":{"total":$total,"sweeps":$sweep,"capped":$cappedFinal,"outliers":$outlierNames,"requalified":$requalified,"slow_figures":$slowFigureNames,"batch_stream_envelope_agreed":$batchStreamAgreed,"streaming_envelope_agreed":$streamAgreed}}""")
     spark.stop()
   }
 }

@@ -77,9 +77,12 @@ class BenchOutliersSpec extends AnyFunSuite {
     // batch side is below stream/1.25, the corrupted-batch signature
     assert(!Bench.batchStreamAgree(184752L, 246900L))
     // calm drift above the committed 1.36 ratio must NOT trip the
-    // band (the 1.5 ratio left ~10% headroom; widened to 1.7)
-    assert(Bench.batchStreamAgree(400000L, 245700L)) // 1.63x: drift
-    // batch far above stream: the streaming side is the suspect
+    // band (observed calm ratios span 1.02-1.37; the band is 1.6)
+    assert(Bench.batchStreamAgree(380000L, 245700L)) // 1.55x: drift
+    // the 16-hog contention signature (>=1.65x) MUST trip it — an r11
+    // cut widened the band to 1.7 and would have stamped it agreed
+    // (ADVICE r11); batch far above stream = streaming is the suspect
+    assert(!Bench.batchStreamAgree(408000L, 245700L)) // 1.66x: 16-hog
     assert(!Bench.batchStreamAgree(450000L, 245700L)) // 1.83x
     // failed measurements never agree (caller keeps its retry budget)
     assert(!Bench.batchStreamAgree(-1L, 245700L))
@@ -139,6 +142,65 @@ class BenchOutliersSpec extends AnyFunSuite {
     assert(calmField("outliers"), "selected baseline has outliers")
     assert(calmField("capped"), "selected baseline has capped queries")
     assert(calmField("slow_figures"), "selected baseline has slow figures")
+  }
+
+  test("requalify clears transient contention and keeps sustained flags") {
+    // q_transient: sweeps caught it in a burst (3.0 s vs committed
+    // 0.6); the FIRST extra pass lands calm. q_sustained: every extra
+    // pass is as contended as the sweeps. q_slowclear: clears on the
+    // last allowed pass.
+    val committed = Map("q_transient" -> 0.6, "q_sustained" -> 0.8,
+      "q_slowclear" -> 1.0)
+    val best = collection.mutable.Map(
+      "q_transient" -> 3.0, "q_sustained" -> 4.0, "q_slowclear" -> 5.0)
+    val samples = collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    def sample(n: String): Unit = {
+      samples(n) += 1
+      val sec = n match {
+        case "q_transient" => 0.55 // calm immediately
+        case "q_slowclear" => if (samples(n) >= 3) 0.9 else 4.8
+        case _ => 3.9 // sustained contention: never calm
+      }
+      if (sec < best(n)) best(n) = sec // the caller's min-merge rule
+    }
+    val requalified = Bench.requalify(
+      Seq("q_transient", "q_sustained", "q_slowclear"), committed,
+      best.get, sample)
+    assert(requalified == Seq("q_transient", "q_slowclear"))
+    // early exit: one pass sufficed for the transient query
+    assert(samples("q_transient") == 1)
+    // bounded spend: the sustained query got exactly RequalPasses
+    assert(samples("q_sustained") == Bench.RequalPasses)
+    assert(samples("q_slowclear") == 3)
+    // min-merge left the calmer samples as the reported numbers
+    assert(best("q_transient") == 0.55 && best("q_slowclear") == 0.9)
+    // the survivor still reads as an outlier for the artifact
+    assert(Bench.isOutlier(best("q_sustained"), committed("q_sustained")))
+  }
+
+  test("requalify spends nothing on a calm run") {
+    var sampled = 0
+    val out = Bench.requalify(Seq.empty, Map.empty,
+      _ => Some(0.5), _ => sampled += 1)
+    assert(out.isEmpty && sampled == 0)
+  }
+
+  test("calm-baseline walk skips requalified (was-contended) artifacts") {
+    def art(extra: String): Array[Byte] =
+      (s"""{"metric":"total","value":100.0,"queries":{"q":1.0},""" +
+        s""""capped":[],"outliers":[],"slow_figures":[]$extra}""")
+        .getBytes("UTF-8")
+    assert(Bench.isCalmArtifact(art(""","requalified":[]""")))
+    // pre-r12 artifacts lack the field entirely — still calm
+    assert(Bench.isCalmArtifact(art("")))
+    // a run that converged only via requalification is NOT a baseline
+    assert(!Bench.isCalmArtifact(art(""","requalified":["graph_pagerank"]""")))
+    // and the existing flags still disqualify
+    assert(!Bench.isCalmArtifact(
+      ("""{"queries":{"q":1.0},"capped":[],"slow_figures":[],""" +
+        """"outliers":[{"query":"q","sec":9.0,"committed":1.0}]}""")
+        .getBytes("UTF-8")))
+    assert(!Bench.isCalmArtifact("not json".getBytes("UTF-8")))
   }
 
   test("committedBytes falls back to the file outside a git checkout") {
