@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit, sum}
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.streaming.{StreamingAsofState, StreamingDeltaAgg,
@@ -343,6 +343,93 @@ object StreamProbe {
         val i = b.toLong * perBatch + j
         val user = if (j % 10 == 9 && b > 0) j.toLong else i
         graft.streaming.StreamingGrowth.Hit(user, i / 1000L)
+      }
+    }
+  }
+
+  /** Event-time fixtures for the EventTimeOps built-in shapes. The
+    * epoch base is fixed AND minute-aligned (divisible by 60000 ms):
+    * `window(ts, "1 minute")` aligns window boundaries to the epoch,
+    * so a non-aligned base would put every batch astride a window
+    * boundary and the per-window emission arithmetic would silently
+    * change (the first probe cut measured out=10000, not the 9000
+    * the aligned geometry predicts, for exactly this reason).
+    * Batches step in whole minutes (or seconds, per generator) so
+    * the engine watermark advances deterministically batch-over-batch.
+    */
+  private val EvEpochMs = 1599999960000L
+  private def tsAt(ms: Long) = new java.sql.Timestamp(ms)
+
+  final case class TEv(key: Long, v: Long, ts: java.sql.Timestamp)
+  final case class JEv(side: String, key: Long, ts: java.sql.Timestamp)
+
+  /** One event per key slot per batch, all of batch b inside minute-
+    * window b (second jitter < 60), for the tumbling/sliding agg
+    * probes. With a 0-second watermark delay, the engine watermark
+    * after batch b sits inside window b, so window b-1 flushes while
+    * batch b+1 processes: each timed batch from the second on emits
+    * one full window of `keys` rows, and the final window(s) lag the
+    * watermark by design — the self-check is a FLOOR, the sessions-
+    * probe precedent for engine-state append-mode operators.
+    */
+  private def windowAggBatches(n: Int, batches: Int,
+      keys: Int): IndexedSeq[IndexedSeq[TEv]] = {
+    val perBatch = math.max(1, n / batches)
+    (0 until batches).map { b =>
+      (0 until perBatch).map { j =>
+        TEv(j % keys, (j % 7).toLong,
+          tsAt(EvEpochMs + b.toLong * 60000L + (j % 60) * 1000L))
+      }
+    }
+  }
+
+  /** Keyed events for within-watermark dedup: every 10th slot from
+    * batch 1 on REDELIVERS the key first seen one batch back (the
+    * at-least-once profile the operator exists for; in-batch index
+    * j-9 ≡ 0 mod 10, so the source event carried a fresh key at any
+    * perBatch). Event time advances 1 s per batch against a 1-hour
+    * horizon, so no dedup state is evicted mid-run and the expected
+    * emission count is EXACT arithmetic: first-seen keys only.
+    */
+  private def evDedupBatches(n: Int,
+      batches: Int): IndexedSeq[IndexedSeq[TEv]] = {
+    val perBatch = math.max(1, n / batches)
+    (0 until batches).map { b =>
+      (0 until perBatch).map { j =>
+        val i = b.toLong * perBatch + j
+        val key = if (j % 10 == 9 && b > 0) i - perBatch - 9 else i
+        TEv(key, 1L, tsAt(EvEpochMs + b.toLong * 1000L))
+      }
+    }
+  }
+
+  /** Left/right pairs for the stream-stream interval joins, tagged on
+    * one stream and split inside the pipeline (a stream self-join).
+    * Inner-join workload: every odd slot is the right-side partner of
+    * the left event one slot before it (+1 s, inside the 10 s bound),
+    * both in the SAME batch — matches emit immediately, so the
+    * expected count is exact. Outer-join workload (`withUnmatched`):
+    * slots cycle matched-left / its-right / unmatched-left /
+    * unmatched-right — the unmatched left must null-emit once the
+    * watermark proves no partner can arrive, and the unmatched right
+    * must emit nothing at all.
+    */
+  private def evJoinBatches(n: Int, batches: Int,
+      withUnmatched: Boolean): IndexedSeq[IndexedSeq[JEv]] = {
+    val perBatch = math.max(1, n / batches)
+    (0 until batches).map { b =>
+      val base = EvEpochMs + b.toLong * 60000L
+      (0 until perBatch).map { j =>
+        val i = b.toLong * perBatch + j
+        if (!withUnmatched) {
+          if (j % 2 == 1) JEv("r", i - 1, tsAt(base + 1000L))
+          else JEv("l", i, tsAt(base))
+        } else (j % 4) match {
+          case 0 => JEv("l", i, tsAt(base)) // matched below
+          case 1 => JEv("r", i - 1, tsAt(base + 1000L)) // the partner
+          case 2 => JEv("l", i, tsAt(base)) // no partner ever
+          case _ => JEv("r", i, tsAt(base + 1000L)) // matches no left
+        }
       }
     }
   }
@@ -734,6 +821,105 @@ object StreamProbe {
           ds => StreamingDsir.score(ds.toDF(), model)
             .filter(col("score_ppm") === 420L),
           _ == perBatch.toLong * batches)
+    }
+    // The six EventTimeOps built-in shapes (r11 verdict #2) — Spark's
+    // own event-time machinery under the same planted-work
+    // discipline, completing the built-in-vs-handrolled comparison
+    // the sessions row started. The stateful five run under both
+    // providers; enrichment is stateless (broadcast static dim) —
+    // one figure. Dedup and the inner join check EXACT arithmetic;
+    // the windowed aggs and the outer join's null-emissions check
+    // FLOORS because append-mode emission lags the watermark by
+    // design (the sessions-probe precedent) — a floor still refuses
+    // a run that dropped keys or never flushed.
+    import graft.streaming.EventTimeOps
+    val evKeys = math.min(1000, perBatch)
+    if (op == "all" || op == "evtumble")
+      probe[TEv, org.apache.spark.sql.Row]("evtumble",
+        windowAggBatches(n, batches, evKeys),
+        ds => EventTimeOps.windowedAgg(ds.toDF(), "ts", "0 seconds",
+          "1 minute", None, Seq(col("key")),
+          Seq(count(lit(1)).alias("n"), sum(col("v")).alias("s"))),
+        // batches 2..9 each flush the previous closed window's
+        // evKeys rows; the last windows lag the watermark
+        _ >= (batches - 2).toLong * evKeys)
+    if (op == "all" || op == "evslide")
+      probe[TEv, org.apache.spark.sql.Row]("evslide",
+        windowAggBatches(n, batches, evKeys),
+        ds => EventTimeOps.windowedAgg(ds.toDF(), "ts", "0 seconds",
+          "2 minutes", Some("1 minute"), Seq(col("key")),
+          Seq(count(lit(1)).alias("n"), sum(col("v")).alias("s"))),
+        // every event lands in TWO sliding windows; one window end
+        // crosses the watermark per timed batch from the second on
+        _ >= (batches - 2).toLong * evKeys)
+    if (op == "all" || op == "evdedup")
+      probe[TEv, org.apache.spark.sql.Row]("evdedup",
+        evDedupBatches(n, batches),
+        ds => EventTimeOps.dedupWithinWatermark(ds.toDF(), "ts",
+          "1 hour", Seq("key")),
+        // exactly the first-seen keys: all of batch 0 + the fresh
+        // 9-in-10 of every later batch; a redelivery that slips
+        // through (or a fresh key wrongly dropped) breaks equality
+        _ == perBatch.toLong + (batches - 1).toLong *
+          (perBatch - perBatch / 10))
+    if (op == "all" || op == "evjoin")
+      probe[JEv, org.apache.spark.sql.Row]("evjoin",
+        evJoinBatches(n, batches, withUnmatched = false),
+        ds => {
+          val df = ds.toDF()
+          val l = df.filter(col("side") === "l")
+            .select(col("key").alias("lkey"), col("ts").alias("lts"))
+          val r = df.filter(col("side") === "r")
+            .select(col("key").alias("rkey"), col("ts").alias("rts"))
+          EventTimeOps.intervalJoin(l, r, "lkey", "rkey", "lts", "rts",
+            "30 seconds", "10 seconds")
+        },
+        // every right event pairs with exactly one left event in the
+        // same batch — inner matches emit immediately, so the count
+        // is exact: one row per planted pair
+        _ == batches.toLong * (perBatch / 2))
+    if (op == "all" || op == "evouterjoin") {
+      val m1 = (0 until perBatch).count(_ % 4 == 1) // matched pairs
+      val m2 = (0 until perBatch).count(_ % 4 == 2) // unmatched lefts
+      probe[JEv, org.apache.spark.sql.Row]("evouterjoin",
+        evJoinBatches(n, batches, withUnmatched = true),
+        ds => {
+          val df = ds.toDF()
+          val l = df.filter(col("side") === "l")
+            .select(col("key").alias("lkey"), col("ts").alias("lts"))
+          val r = df.filter(col("side") === "r")
+            .select(col("key").alias("rkey"), col("ts").alias("rts"))
+          EventTimeOps.outerIntervalJoin(l, r, "lkey", "rkey", "lts",
+            "rts", "30 seconds", "10 seconds")
+        },
+        // matches emit immediately (exact); each batch's unmatched
+        // lefts null-emit once the 30s watermark clears their 10s
+        // bound — the final batches' lag makes the total a floor
+        _ >= batches.toLong * m1 + math.max(0, batches - 3).toLong * m2)
+    }
+    if (op == "all" || op == "evenrich") {
+      // stream-static enrichment: STATELESS on the stream side (a
+      // broadcast hash join against a static dimension), so no
+      // state-store comparison applies — one figure, default
+      // provider. 50% of stream keys hit the 10k-row dim, the rest
+      // exercise the left-outer null path; every stream row emits
+      // exactly once (unique dim keys — no fanout).
+      val dim = spark.range(10000)
+        .select(col("id").alias("dim_key"), (col("id") % 97).alias("attr"))
+        .cache()
+      dim.count() // materialize outside every timed pass
+      val data = (0 until batches).map { b =>
+        (0 until perBatch).map { j =>
+          val i = b.toLong * perBatch + j
+          TEv(i % 20000L, (j % 7).toLong, tsAt(EvEpochMs + i))
+        }
+      }
+      results("evenrich_events_per_sec") =
+        bestOf3[TEv, org.apache.spark.sql.Row](
+          spark, "evenrich", None, data,
+          ds => EventTimeOps.enrich(ds.toDF(), dim, "key", "dim_key"),
+          _ == perBatch.toLong * batches)
+      dim.unpersist()
     }
     val json = results.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
