@@ -125,7 +125,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // counts agg — the weight formula's ratio denominator
       "tx_quality_clf",
       // the same class-totals scalar, train-half variant
-      "tx_clf_holdout")
+      "tx_clf_holdout",
+      // the same class-totals scalar over the ~70-id struct counts
+      "tx_clf_struct")
 
   // Queries that intentionally broadcast a tiny build side against a
   // non-equi / cross predicate (band dim, probe rows, hyperplanes,
@@ -167,6 +169,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "tx_dsir", // 1-row (R, T) totals scalar vs the 4096-row histogram
     "tx_quality_clf", // 1-row class-totals scalar vs the bucket counts
     "tx_clf_holdout", // same scalar, plus the unseen-bucket default
+    "tx_clf_struct", // same scalar over the struct feature-id counts
     "pipe_dsir", // inherits tx_dsir's 1-row totals scalar
     "graph_modularity", // 1-row arc-count scalar vs the label agg
     "pipe_epoch_plan", // 1-row budget-totals scalar vs the source agg
