@@ -340,6 +340,12 @@ object Bench {
     */
   private[graft] val RequalPasses = 3
 
+  /** Wall seconds per slow-figure requalification round (the
+    * streaming-side re-measures run under a fresh WallBudget of this
+    * size; ≤ 2 rounds, so the extra spend is bounded at ~2× this).
+    */
+  private[graft] val FigureRequalBudgetSec = 120L
+
   /** Requalification of provisional outliers (r12, after r11 verdict
     * #1): every driver bench capture to date ran CONTENDED and flagged
     * 8-9 outliers that a later calm run cleared — each one costing the
@@ -650,9 +656,9 @@ object Bench {
         s"disagree after $envRetries re-measures ($eventsPerSec vs " +
         s"${math.max(streamEps, streamEpsRocks)} ev/s) — sustained " +
         "contention window; treat the lower figure as corrupted")
-    val snapEps =
+    var snapEps =
       BenchStreaming.snapshotEventsPerSecDefault(spark, streamBudget)
-    val snapEpsRocks =
+    var snapEpsRocks =
       BenchStreaming.snapshotEventsPerSecRocksDb(spark, streamBudget)
 
     // Requalification ([[requalify]]): re-measure ONLY the queries
@@ -669,6 +675,61 @@ object Bench {
         s"$RequalPasses extra passes each")
     val requalifiedNames =
       requalify(provisionalOutliers, committed, best.get, n => run(n))
+
+    // Slow-FIGURE requalification — the figure-level twin of the
+    // query pass above. A contention window during the streaming
+    // block leaves depressed-but-internally-consistent throughput
+    // figures the pair/agreement checks cannot catch (both sides sink
+    // together), and the r12 transient-hog validation showed exactly
+    // that hole: every flagged QUERY converged once the host calmed,
+    // while the streaming envelope figure kept its contention-window
+    // sample and stayed in `slow_figures`. So each figure still below
+    // 2/3 of its committed calm value gets its SOURCE re-measured
+    // under a bounded fresh budget ([[FigureRequalBudgetSec]] wall
+    // per round, ≤ 2 rounds), max-merged — figures are throughput,
+    // so the best observed rate is the honest report, symmetric with
+    // the per-query min. A calm run has no slow figures and spends
+    // nothing here; sustained contention still names itself because
+    // the re-measure is exactly as contended as the first pass.
+    val committedFigs = committedFigures()
+    def slowFigNames: Seq[String] = Seq(
+      "envelope_events_per_sec" -> eventsPerSec,
+      "streaming_envelope_events_per_sec" -> streamEps,
+      "streaming_envelope_events_per_sec_rocksdb" -> streamEpsRocks,
+      "streaming_snapshot_events_per_sec" -> snapEps,
+      "streaming_snapshot_events_per_sec_rocksdb" -> snapEpsRocks)
+      .collect {
+        case (f, v) if committedFigs.get(f).exists(isSlowFigure(v, _)) => f
+      }
+    var figRounds = 0
+    while (figRounds < 2 && slowFigNames.nonEmpty) {
+      val slow = slowFigNames
+      System.err.println(s"[bench] figure(s) below 2/3 committed calm: " +
+        s"${slow.mkString(", ")} — re-measuring their sources")
+      val figBudget = new BenchStreaming.WallBudget(FigureRequalBudgetSec)
+      if (slow.contains("envelope_events_per_sec")) {
+        run("p1_cdc_envelope") // min-tracked: only a calmer sample lands
+        eventsPerSec = batchEnvelopeEps
+      }
+      if (slow.exists(_.startsWith("streaming_envelope"))) {
+        val (d2, r2, a2) =
+          BenchStreaming.envelopeFigurePair(spark, budget = figBudget)
+        streamEps = math.max(streamEps, d2)
+        streamEpsRocks = math.max(streamEpsRocks, r2)
+        streamAgreed = streamAgreed || a2
+      }
+      if (slow.contains("streaming_snapshot_events_per_sec"))
+        snapEps = math.max(snapEps,
+          BenchStreaming.snapshotEventsPerSecDefault(spark, figBudget))
+      if (slow.contains("streaming_snapshot_events_per_sec_rocksdb"))
+        snapEpsRocks = math.max(snapEpsRocks,
+          BenchStreaming.snapshotEventsPerSecRocksDb(spark, figBudget))
+      figRounds += 1
+    }
+    // the agreement stamp must reflect the figures the artifact
+    // actually reports, including any requalified envelope samples
+    val batchStreamAgreedFinal =
+      batchStreamAgree(eventsPerSec, math.max(streamEps, streamEpsRocks))
 
     // results AFTER the envelope pairing loop and requalification: a
     // re-measure that found a calmer sample must be the one reported
@@ -706,8 +767,7 @@ object Bench {
     // value ([[isSlowFigure]]): the pair/agreement checks catch
     // INCONSISTENT contention; this catches the consistent kind,
     // where every figure is depressed together and the pairs agree
-    // anyway.
-    val committedFigs = committedFigures()
+    // anyway. Evaluated on the POST-requalification figures.
     val figures = Seq(
       "envelope_events_per_sec" -> eventsPerSec,
       "streaming_envelope_events_per_sec" -> streamEps,
@@ -725,7 +785,7 @@ object Bench {
     val stagedJson = stagedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val stageBuildJson = stageBuild
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"capped":$cappedFinal,"outliers":$outliers,"requalified":$requalified,"slow_figures":$slowFigures,"sweeps":$sweep,"stage_build_sec":$stageBuildSec,"stage_build":$stageBuildJson,"staged":$stagedJson,"envelope_events_per_sec":$eventsPerSec,"batch_stream_envelope_agreed":$batchStreamAgreed,"streaming_envelope_events_per_sec":$streamEps,"streaming_envelope_events_per_sec_rocksdb":$streamEpsRocks,"streaming_envelope_agreed":$streamAgreed,"streaming_snapshot_events_per_sec":$snapEps,"streaming_snapshot_events_per_sec_rocksdb":$snapEpsRocks,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"capped":$cappedFinal,"outliers":$outliers,"requalified":$requalified,"slow_figures":$slowFigures,"sweeps":$sweep,"stage_build_sec":$stageBuildSec,"stage_build":$stageBuildJson,"staged":$stagedJson,"envelope_events_per_sec":$eventsPerSec,"batch_stream_envelope_agreed":$batchStreamAgreedFinal,"streaming_envelope_events_per_sec":$streamEps,"streaming_envelope_events_per_sec_rocksdb":$streamEpsRocks,"streaming_envelope_agreed":$streamAgreed,"streaming_snapshot_events_per_sec":$snapEps,"streaming_snapshot_events_per_sec_rocksdb":$snapEpsRocks,"sf":"$sfDir"}"""
     println(line)
     // The driver captures stdout with `tail`, which can start
     // mid-artifact and truncate the per-query map. Persist the full
@@ -748,7 +808,7 @@ object Bench {
       outlierEntries.map(e => "\"" + e._1 + "\"").mkString("[", ",", "]")
     val slowFigureNames =
       slowFigureEntries.map(e => "\"" + e._1 + "\"").mkString("[", ",", "]")
-    println(s"""{"summary":{"total":$total,"sweeps":$sweep,"capped":$cappedFinal,"outliers":$outlierNames,"requalified":$requalified,"slow_figures":$slowFigureNames,"batch_stream_envelope_agreed":$batchStreamAgreed,"streaming_envelope_agreed":$streamAgreed}}""")
+    println(s"""{"summary":{"total":$total,"sweeps":$sweep,"capped":$cappedFinal,"outliers":$outlierNames,"requalified":$requalified,"slow_figures":$slowFigureNames,"batch_stream_envelope_agreed":$batchStreamAgreedFinal,"streaming_envelope_agreed":$streamAgreed}}""")
     spark.stop()
   }
 }
