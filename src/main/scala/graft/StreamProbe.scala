@@ -22,8 +22,9 @@ import graft.streaming.{StreamingAsofState, StreamingDeltaAgg,
   * `neardup | semdedup | pack | heavyhitters | crossdedup | novelty |
   * scd2 | asofstate | deltaagg | funnel | retention | anomaly |
   * growth | sourcecap | gapdetect | sample | sessions |
-  * committracker | qualityclf | dsir | evtumble | evslide | evdedup |
-  * evjoin | evouterjoin | evenrich | all` (default all). Batches are
+  * committracker | qualityclf | dsir | structclf | evtumble |
+  * evslide | evdedup | evjoin | evouterjoin | evenrich | all`
+  * (default all). Batches are
   * pre-built outside the timed window; the first batch is warm-up;
   * best of 3 passes per provider is reported.
   *
@@ -821,6 +822,46 @@ object StreamProbe {
           ds => StreamingDsir.score(ds.toDF(), model)
             .filter(col("score_ppm") === 420L),
           _ == perBatch.toLong * batches)
+    }
+    if (op == "all" || op == "structclf") {
+      // The GENERALIZING struct-feature classifier at ingest:
+      // stateless broadcast-model projection (one figure, default
+      // provider). The two classes are STRUCTURALLY disjoint in every
+      // feature family — keep docs: 60 distinct tokens incl. one
+      // stopword (len bin 2, ttr bin 9, stop bin 1, top bin 0, dup
+      // bin 0); drop docs: 35 tokens, one repeated 30× and no
+      // stopword (len bin 1, ttr bin 1, stop bin 0, top bin 17, dup
+      // bin 9) — so after training every keep-class bin is
+      // keep-leaning (nd=0) and every drop-class bin drop-leaning,
+      // and the planted keep half MUST predict keep exactly.
+      import graft.streaming.StreamingStructClf
+      def kw(v: Int, w: Int) = s"sa${math.floorMod(mix(v * 100L + w), 1000003L)}"
+      def dw(v: Int, w: Int) = s"sb${math.floorMod(mix(v * 100L + w), 1000003L)}"
+      def keepText(v: Int) =
+        ("the" +: (0 until 59).map(w => kw(v, w))).mkString(" ")
+      def dropText(v: Int) =
+        (Seq.fill(30)(dw(v, 99)) ++ (0 until 5).map(w => dw(v, w)))
+          .mkString(" ")
+      val train = (0 until 50).flatMap { v =>
+        Seq(StreamingNearDup.Doc(v.toLong, keepText(v)),
+          StreamingNearDup.Doc(100L + v, dropText(v)))
+      }
+      val model = StreamingStructClf.learn(
+        spark.createDataset(train).toDF())
+      val data = (0 until batches).map { b =>
+        (0 until perBatch).map { j =>
+          val i = b.toLong * perBatch + j
+          val v = (i % 50L).toInt
+          StreamingNearDup.Doc(i,
+            if (i % 2 == 0) keepText(v) else dropText(v))
+        }
+      }
+      results("structclf_events_per_sec") =
+        bestOf3[StreamingNearDup.Doc, org.apache.spark.sql.Row](
+          spark, "structclf", None, data,
+          ds => StreamingStructClf.score(ds.toDF(), model)
+            .filter(col("pred_keep")),
+          _ == perBatch.toLong * batches / 2)
     }
     // The six EventTimeOps built-in shapes (r11 verdict #2) — Spark's
     // own event-time machinery under the same planted-work

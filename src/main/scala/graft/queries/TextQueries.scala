@@ -515,9 +515,10 @@ object TextQueries {
 
   /** Composite-gate core behind `tx_filter_verdict` (specs drive it
     * on synthetic frames): all five rules, fail bitmask, keep
-    * verdict.
+    * verdict. private[graft]: `StreamingStructClf.learn` derives
+    * ad-hoc corpora's training verdicts through it.
     */
-  private[queries] def filterVerdictOf(docs: DataFrame): DataFrame = {
+  private[graft] def filterVerdictOf(docs: DataFrame): DataFrame = {
     val wc = docs
       .select(col("doc_id"), explode(w).alias("wd"))
       .groupBy("doc_id", "wd")
@@ -589,6 +590,42 @@ object TextQueries {
     * the bigram model's.
     */
   final val QcStructB = 64L
+
+  /** Struct-feature rows (doc_id, keep, fid) from a per-doc
+    * gate-verdict frame ([[filterVerdictOf]]'s shape): five integer
+    * bins per document, family-offset feature ids — a pure per-row
+    * projection, shared by the `tx_clf_struct` query (over the staged
+    * verdict table) and `StreamingStructClf.learn` (over an ad-hoc
+    * corpus's derived verdicts).
+    */
+  private[graft] def structFeaturesOf(verdicts: DataFrame): DataFrame =
+    verdicts.select(col("doc_id"), col("keep"),
+      explode(array(
+        expr("0 + least(n_tokens div 25, 19)"),
+        expr("100 + least(CAST(floor(ttr * 10) AS BIGINT), 9)"),
+        expr("200 + least(CAST(floor(stop_ratio * 100) AS BIGINT), 9)"),
+        expr("300 + least(CAST(floor(top_frac * 20) AS BIGINT), 19)"),
+        expr("400 + least(CAST(floor(dup3_frac * 50) AS BIGINT), 9)")
+      )).alias("fid"))
+
+  /** The struct classifier's learned half from a TRAINING feature
+    * frame: (weights ≤ ~70 rows, 1-row class totals) — the
+    * [[qualityClfParts]] ratio formula with [[QcStructB]] smoothing.
+    */
+  private[graft] def structClfWeights(feat: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val counts = feat
+      .groupBy("fid")
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).alias("nk"),
+        sum(when(col("keep"), 0L).otherwise(1L)).alias("nd"))
+    val tots = counts.agg(sum(col("nk")).alias("tnk"),
+      sum(col("nd")).alias("tnd"))
+    val wts = counts.crossJoin(broadcast(tots))
+      .select(col("fid"),
+        expr(s"(nk + 1) * (tnd + $QcStructB) * 1000000" +
+          s" div ((nd + 1) * (tnk + $QcStructB))").alias("r_ppm"))
+    (wts, tots)
+  }
 
   /** Word-bigram array of a text column — the classifier's feature
     * space. Spelled slice+zip_with so a 0/1-token doc yields an EMPTY
@@ -1519,25 +1556,8 @@ object TextQueries {
     // scan, no corpus shuffle at all); training aggregates ≤ ~70
     // feature-id groups map-side; weights broadcast back.
     "tx_clf_struct" -> ((s, d) => {
-      val v = filterVerdicts(s, d)
-      val feat = v.select(col("doc_id"), col("keep"),
-        explode(array(
-          expr("0 + least(n_tokens div 25, 19)"),
-          expr("100 + least(CAST(floor(ttr * 10) AS BIGINT), 9)"),
-          expr("200 + least(CAST(floor(stop_ratio * 100) AS BIGINT), 9)"),
-          expr("300 + least(CAST(floor(top_frac * 20) AS BIGINT), 19)"),
-          expr("400 + least(CAST(floor(dup3_frac * 50) AS BIGINT), 9)")
-        )).alias("fid"))
-      val counts = feat.filter(col("doc_id") % 2 === 0)
-        .groupBy("fid")
-        .agg(sum(when(col("keep"), 1L).otherwise(0L)).alias("nk"),
-          sum(when(col("keep"), 0L).otherwise(1L)).alias("nd"))
-      val tots = counts.agg(sum(col("nk")).alias("tnk"),
-        sum(col("nd")).alias("tnd"))
-      val wts = counts.crossJoin(broadcast(tots))
-        .select(col("fid"),
-          expr(s"(nk + 1) * (tnd + $QcStructB) * 1000000" +
-            s" div ((nd + 1) * (tnk + $QcStructB))").alias("r_ppm"))
+      val feat = structFeaturesOf(filterVerdicts(s, d))
+      val (wts, tots) = structClfWeights(feat.filter(col("doc_id") % 2 === 0))
       feat.filter(col("doc_id") % 2 === 1)
         .join(broadcast(wts), Seq("fid"), "left")
         .crossJoin(broadcast(tots))
