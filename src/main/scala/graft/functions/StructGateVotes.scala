@@ -5,9 +5,81 @@ import scala.collection.mutable
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftshim.{toColumn, toExpression}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
+
+/** The shared single-pass gate-metric kernel: token count, distinct
+  * count, stopword("the","a") count, max per-token occurrence count,
+  * distinct word-3-shingle count — one token scan + one hash map,
+  * semantics matching `split(text, " ", -1)` and the (doc, word)
+  * aggregate spellings bit-for-bit (the specs pin it through both
+  * consumers).
+  */
+private[functions] object GateMetricsKernel {
+  /** Returns [n_tokens, uniq_n, stop_n, maxn, d3]. */
+  def of(text: String): Array[Long] = {
+    val words = text.split(" ", -1)
+    val n = words.length
+    val counts = mutable.HashMap.empty[String, Long]
+    var stopN = 0L
+    var i = 0
+    while (i < n) {
+      val w = words(i)
+      counts.update(w, counts.getOrElse(w, 0L) + 1L)
+      if (w == "the" || w == "a") stopN += 1L
+      i += 1
+    }
+    var maxN = 0L
+    val it = counts.valuesIterator
+    while (it.hasNext) { val v = it.next(); if (v > maxN) maxN = v }
+    var d3 = 0L
+    if (n >= 3) {
+      val seen = mutable.HashSet.empty[String]
+      val sb = new java.lang.StringBuilder(64)
+      i = 0
+      while (i + 3 <= n) {
+        sb.setLength(0)
+        sb.append(words(i)).append(' ').append(words(i + 1))
+          .append(' ').append(words(i + 2))
+        seen.add(sb.toString)
+        i += 1
+      }
+      d3 = seen.size.toLong
+    }
+    Array(n.toLong, counts.size.toLong, stopN, maxN, d3)
+  }
+}
+
+/** The five gate metrics as an array<long> [n_tokens, uniq_n, stop_n,
+  * maxn, d3] — ONE call per row, replacing the corpus-wide
+  * (doc, word) count aggregate + join that `filterVerdictOf`'s
+  * top-word share otherwise requires: the verdict derivation becomes
+  * a pure scan-speed projection with ZERO shuffle, which at 100 TB is
+  * the difference between a verdict stage build that streams through
+  * the corpus once and one that shuffles an exploded token table.
+  * Values are bit-identical to the aggregate spelling (the oracle
+  * compare and the parity specs both pin it).
+  */
+case class TextGateMetricsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      GateMetricsKernel.of(input.asInstanceOf[UTF8String].toString)
+        .map(v => v: Any))
+
+  override protected def withNewChildInternal(c: Expression)
+      : TextGateMetricsExpr = copy(child = c)
+}
+
+object TextGateMetrics {
+  def apply(c: Column): Column = toColumn(TextGateMetricsExpr(toExpression(c)))
+}
 
 /** Σ votes(fid) over a document's five STRUCTURAL feature ids — the
   * whole per-row gate-metric + bin + model-lookup loop of the
@@ -50,36 +122,13 @@ case class StructGateVotesExpr(child: Expression, votes: Seq[Long])
   override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(input: Any): Any = {
-    val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
-    val n = words.length
-    val counts = mutable.HashMap.empty[String, Long]
-    var stopN = 0L
-    var i = 0
-    while (i < n) {
-      val w = words(i)
-      counts.update(w, counts.getOrElse(w, 0L) + 1L)
-      if (w == "the" || w == "a") stopN += 1L
-      i += 1
-    }
-    var maxN = 0L
-    val it = counts.valuesIterator
-    while (it.hasNext) { val v = it.next(); if (v > maxN) maxN = v }
-    val uniqN = counts.size.toLong
-    val tot3 = math.max(n - 2, 0).toLong
-    var d3 = 0L
-    if (n >= 3) {
-      val seen = mutable.HashSet.empty[String]
-      val sb = new java.lang.StringBuilder(64)
-      i = 0
-      while (i + 3 <= n) {
-        sb.setLength(0)
-        sb.append(words(i)).append(' ').append(words(i + 1))
-          .append(' ').append(words(i + 2))
-        seen.add(sb.toString)
-        i += 1
-      }
-      d3 = seen.size.toLong
-    }
+    val m = GateMetricsKernel.of(input.asInstanceOf[UTF8String].toString)
+    val n = m(0)
+    val uniqN = m(1)
+    val stopN = m(2)
+    val maxN = m(3)
+    val d3 = m(4)
+    val tot3 = math.max(n - 2L, 0L)
     // IEEE doubles + floors exactly as the SQL spelling computes them
     val nd = n.toDouble
     val ttr = uniqN.toDouble / nd

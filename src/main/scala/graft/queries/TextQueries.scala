@@ -517,26 +517,40 @@ object TextQueries {
     * on synthetic frames): all five rules, fail bitmask, keep
     * verdict. private[graft]: `StreamingStructClf.learn` derives
     * ad-hoc corpora's training verdicts through it.
+    *
+    * ZERO-shuffle since r12: every metric — including the top-word
+    * share, whose original spelling was a corpus-wide (doc, word)
+    * count aggregate joined back per doc — comes from ONE native
+    * [[graft.functions.TextGateMetrics]] call per row (single token
+    * pass + hash map). At 100 TB that turns the verdict derivation
+    * (and the staged `tx_gate_verdict_v1` build feeding four
+    * consumers) from an exploded-token-table shuffle into a pure
+    * scan; values are bit-identical to the aggregate spelling (the
+    * DuckDB oracle keeps the aggregate form and still hash-matches;
+    * FilterVerdictSpec pins the semantics on synthetic frames). The
+    * five metric columns are extracted from one array value in a
+    * SEPARATE projection, and CollapseProject does not inline a
+    * non-cheap expression referenced five times — so the kernel runs
+    * once per row, not once per extracted field.
     */
   private[graft] def filterVerdictOf(docs: DataFrame): DataFrame = {
-    val wc = docs
-      .select(col("doc_id"), explode(w).alias("wd"))
-      .groupBy("doc_id", "wd")
-      .agg(count(lit(1)).alias("n"))
-    val top = wc.groupBy("doc_id")
-      .agg(max(col("n")).alias("maxn"), sum(col("n")).alias("nw"))
-    val scan = docs.select(
-      col("doc_id"),
-      size(w).cast(LongType).alias("n_tokens"),
-      size(array_distinct(w)).cast(LongType).alias("uniq_n"),
-      size(filter(w, x => x.isin("the", "a"))).cast(LongType)
-        .alias("stop_n"),
-      greatest(size(w) - 2, lit(0)).cast(LongType).alias("tot3"),
-      size(graft.functions.WordShingles(col("text"), 3))
-        .cast(LongType).alias("d3"))
+    // NULL-text docs never reached the old spelling's output (the
+    // exploded (doc, word) aggregate had no rows for them, and the
+    // inner join dropped them) — keep that contract explicit
+    val metrics = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.TextGateMetrics(col("text")).alias("m"))
+      .select(col("doc_id"),
+        col("m").getItem(0).alias("n_tokens"),
+        col("m").getItem(1).alias("uniq_n"),
+        col("m").getItem(2).alias("stop_n"),
+        col("m").getItem(3).alias("maxn"),
+        col("m").getItem(4).alias("d3"),
+        greatest(col("m").getItem(0) - 2L, lit(0L)).alias("tot3"))
     val ttr = col("uniq_n").cast("double") / col("n_tokens")
     val stopR = col("stop_n").cast("double") / col("n_tokens")
-    val topFrac = col("maxn").cast("double") / col("nw")
+    // the (doc, word) aggregate's nw (Σ per-word counts) IS n_tokens
+    val topFrac = col("maxn").cast("double") / col("n_tokens")
     val dupFrac = when(col("tot3") > 0,
       lit(1.0) - col("d3").cast("double") / col("tot3")).otherwise(0.0)
     val mask =
@@ -545,7 +559,7 @@ object TextQueries {
       when(stopR < 0.01, 4L).otherwise(0L) +
       when(topFrac > 0.15, 8L).otherwise(0L) +
       when(dupFrac > 0.02, 16L).otherwise(0L)
-    scan.join(top, "doc_id")
+    metrics
       .select(col("doc_id"), col("n_tokens"),
         ttr.alias("ttr"), stopR.alias("stop_ratio"),
         topFrac.alias("top_frac"), dupFrac.alias("dup3_frac"),
