@@ -81,6 +81,64 @@ object TextGateMetrics {
   def apply(c: Column): Column = toColumn(TextGateMetricsExpr(toExpression(c)))
 }
 
+/** The Gopher rule-family metrics as an array<long> [n_words, chars,
+  * alpha_n, stop_n, top_cnt] — one token pass per row, replacing the
+  * interpreted HOF chain in `gopherRules` (a per-token lambda for the
+  * char sum, a per-token REGEX for the alphabetic count, and an
+  * O(n log n) array_sort + interpreted fold for the top-word run).
+  * Semantics pinned by the unchanged DuckDB oracle and
+  * StreamingTextParitySpec:
+  *  - chars counts Unicode CODE POINTS per token (Spark's `length`
+  *    and DuckDB's `len` semantics, not UTF-16 units);
+  *  - alpha_n counts tokens matching ^[a-z]+$ (non-empty, every code
+  *    point in a-z) without the regex engine;
+  *  - top_cnt is the max per-token occurrence count (the sorted-run
+  *    and nested-filter spellings compute the same value).
+  */
+case class GopherMetricsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val n = words.length
+    val counts = mutable.HashMap.empty[String, Long]
+    var chars = 0L
+    var alphaN = 0L
+    var stopN = 0L
+    var i = 0
+    while (i < n) {
+      val w = words(i)
+      counts.update(w, counts.getOrElse(w, 0L) + 1L)
+      chars += w.codePointCount(0, w.length)
+      if (w == "the" || w == "a") stopN += 1L
+      var alpha = w.length > 0
+      var j = 0
+      while (alpha && j < w.length) {
+        val c = w.charAt(j)
+        if (c < 'a' || c > 'z') alpha = false
+        j += 1
+      }
+      if (alpha) alphaN += 1L
+      i += 1
+    }
+    var topCnt = 0L
+    val it = counts.valuesIterator
+    while (it.hasNext) { val v = it.next(); if (v > topCnt) topCnt = v }
+    new GenericArrayData(
+      Array[Any](n.toLong, chars, alphaN, stopN, topCnt))
+  }
+
+  override protected def withNewChildInternal(c: Expression)
+      : GopherMetricsExpr = copy(child = c)
+}
+
+object GopherMetrics {
+  def apply(c: Column): Column = toColumn(GopherMetricsExpr(toExpression(c)))
+}
+
 /** Σ votes(fid) over a document's five STRUCTURAL feature ids — the
   * whole per-row gate-metric + bin + model-lookup loop of the
   * `tx_clf_struct` classifier as ONE native call per row (the

@@ -66,29 +66,23 @@ object TextQueries {
     * oracle's deterministic ORDER BY.
     */
   def gopherRules(docs: DataFrame): DataFrame = {
-    val nW = size(w).cast(LongType)
-    val chars = aggregate(transform(w, x => length(x).cast(LongType)),
-      lit(0L), (a, x) => a + x)
-    val alphaN = size(filter(w, x => x.rlike("^[a-z]+$"))).cast(LongType)
-    val stopN = size(filter(w, x => x.isin("the", "a"))).cast(LongType)
-    // most-frequent-word count as the longest run in the SORTED token
-    // array — O(n log n) per row vs the O(distinct × n) nested filter
-    // scan; identical values, so the oracle (which keeps the nested
-    // form) still hash-matches
-    val topCnt = aggregate(array_sort(w),
-      struct(lit("").alias("prev"), lit(0L).alias("run"),
-        lit(0L).alias("best")),
-      (st, x) => {
-        val run = when(x === st.getField("prev"),
-          st.getField("run") + 1L).otherwise(lit(1L))
-        struct(x.alias("prev"), run.alias("run"),
-          greatest(st.getField("best"), run).alias("best"))
-      },
-      st => st.getField("best"))
-    docs
-      .select(col("doc_id"), nW.alias("n_words"), chars.alias("chars"),
-        alphaN.alias("alpha_n"), stopN.alias("stop_n"),
-        topCnt.alias("top_cnt"))
+    // ONE native GopherMetrics call per row (r12) — the interpreted
+    // spelling paid a per-token lambda for the char sum, a per-token
+    // REGEX for the alphabetic count, and an array_sort + interpreted
+    // fold for the top-word run (the r11 H60BucketSum lesson: HOF
+    // lambdas evaluate interpreted per element). Values unchanged —
+    // the DuckDB oracle keeps the HOF spelling and still
+    // hash-matches; the metric columns are extracted in a separate
+    // projection so CollapseProject leaves the kernel evaluated once.
+    val metrics = docs.select(col("doc_id"),
+      graft.functions.GopherMetrics(col("text")).alias("m"))
+    metrics
+      .select(col("doc_id"),
+        col("m").getItem(0).alias("n_words"),
+        col("m").getItem(1).alias("chars"),
+        col("m").getItem(2).alias("alpha_n"),
+        col("m").getItem(3).alias("stop_n"),
+        col("m").getItem(4).alias("top_cnt"))
       .withColumn("mwl_micro", expr("chars * 1000000 div n_words"))
       .withColumn("r_words", col("n_words").between(20L, 80L))
       .withColumn("r_mwl",
