@@ -113,17 +113,30 @@ object RelationalQueries {
     // distinct aggregation — per-partition dedup before the exchange,
     // never a collect.
     "rel_cohort_ltv" -> ((s, d) => {
+      // r12 single-pass shape: the first cut derived the cohort with a
+      // min-agg + join back (orders scanned twice, shuffled twice) and
+      // then ran countDistinct(custkey) mixed with plain aggs — which
+      // plans an Expand (row ×2) plus an extra exchange phase. Now:
+      // one custkey-clustered agg to (custkey, month) cells, the
+      // cohort from a min-window on the SAME partitioning (zero extra
+      // exchange), and — because each custkey appears at most once per
+      // (cohort, m) cell after that agg — n_customers is a plain
+      // count(*), no distinct machinery at all. One scan, one raw
+      // shuffle, one tiny aggregate exchange.
       val o = Tables.orders(s, d).select(
         col("o_custkey"),
         (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
           .cast(LongType).alias("m"),
         cents(col("o_totalprice")).alias("cents"))
-      val first = o.groupBy("o_custkey").agg(min(col("m")).alias("cohort"))
-      o.join(first, "o_custkey")
+      val perCM = o.repartition(col("o_custkey"))
+        .groupBy("o_custkey", "m")
+        .agg(count(lit(1)).alias("n"), sum(col("cents")).alias("rc"))
+      val wCust = Window.partitionBy("o_custkey")
+      perCM.withColumn("cohort", min(col("m")).over(wCust))
         .groupBy(col("cohort"), (col("m") - col("cohort")).alias("offset_m"))
-        .agg(countDistinct(col("o_custkey")).alias("n_customers"),
-          count(lit(1)).alias("n_orders"),
-          sum(col("cents")).alias("rev_cents"))
+        .agg(count(lit(1)).alias("n_customers"),
+          sum(col("n")).alias("n_orders"),
+          sum(col("rc")).alias("rev_cents"))
         .orderBy("cohort", "offset_m")
     }),
 

@@ -35,7 +35,17 @@ object TextQueries {
 
   private[queries] def bm25Corpus(docs: DataFrame): Bm25Corpus = {
     val toks = docs.select(col("doc_id"), explode(w).alias("term"))
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).alias("tf"))
+    // r12: per-(doc, term) counts are row-local (a doc's tokens all
+    // live in one input row), so the native TermCounts kernel replaces
+    // the explode + groupBy(doc_id, term) spelling — the exploded
+    // output IS the deduplicated tf table and the token-cardinality
+    // exchange disappears (guide §2.3 "aggregate before you shuffle",
+    // taken to its limit: no shuffle at all). Counts bit-identical:
+    // same split(text, " ") token semantics, TermCountsSpec pins it.
+    val tf = docs.select(col("doc_id"),
+        explode(graft.functions.TermCounts(col("text"))).alias("tc"))
+      .select(col("doc_id"), col("tc.term").alias("term"),
+        col("tc.tf").alias("tf"))
     val dlen = docs.select(col("doc_id"), size(w).cast(LongType).alias("dl"))
     val dft = tf.groupBy("term").agg(count(lit(1)).alias("df"))
     val stats = docs.agg(count(lit(1)).alias("n"),
@@ -821,10 +831,15 @@ object TextQueries {
     * per-doc top-3 terms by score = tf*N/df.
     */
   private[queries] def tfidfTopK(docs: DataFrame): DataFrame = {
+    // r12: row-local tf via the native TermCounts kernel (see
+    // bm25Corpus) — kills the token-cardinality (doc, term) exchange;
+    // the only corpus-sized shuffle left is the top-3 window's doc_id
+    // exchange.
     val wc = docs
-      .select(col("doc_id"), explode(w).alias("term"))
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).alias("tf"))
+      .select(col("doc_id"),
+        explode(graft.functions.TermCounts(col("text"))).alias("tc"))
+      .select(col("doc_id"), col("tc.term").alias("term"),
+        col("tc.tf").alias("tf"))
     val df = wc.groupBy("term").agg(count(lit(1)).alias("df"))
     val n = docs.agg(count(lit(1)).alias("n"))
     val scored = wc
@@ -1069,17 +1084,30 @@ object TextQueries {
       // expression, and scanning + exploding the staged string arrays
       // costs more than re-deriving them; the stage pays off only for
       // consumers that would otherwise run the interpreted HOF chain
+      //
+      // Single gram pass (r12): the first cut derived `grams` twice —
+      // once under the min-agg, once under the join back — so the
+      // corpus was scanned + shingled + md5-hashed TWICE, and the
+      // agg side (one row per DISTINCT GRAM) came back as a
+      // BroadcastHashJoin build, a corpus-vocabulary-sized broadcast
+      // that cannot exist at 100 TB. Now: pre-aggregate occurrences
+      // to (gh, doc_id, c) — map-side combined — and resolve the
+      // introducing doc with a min-over-gh window on that REDUCED
+      // table. One explode pass, no gram-table broadcast; every
+      // exchange after the first carries (gh, doc, count) rows only.
       val grams = Tables.documents(s, d)
         .select(col("doc_id"),
           explode(graft.functions.WordShingles(col("text"), 3)).alias("g"))
         .select(col("doc_id"), DedupQueries.h60(col("g")).alias("gh"))
-      val first = grams.groupBy("gh")
-        .agg(min(col("doc_id")).alias("first_doc"))
-      val perDoc = grams.join(first, "gh")
+      val occ = grams.groupBy("gh", "doc_id")
+        .agg(count(lit(1)).alias("c"))
+      val wG = org.apache.spark.sql.expressions.Window.partitionBy("gh")
+      val perDoc = occ
+        .withColumn("first_doc", min(col("doc_id")).over(wG))
         .groupBy("doc_id")
-        .agg(count(lit(1)).alias("n_grams"),
-          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-            .alias("n_new"))
+        .agg(sum(col("c")).alias("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), col("c"))
+            .otherwise(0L)).alias("n_new"))
       Tables.documents(s, d).select(col("doc_id"))
         .join(perDoc, Seq("doc_id"), "left")
         .select(col("doc_id"),
@@ -1415,22 +1443,29 @@ object TextQueries {
     // (doc_id, word), a per-doc re-agg, and a doc-keyed join against a
     // scan-speed projection — no corpus-wide state anywhere.
     "tx_repetition" -> ((s, d) => {
-      val wc = Tables.documents(s, d)
-        .select(col("doc_id"), explode(w).alias("wd"))
-        .groupBy("doc_id", "wd")
-        .agg(count(lit(1)).alias("n"))
-      val top = wc.groupBy("doc_id")
-        .agg(max(col("n")).alias("maxn"), sum(col("n")).alias("nw"))
-      val tri = Tables.documents(s, d)
+      // r12 zero-shuffle shape: maxn (most frequent word's count) and
+      // nw (token count) are row-local facts of one document, so the
+      // native TermCounts kernel + array_max replace the old
+      // explode → groupBy(doc_id, wd) → re-agg → self-join pipeline
+      // (2 corpus exchanges + 1 join → pure per-row projection; the
+      // only remaining exchange is the output ORDER BY). The
+      // isNotNull filter reproduces the old inner join's implicit
+      // contract: a NULL-text doc produced no exploded rows and was
+      // dropped.
+      val top = Tables.documents(s, d)
+        .filter(col("text").isNotNull)
         .select(col("doc_id"),
+          array_max(graft.functions.TermCounts(col("text"))
+            .getField("tf")).alias("maxn"),
+          size(w).cast(LongType).alias("nw"),
           greatest(size(w) - 2, lit(0)).cast(LongType).alias("tot3"),
           size(graft.functions.WordShingles(col("text"), 3))
             .cast(LongType).alias("d3"))
       val topFrac = col("maxn").cast("double") / col("nw")
       val dupFrac = when(col("tot3") > 0,
         lit(1.0) - col("d3").cast("double") / col("tot3")).otherwise(0.0)
-      top.join(tri, "doc_id")
-        .select(col("doc_id"), col("maxn"), col("nw").cast(LongType).alias("nw"),
+      top
+        .select(col("doc_id"), col("maxn"), col("nw"),
           topFrac.alias("top_frac"), col("tot3"), col("d3"),
           dupFrac.alias("dup3_frac"),
           (topFrac <= 0.15 && dupFrac <= 0.02).alias("keep"))
