@@ -674,11 +674,17 @@ object AdvancedQueries {
     "rel_concurrency" -> ((s, d) => {
       val sess = sessionsTable(s, d)
         .select(col("start_ms"), col("end_ms"))
+      // r12: both boundary rows come from ONE session row, so derive
+      // them with a 2-element explode instead of a union of two scans
+      // of the staged session table — halves the session-table reads
+      // (each union branch scanned it separately), same rows.
       val deltas = sess
-        .select(expr("start_ms div 1000").alias("sec"),
-          lit(1L).alias("delta"))
-        .unionAll(sess.select((expr("end_ms div 1000") + 1L).alias("sec"),
-          lit(-1L).alias("delta")))
+        .select(explode(array(
+          struct(expr("start_ms div 1000").alias("sec"),
+            lit(1L).alias("delta")),
+          struct((expr("end_ms div 1000") + 1L).alias("sec"),
+            lit(-1L).alias("delta")))).alias("e"))
+        .select(col("e.sec").alias("sec"), col("e.delta").alias("delta"))
       val perSec = deltas.groupBy("sec")
         .agg(sum(col("delta")).alias("delta"))
         .withColumn("g0", lit(0))

@@ -394,13 +394,22 @@ object RelationalQueries {
 
     // Exact distinct counts (the HLL/approx variant is
     // rel_approx_distinct below).
-    "rel_distinct" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .agg(
-          countDistinct(col("l_partkey")).alias("parts"),
-          countDistinct(col("l_suppkey")).alias("supps"),
-          countDistinct(col("l_orderkey")).alias("ords"),
-          count(lit(1)).alias("n"))),
+    // r12: one agg with THREE distinct column groups plans an
+    // Expand ×4 — every lineitem row quadruples before the first
+    // hash aggregate. Split per column instead (the measured
+    // rel_approx_distinct discipline): each branch is a plain
+    // two-phase distinct over one pruned column, the branches run
+    // concurrently inside one job, and the 1-row results cross via
+    // broadcast. Same values, no Expand anywhere.
+    "rel_distinct" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.agg(countDistinct(col("l_partkey")).alias("parts"))
+        .crossJoin(broadcast(
+          li.agg(countDistinct(col("l_suppkey")).alias("supps"))))
+        .crossJoin(broadcast(
+          li.agg(countDistinct(col("l_orderkey")).alias("ords"))))
+        .crossJoin(broadcast(li.agg(count(lit(1)).alias("n"))))
+    }),
 
     // HLL sketch values are engine-specific, so the oracle-checkable
     // contract is the sketch's accuracy guarantee: exact counts plus
