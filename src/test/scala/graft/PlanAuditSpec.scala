@@ -199,7 +199,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "tx_vocab_growth",
     // 1-row exact-counts row × 1-row sketch row (split so the HLL
     // imperative agg can't drag the countDistinct off codegen)
-    "rel_approx_distinct")
+    "rel_approx_distinct",
+    // four 1-row per-column distinct-count scalars crossed (split so
+    // three distinct groups in one Aggregate can't plan an Expand ×4)
+    "rel_distinct")
 
   test("no query plan contains a CartesianProduct") {
     plans.foreach { case (sf, n, p) =>
