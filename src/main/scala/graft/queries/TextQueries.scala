@@ -1318,8 +1318,23 @@ object TextQueries {
     // repeated f times, never f²), then one per-doc ordered
     // reassembly: collect_list is bounded by document length and
     // grouped on the doc key, the corpus's natural partitioning.
-    // A fully-boilerplate doc cuts to the empty string (kept rows
-    // vanish; the left join restores it with n_kept_words = 0).
+    // A fully-boilerplate doc cuts to the empty string.
+    // r12 row-local reassembly (guide §8's "move heavy bytes once"):
+    // the first spelling posexploded EVERY word of EVERY doc and
+    // shuffled the word rows twice (the cut anti-join, then the
+    // collect_list groupBy) plus a per-doc array_sort — corpus bytes
+    // × 2 over the network at any scale, for a decision that only
+    // needs the per-doc CUT POSITION SET (small: only docs containing
+    // corpus-repeated grams have one). Now the positions aggregate
+    // doc-locally (collect_set over the rare duplicated-gram rows),
+    // attach to the corpus by ONE doc-keyed equi-join, and the
+    // rewrite runs row-locally at scan speed through the native
+    // CutWords kernel — byte-parity with the exploded spelling pinned
+    // by CutWordsSpec; the interpreted-HOF row-local variant measured
+    // SLOWER than the exploded baseline (1.49 vs 1.39 s sf0.1), the
+    // recurring per-element-lambda finding. Corpus text crosses the
+    // network exactly once; the oracle keeps the exploded spelling
+    // and still hash-matches.
     "tx_span_cut" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val grams = posGrams(s, d)
@@ -1330,25 +1345,20 @@ object TextQueries {
       val cutPos = grams.join(dup, "gh")
         .select(col("doc_id"),
           explode(expr("sequence(p, p + 15)")).alias("p"))
-        .distinct()
-      val words = docs
-        .select(col("doc_id"), posexplode(w).as(Seq("p0", "wd")))
+        .groupBy("doc_id")
+        .agg(collect_set(col("p")).alias("cuts"))
+      docs.select(col("doc_id"), col("text"))
+        .join(cutPos, Seq("doc_id"), "left")
+        .select(col("doc_id"), graft.functions.CutWords(col("text"),
+          coalesce(col("cuts"), expr("array()").cast("array<bigint>")))
+          .alias("m"))
+        // NULL text nulls the whole kernel struct (nullIntolerant);
+        // the legacy left-join restore mapped those docs to ("", 0)
         .select(col("doc_id"),
-          (col("p0") + 1).cast(LongType).alias("p"), col("wd"))
-      val kept = words.join(cutPos, Seq("doc_id", "p"), "left_anti")
-      val rebuilt = kept.groupBy("doc_id")
-        .agg(
-          // positions are unique per doc, so the struct sort is a
-          // total order and the reassembly is deterministic
-          array_join(transform(
-            array_sort(collect_list(struct(col("p"), col("wd")))),
-            x => x.getField("wd")), " ").alias("kept_text"),
-          count(lit(1)).alias("n_kept_words"))
-      docs.select(col("doc_id"))
-        .join(rebuilt, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("kept_text"), lit("")).alias("kept_text"),
-          coalesce(col("n_kept_words"), lit(0L)).alias("n_kept_words"))
+          coalesce(col("m").getField("kept_text"), lit(""))
+            .alias("kept_text"),
+          coalesce(col("m").getField("n_kept_words"), lit(0L))
+            .alias("n_kept_words"))
         .orderBy("doc_id")
     }),
 
@@ -1361,13 +1371,22 @@ object TextQueries {
     // line here is a fixed 5-word segment (BoilerplateLineWords —
     // the deterministic stand-in for the newline split this corpus
     // lacks). Emits per doc the line count, how many lines were
-    // stripped, and the rewritten text. Scale shape: the df table is
-    // O(domains × distinct lines) rows of (source, 8-byte line hash)
-    // — only hashes cross the df shuffle, map-side combined after
-    // the per-doc distinct; the strip is one (source, lh) left-anti
-    // equi-join; the reassembly is tx_span_cut's doc-keyed ordered
-    // collect, bounded by document length. No corpus-wide state: a
-    // new domain only ever meets its own lines.
+    // stripped, and the rewritten text. Scale shape (r12 row-local
+    // strip, the tx_span_cut discipline): the df table is O(domains
+    // × distinct lines) rows of (source, 8-byte line hash) — only
+    // hashes cross the df shuffle, map-side combined after the
+    // per-doc distinct. The legacy strip then shuffled one row per
+    // LINE — carrying the line STRING, ~1.5× corpus bytes — twice
+    // (the (source, lh) anti-join, then the reassembly
+    // groupBy(doc_id)); now the per-domain boilerplate hash SET
+    // (the df ≥ threshold tail, small by construction) aggregates
+    // once, attaches by one dimension equi-join, and the strip +
+    // reassembly run row-locally at scan speed through the native
+    // StripSegments kernel (byte-parity pinned by StripSegmentsSpec;
+    // the oracle keeps the exploded anti-join spelling and still
+    // hash-matches). Corpus text never crosses an exchange but the
+    // output ORDER BY. No corpus-wide state: a new domain only ever
+    // meets its own lines.
     "tx_boilerplate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val W = BoilerplateLineWords
@@ -1405,22 +1424,25 @@ object TextQueries {
           .groupBy("source", "lh")
           .agg(count(lit(1)).alias("df"))
       }
-      val boiler = dfTable
+      val boilerSets = dfTable
         .filter(col("df") >= boilerplateDf(s))
-        .select(col("source"), col("lh"))
-      val kept = lines(docs).join(boiler, Seq("source", "lh"), "left_anti")
-      val rebuilt = kept.groupBy("doc_id")
-        .agg(
-          array_join(transform(
-            array_sort(collect_list(struct(col("line_no"), col("line")))),
-            x => x.getField("line")), " ").alias("kept_text"),
-          count(lit(1)).alias("n_kept"))
-      docs.select(col("doc_id"), nLines.alias("n_lines"))
-        .join(rebuilt, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(collect_set(col("lh")).alias("bhs"))
+      docs.select(col("doc_id"), col("source"), col("text"),
+          nLines.alias("n_lines"))
+        .join(boilerSets, Seq("source"), "left")
         .select(col("doc_id"), col("n_lines"),
-          (col("n_lines") - coalesce(col("n_kept"), lit(0L)))
+          graft.functions.StripSegments(col("text"),
+            coalesce(col("bhs"), expr("array()").cast("array<bigint>")), W)
+            .alias("m"))
+        // NULL text nulls the kernel struct; the legacy exploded
+        // spelling produced no line rows for those docs and the
+        // left-join restore mapped them to ("", 0 kept)
+        .select(col("doc_id"), col("n_lines"),
+          (col("n_lines") - coalesce(col("m").getField("n_kept"), lit(0L)))
             .alias("n_stripped_lines"),
-          coalesce(col("kept_text"), lit("")).alias("kept_text"))
+          coalesce(col("m").getField("kept_text"), lit(""))
+            .alias("kept_text"))
         .orderBy("doc_id")
     }),
 
