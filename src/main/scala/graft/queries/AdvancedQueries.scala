@@ -548,6 +548,14 @@ object AdvancedQueries {
         .agg(max(col("grp_n")).alias("n_orders"),
           pick(1, 2).alias("p50"),
           pick(9, 10).alias("p90"))
+      // r12 tried-and-rejected: sketching over the RANKED frame (to
+      // consume GroupRank's range exchange as a ReusedExchange and
+      // save this second scan) measured SLOWER at sf0.1 (+0.4 s vs
+      // the rel_percentiles control in the same contended session) —
+      // the reuse saves a cheap columnar scan but re-pays the
+      // per-partition sort+window in the sketch leg, and t-digest
+      // construction, not the scan, dominates this leg. Two scans
+      // stay: the sketch leg reads 2 pruned columns once.
       val approx = base.groupBy("o_orderpriority")
         .agg(expr("approx_percentile(c, 0.5, 10000)").alias("a50"),
           expr("approx_percentile(c, 0.9, 10000)").alias("a90"))

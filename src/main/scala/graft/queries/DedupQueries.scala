@@ -596,15 +596,20 @@ object DedupQueries {
       val dup = grams.groupBy("gh")
         .agg(count(lit(1)).alias("df"))
         .filter(col("df") >= 2)
-        .select(col("gh"))
-      val perDoc = grams.groupBy("doc_id")
-        .agg(count(lit(1)).alias("n_spans"))
-      val dupPerDoc = grams.join(dup, "gh")
+        .select(col("gh"), lit(true).alias("isdup"))
+      // r12 single-aggregate shape: n_spans and n_dup_spans are both
+      // facts of the SAME per-doc distinct-gram rows, so one LEFT
+      // join against the duplicated-gram set and one doc-keyed
+      // aggregate replace the old perDoc + dupPerDoc pair (two
+      // aggregates over the gram table and two left joins onto docs
+      // → one of each; values identical — an inner-join count of
+      // matches equals the left-join sum of hit flags).
+      val perDoc = grams.join(dup, Seq("gh"), "left")
         .groupBy("doc_id")
-        .agg(count(lit(1)).alias("n_dup_spans"))
+        .agg(count(lit(1)).alias("n_spans"),
+          sum(when(col("isdup"), 1L).otherwise(0L)).alias("n_dup_spans"))
       Tables.documents(s, d).select(col("doc_id"))
         .join(perDoc, Seq("doc_id"), "left")
-        .join(dupPerDoc, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("n_spans"), lit(0L)).alias("n_spans"),
           coalesce(col("n_dup_spans"), lit(0L)).alias("n_dup_spans"))
