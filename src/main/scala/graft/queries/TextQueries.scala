@@ -1161,6 +1161,17 @@ object TextQueries {
           expr("filter(transform(sequence(1, length(text)), " +
             "i -> substring(text, i, 3)), x -> length(x) = 3)").alias("gs"))
       }
+      // r13 decision: a row-local per-doc (g, tf) pre-aggregate (an
+      // ArrayTermCounts kernel, the TermCounts pattern over the
+      // trigram array) was built and MEASURED AGAINST this spelling —
+      // and rejected. The explode below feeds a map-side-combining
+      // partial aggregate, so occurrences never cross an exchange;
+      // the kernel only re-implements that partial aggregate's
+      // hashing in interpreted per-row code (LinkedHashMap + byte
+      // clones per doc). In-session A/B over the staged ×100 replica
+      // trigram table: legacy 0.54–0.55 s steady vs kernel 2.9–12 s
+      // (GC-inflated); warm best at sf0.1: 1.50 vs 1.76 s. Plans:
+      // plans/r13/tx_langid_ngram_{before,kernel_rejected}.txt.
       val occ = tri3.select(col("lang"), explode(col("gs")).alias("g"))
         .groupBy("lang", "g").agg(count(lit(1)).alias("n"))
       val wRank = Window.partitionBy("lang")
