@@ -21,7 +21,7 @@ import graft.streaming.{StreamingAsofState, StreamingDeltaAgg,
   * `runMain graft.StreamProbe [op] [nEvents]` where op ∈
   * `neardup | semdedup | pack | heavyhitters | crossdedup | novelty |
   * scd2 | asofstate | deltaagg | funnel | retention | anomaly |
-  * growth | sourcecap | gapdetect | sample | sessions |
+  * growth | sourcecap | gapdetect | sample | sessions | sessionsflat |
   * committracker | qualityclf | dsir | structclf | evtumble |
   * evslide | evdedup | evjoin | evouterjoin | evenrich | all`
   * (default all). Batches are
@@ -716,6 +716,23 @@ object StreamProbe {
           }
         },
         ds => graft.streaming.StreamingSessions.track(ds,
+          gapMs = 1800000L),
+        _ >= 7L * perBatch)
+    if (op == "all" || op == "sessionsflat")
+      // r13: the hand-rolled flatMapGroupsWithState sessionizer over
+      // the IDENTICAL workload and floor — the measured comparison
+      // the r12 verdict asked for (the built-in row was the table's
+      // slowest stateful figure). Same emission contract (close when
+      // the watermark passes end+gap), so the same floor applies.
+      probe[graft.streaming.StreamingSessions.Ev,
+          graft.streaming.StreamingSessionsFlat.SessOut]("sessionsflat",
+        (0 until batches).map { b =>
+          (0 until perBatch).map { j =>
+            graft.streaming.StreamingSessions.Ev(j.toLong,
+              b.toLong * perBatch + j, b.toLong * 3600000L + j % 1000)
+          }
+        },
+        ds => graft.streaming.StreamingSessionsFlat.track(ds,
           gapMs = 1800000L),
         _ >= 7L * perBatch)
     if (op == "all" || op == "committracker") {

@@ -620,6 +620,15 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // r13 probe (the r12 "noted, not changed" settled by measurement):
+    // the two branches below each re-derive the 8-gram hashes from
+    // their own corpus scan — no exchange, no materialized
+    // intermediate — and ScaleProbe says the shape holds: ×1/×10/×100
+    // steady = 2.82/2.66/3.26 s, skew ≤ 1.5 (wall grows 1.16× at
+    // 100× volume on fixed cores). Forcing single derivation would
+    // trade that second scan for a corpus-scale exchange or a
+    // persisted intermediate — strictly worse per guide §2.3 (scan <
+    // shuffle) and the probe shows nothing to win back.
     "dd_decontaminate" -> ((s, d) => {
       val grams = Tables.documents(s, d)
         .select(col("doc_id"),

@@ -31,6 +31,20 @@ object RelationalQueries {
     * on (ok, x)). v2 widens v1 with the wait-suppliers columns
     * (l_suppkey/l_shipdate/o_orderdate) so ONE staged copy serves
     * both consumers; knob-in-name, so v1 dirs are never misread.
+    *
+    * Bucket-count sizing (r13, measured): the count bounds the
+    * bucket-local consumers' parallelism — rel_wait_suppliers' whole
+    * cost is one zero-exchange stage of nBuckets tasks, and a b8/b16/
+    * b32 staged A/B over the ×100 ScaleProbe replica measured wall
+    * min-of-6 2.66/1.44/1.14 s (wall tracks bucket count until other
+    * costs dominate; at ×10 all three are latency-bound ~0.8-1.0 s,
+    * flat). Production rule: size buckets to 100 MB-1 GB of the
+    * projected fact core (guide §2.2/§6) — at 100 TB that is ≥10⁵
+    * buckets, far above any core count, so parallelism is never the
+    * binding constraint there. Locally 8 stays: each sf0.1 bucket is
+    * ~2.5 MB, already 100× SMALLER than the production target, so
+    * raising the local count would be core-count tuning, not the
+    * bytes rule.
     */
   private def bktLineitem(s: SparkSession, d: String): DataFrame =
     StagedIndex.orStageBucketed(s, "rel_bkt_lineitem_v2", d,

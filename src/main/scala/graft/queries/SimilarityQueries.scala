@@ -708,6 +708,15 @@ object SimilarityQueries {
       val deg = edges.groupBy("src").agg(count(lit(1)).alias("deg"))
       val nodes = Tables.embeddings(s, d).select(col("vec_id"))
       val init = nodes.withColumn("score", lit(1000000L))
+      // r13 decision: a localCheckpoint-per-round variant (plan-depth
+      // cut, guide §5) was measured against this unrolled fold over
+      // the ×10/×100 ScaleProbe replicas and REJECTED: pagerank
+      // checkpointed 1.93-3.15 s vs unrolled 1.50-2.13 s at both
+      // factors (the eager per-round materialization serializes
+      // rounds and forfeits the ReusedExchange the unrolled plan
+      // gets); graph_core measured neutral (±0.2 s). Revisit only if
+      // round counts grow past the point where planning time shows
+      // up in a profile.
       val last = (1 to PrIters).foldLeft(init) { (sc, _) =>
         val contrib = edges
           .join(deg, "src")
@@ -1051,6 +1060,10 @@ object SimilarityQueries {
         und.join(alive.withColumnRenamed("vec_id", "src"), "src")
           .join(alive.select(col("vec_id").alias("dst")), "dst")
           .groupBy("src").agg(count(lit(1)).cast(LongType).alias("deg"))
+      // r13: localCheckpoint-per-round measured neutral here (×10:
+      // 2.0-2.6 s both arms; ×100: ckpt 3.4-3.7 vs unrolled 3.9-4.0)
+      // and a regression for graph_pagerank — unrolled kept (see the
+      // pagerank decision comment).
       val aliveR = (1 to CoreIters).foldLeft(nodes) { (alive, _) =>
         degOver(alive).filter(col("deg") >= CoreK)
           .select(col("src").alias("vec_id"))
